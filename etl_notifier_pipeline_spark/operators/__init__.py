@@ -1,0 +1,17 @@
+from etl_notifier_pipeline_spark.operators.mutations import (
+    MissingKeyError,
+    delete_by_keys,
+    deleted_count,
+    filter_new_deletes,
+    insert_if_absent,
+    upsert,
+)
+
+__all__ = [
+    "MissingKeyError",
+    "delete_by_keys",
+    "deleted_count",
+    "filter_new_deletes",
+    "insert_if_absent",
+    "upsert",
+]

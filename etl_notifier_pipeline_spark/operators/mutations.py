@@ -1,0 +1,177 @@
+"""Keyed mutations with MERGE semantics (SURVEY §2.3 J2-J5, M2).
+
+The reference implements mutations as Postgres statements:
+
+- insert:  ``INSERT ... ON CONFLICT DO NOTHING``
+  (``process-pipeline.py:152-174``) — keep only incoming rows whose key
+  is absent; within a batch, the FIRST row per key wins.
+- update:  ``INSERT ... ON CONFLICT (pks) DO UPDATE SET col=EXCLUDED.col``
+  (``process-pipeline.py:177-207``) — full-row upsert; within a batch,
+  the LAST row per key wins (later executemany rows overwrite earlier).
+- delete:  per-row ``DELETE FROM t WHERE pk=%s`` with accumulated
+  rowcount (``process-pipeline.py:209-234``), deduplicated against
+  already-pending deletes one COUNT(*) at a time
+  (``process-pipeline.py:285-296``).
+
+Spark-first re-expression: every mutation is a set-at-a-time join plan
+— anti-join for absence, semi-join for counts — instead of N point
+queries for N rows (the single biggest algorithmic upgrade over the
+reference, SURVEY §4 O5). All functions are pure DataFrame -> DataFrame;
+persistence (atomic overwrite) lives in ``storage.py``.
+
+Scale notes: the incoming batch is usually tiny relative to the target
+table, so the anti/semi joins broadcast the incoming side — the target
+is scanned once, never shuffled. ``broadcast_incoming=False`` opts out
+for batch-vs-batch merges of comparable size (AQE then picks the
+strategy).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+class MissingKeyError(ValueError):
+    """Target/incoming lacks a declared key column.
+
+    Mirrors the reference's 'no primary key found' abort
+    (``process-pipeline.py:179-181``)."""
+
+
+def _check_keys(df: DataFrame, keys: Sequence[str], side: str) -> None:
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise MissingKeyError(f"{side} is missing key columns {missing}")
+
+
+def _pick_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    *,
+    keep: str,
+) -> DataFrame:
+    """One row per key: ``keep='first'`` -> min order, ``'last'`` -> max."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if keep == "last":
+        cols = [c.desc() for c in cols]
+    w = W.partitionBy(*keys).orderBy(*cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _maybe_broadcast(df: DataFrame, do_broadcast: bool) -> DataFrame:
+    return F.broadcast(df) if do_broadcast else df
+
+
+def insert_if_absent(
+    target: DataFrame,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """J2 — ``ON CONFLICT DO NOTHING`` as a plan.
+
+    Result = target ∪ {first-per-key incoming rows whose key is absent
+    from target}. ``order_by`` must be deterministic (include a unique
+    column); it models the reference's file order, where the first
+    conflicting row in the batch wins.
+
+    Scale: the anti-join probes the target pruned to its key columns —
+    a narrow-column shuffle even on a wide 100 TB table; hash-anti
+    cannot broadcast-build its left side, so this is the right shape.
+    """
+    _check_keys(target, keys, "target")
+    _check_keys(incoming, keys, "incoming")
+    first = _pick_per_key(incoming, keys, order_by, keep="first")
+    target_keys = target.select(*keys).dropDuplicates(list(keys))
+    new_rows = first.join(target_keys, list(keys), "left_anti")
+    return target.unionByName(new_rows.select(*target.columns))
+
+
+def upsert(
+    target: DataFrame,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    *,
+    broadcast_incoming: bool = True,
+) -> DataFrame:
+    """J3 — ``ON CONFLICT DO UPDATE`` (MERGE) as a plan.
+
+    Result = (target rows with no incoming match) ∪ (last-per-key
+    incoming rows). Equivalent to Delta ``MERGE INTO ... WHEN MATCHED
+    UPDATE SET * WHEN NOT MATCHED INSERT *`` after deduping the source.
+    The target side is scanned once; the incoming side is broadcast
+    into the anti-join, so no target shuffle.
+    """
+    _check_keys(target, keys, "target")
+    _check_keys(incoming, keys, "incoming")
+    last = _pick_per_key(incoming, keys, order_by, keep="last")
+    kept = target.join(
+        _maybe_broadcast(last.select(*keys), broadcast_incoming),
+        list(keys),
+        "left_anti",
+    )
+    return kept.unionByName(last.select(*target.columns))
+
+
+def delete_by_keys(
+    target: DataFrame,
+    delete_keys: DataFrame,
+    keys: Sequence[str],
+    *,
+    broadcast_incoming: bool = True,
+) -> DataFrame:
+    """J4 — keyed delete: surviving rows = target ANTI JOIN keys.
+
+    The reference issues one DELETE per row
+    (``process-pipeline.py:220-223``); here the whole key set resolves
+    in one broadcast anti-join pass over the target."""
+    _check_keys(target, keys, "target")
+    _check_keys(delete_keys, keys, "delete_keys")
+    ks = delete_keys.select(*keys).dropDuplicates(list(keys))
+    return target.join(_maybe_broadcast(ks, broadcast_incoming), list(keys), "left_anti")
+
+
+def deleted_count(
+    target: DataFrame,
+    delete_keys: DataFrame,
+    keys: Sequence[str],
+    *,
+    broadcast_incoming: bool = True,
+) -> int:
+    """The reference's accumulated ``cursor.rowcount``
+    (``process-pipeline.py:223``) as one semi-join count."""
+    _check_keys(target, keys, "target")
+    ks = delete_keys.select(*keys).dropDuplicates(list(keys))
+    return target.join(
+        _maybe_broadcast(ks, broadcast_incoming), list(keys), "left_semi"
+    ).count()
+
+
+def filter_new_deletes(
+    new_deletes: DataFrame,
+    pending: DataFrame,
+    keys: Sequence[str],
+    *,
+    broadcast_pending: bool = True,
+) -> DataFrame:
+    """J5 — drop delete requests already pending.
+
+    The reference runs one ``COUNT(*)`` per incoming row against
+    ``delete_control`` (``process-pipeline.py:285-296``); here it's a
+    single anti-join of the batch against the pending set."""
+    _check_keys(new_deletes, keys, "new_deletes")
+    _check_keys(pending, keys, "pending")
+    p = pending.select(*keys).dropDuplicates(list(keys))
+    return new_deletes.join(
+        _maybe_broadcast(p, broadcast_pending), list(keys), "left_anti"
+    )

@@ -1,0 +1,204 @@
+"""Control-plane + mutation queries (SURVEY §2.3 J2-J5, §2.9 ST1/ST4/ST5).
+
+Each query drives the engine's mutation/ledger library on deterministic
+slices of the ``events`` fixture (target = one event_type, incoming =
+another) so the driver's DuckDB oracle can replay the MERGE semantics
+in pure SQL. The interesting property being checked is batch-internal
+conflict resolution: FIRST-row-wins for insert (the reference's
+executemany + ON CONFLICT DO NOTHING order), LAST-row-wins for upsert
+(later EXCLUDED rows overwrite earlier ones).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_notifier_pipeline_spark.catalog import load_table
+from etl_notifier_pipeline_spark.operators import (
+    delete_by_keys,
+    filter_new_deletes,
+    insert_if_absent,
+    upsert,
+)
+from etl_notifier_pipeline_spark.plans.registry import register
+
+_EVENT_COLS = ["event_id", "user_id", "event_type", "value"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+
+_EV_SQL = "SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value FROM events"
+
+
+@register(
+    "m01_insert_if_absent",
+    category="mutation",
+    oracle=f"""
+WITH ev AS ({_EV_SQL}),
+target AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+incoming AS (SELECT * FROM ev WHERE event_type = 'signup'),
+first_in AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+    FROM incoming) WHERE rn = 1
+)
+SELECT * FROM target
+UNION ALL
+SELECT f.* FROM first_in f
+WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.user_id = f.user_id)
+""",
+)
+def m01_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — INSERT ... ON CONFLICT DO NOTHING
+    (``process-pipeline.py:152-174``): purchases are the table, signups
+    the arriving batch, keyed by user_id; first batch row per key wins."""
+    ev = _events(spark, sf_dir)
+    target = ev.filter(F.col("event_type") == "purchase")
+    incoming = ev.filter(F.col("event_type") == "signup")
+    return insert_if_absent(target, incoming, ["user_id"], ["event_id"])
+
+
+@register(
+    "m02_upsert",
+    category="mutation",
+    oracle=f"""
+WITH ev AS ({_EV_SQL}),
+target AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+incoming AS (SELECT * FROM ev WHERE event_type = 'click'),
+last_in AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM incoming) WHERE rn = 1
+)
+SELECT t.* FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM last_in l WHERE l.user_id = t.user_id)
+UNION ALL
+SELECT * FROM last_in
+""",
+)
+def m02_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — ON CONFLICT DO UPDATE / MERGE
+    (``process-pipeline.py:177-207``): clicks upsert into purchases by
+    user_id; last batch row per key wins (EXCLUDED semantics)."""
+    ev = _events(spark, sf_dir)
+    target = ev.filter(F.col("event_type") == "purchase")
+    incoming = ev.filter(F.col("event_type") == "click")
+    return upsert(target, incoming, ["user_id"], ["event_id"])
+
+
+@register(
+    "m03_delete_by_keys",
+    category="mutation",
+    oracle=f"""
+WITH ev AS ({_EV_SQL})
+SELECT * FROM ev t
+WHERE NOT EXISTS (
+  SELECT 1 FROM ev d WHERE d.event_type = 'error' AND d.user_id = t.user_id)
+""",
+)
+def m03_delete_by_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — keyed delete (``process-pipeline.py:209-234``): drop every
+    event of users who ever errored; one anti-join instead of one
+    DELETE statement per key."""
+    ev = _events(spark, sf_dir)
+    del_keys = ev.filter(F.col("event_type") == "error").select("user_id")
+    return delete_by_keys(ev, del_keys, ["user_id"])
+
+
+@register(
+    "m04_delete_queue_dedup",
+    category="mutation",
+    oracle=f"""
+WITH ev AS ({_EV_SQL}),
+new_deletes AS (
+  SELECT user_id, MIN(event_id) AS event_id FROM ev
+  WHERE event_type = 'error' GROUP BY user_id),
+pending AS (
+  SELECT DISTINCT user_id FROM ev
+  WHERE event_type = 'error' AND event_id % 2 = 0)
+SELECT n.user_id, n.event_id FROM new_deletes n
+WHERE NOT EXISTS (SELECT 1 FROM pending p WHERE p.user_id = n.user_id)
+""",
+)
+def m04_delete_queue_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 + ST4 — queue-then-execute delete dedup
+    (``process-pipeline.py:285-296``): incoming delete requests minus
+    those already pending (pending = even-event_id errors), one
+    anti-join instead of a COUNT(*) probe per row."""
+    ev = _events(spark, sf_dir)
+    errs = ev.filter(F.col("event_type") == "error")
+    new_deletes = errs.groupBy("user_id").agg(F.min("event_id").alias("event_id"))
+    pending = errs.filter(F.col("event_id") % 2 == 0).select("user_id")
+    return filter_new_deletes(new_deletes, pending, ["user_id"])
+
+
+@register(
+    "m05_idempotency_filter",
+    category="ledger",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events p WHERE p.event_id = e.event_id AND p.event_id % 3 = 0)
+""",
+)
+def m05_idempotency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 — exactly-once ledger check (``process-pipeline.py:89-101``):
+    already-processed event_ids (here: multiples of 3) are filtered out
+    by one anti-join against the ledger, not a point SELECT per event."""
+    ev = load_table(spark, sf_dir, "events")
+    ledger = ev.filter(F.col("event_id") % 3 == 0).select("event_id")
+    return ev.join(ledger, ["event_id"], "left_anti").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register(
+    "m06_file_versioning",
+    category="ledger",
+    oracle="""
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS file_version
+FROM events
+""",
+)
+def m06_file_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/O7 — per-file monotone versioning (``data-query.py:70-85``'s
+    MAX+1) computed set-at-a-time as row_number over the arrival order:
+    user_id stands in for file_name, ts for arrival time."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", F.row_number().over(w).alias("file_version")
+    )
+
+
+@register(
+    "m07_status_transition",
+    category="ledger",
+    oracle="""
+SELECT CASE WHEN event_type = 'purchase' THEN 'approved'
+            WHEN event_type = 'error' THEN 'rejected'
+            ELSE NULL END AS status,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+""",
+)
+def m07_status_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12/ST5-6 — the approve/reject -> approved/rejected/NULL status
+    mapping (``process-pipeline.py:468``) as a codegen'd CASE, with the
+    per-status ledger counts the notifier reports."""
+    ev = load_table(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_type") == "purchase", F.lit("approved"))
+        .when(F.col("event_type") == "error", F.lit("rejected"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return ev.groupBy(status.alias("status")).agg(F.count(F.lit(1)).alias("n"))

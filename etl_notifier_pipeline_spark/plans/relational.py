@@ -1,0 +1,628 @@
+"""Relational core queries (SURVEY §2.1-2.8): scans, filters, projections,
+joins, aggregations, windows, sorts/top-k, set ops, scalar functions.
+
+Each query is the Spark-first expression of an operator family the
+reference exercises (or that capability parity mandates), registered
+with a DuckDB oracle. Scale notes are inline: every plan here is
+shuffle-minimal — dims broadcast, aggregates partial+final, filters and
+projections pushed into the parquet scan by Catalyst.
+
+Determinism: money doubles -> DECIMAL before SUM (exact, order-free);
+top-k always tie-broken on a unique key; timestamps emitted as strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etl_notifier_pipeline_spark.catalog import load_table
+from etl_notifier_pipeline_spark.plans.registry import register
+
+# Exact-decimal casts (fixture money/rate columns are 2-decimal clean).
+MONEY = "decimal(12,2)"  # prices < 1e6
+RATE = "decimal(4,2)"  # discount / tax in [0,1]
+VAL = "decimal(10,2)"  # events.value < 1e4
+
+
+def _m(c: str) -> F.Column:
+    return F.col(c).cast(MONEY)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation core (SURVEY §2.4 + flagship)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    category="aggregation",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))
+        * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))) AS DOUBLE)
+    AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship TPC-H-Q1-shaped scan+filter+hash-agg over lineitem.
+
+    Plan shape at scale: parquet scan with the shipdate filter pushed
+    down, partial hash-agg per partition, single shuffle on the 2 (low
+    cardinality) grouping keys, final agg — no other exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty, ep, disc, tax = (
+        F.col("l_quantity").cast(MONEY),
+        _m("l_extendedprice"),
+        F.col("l_discount").cast(RATE),
+        F.col("l_tax").cast(RATE),
+    )
+    disc_price = (ep * (F.lit(1) - disc)).cast("decimal(18,4)")
+    charge = (disc_price * (F.lit(1) + tax)).cast("decimal(18,6)")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(ep).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / n).alias("avg_qty"),
+        (F.sum(ep).cast("double") / n).alias("avg_price"),
+        (F.sum(disc).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "q06_max_coalesce_version",
+    category="aggregation",
+    oracle="""
+SELECT user_id,
+       COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN event_id END), 0) + 1
+         AS next_version
+FROM events
+GROUP BY user_id
+""",
+)
+def q06_max_coalesce_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 — the reference's MAX+1 sequence pattern
+    (``data-query.py:70-85``, ``process-pipeline.py:238-252``:
+    ``COALESCE(MAX(...), 0) + 1``), computed for every group in one
+    pass instead of one point-query per file."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        (
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("event_id"))),
+                F.lit(0),
+            )
+            + 1
+        ).alias("next_version")
+    )
+
+
+@register(
+    "q07_distinct_users",
+    category="aggregation",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q07_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT + grouped agg (absent in the reference; SURVEY
+    §2.4 'absent' list). Distinct-agg expands to a two-phase plan."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast(VAL)).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "q14_cube_qty",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q14_cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (SURVEY §2.4 absent list)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(MONEY)).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q15_rollup_revenue",
+    category="aggregation",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+)
+def q15_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (SURVEY §2.4 absent list)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.sum(_m("o_totalprice")).cast("double").alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projections (SURVEY §2.1-2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q02_filter_project",
+    category="scan_filter",
+    oracle="""
+SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+FROM events
+WHERE event_type = 'error' AND value > 100.0
+""",
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/P1/P4/P5 — predicate + explicit projection, the
+    ``SELECT QueryId, DeleteQuery FROM delete_control WHERE
+    ExecutedFlag = false`` shape (``delete-control.py:53-59``). Both
+    the conjunctive filter and the 3-column projection reach the
+    parquet scan (PushedFilters + ReadSchema)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 100.0))
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "q03_point_lookup",
+    category="scan_filter",
+    oracle="""
+SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+FROM events
+WHERE event_id = 42
+""",
+)
+def q03_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — point lookup by key (``SELECT is_processed FROM
+    processed_files WHERE event_id = %s``, ``process-pipeline.py:89-101``).
+    At scale this is parquet row-group pruning on the min/max index of
+    the key column — the filter is pushed to the footer level."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") == 42).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "q04_topk_orders",
+    category="sort_limit",
+    oracle="""
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q04_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (SURVEY §2.6 absent list). Spark compiles
+    orderBy+limit to TakeOrderedAndProject — per-partition heap-k then
+    driver merge of k*partitions rows, never a full sort at scale.
+    Tie-break on the unique key keeps the k-selection deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q05_revenue_by_nation",
+    category="join",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)))
+         AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('AMERICA', 'ASIA') AND o.o_orderstatus = 'F'
+GROUP BY n.n_name
+""",
+)
+def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi-join star query (TPC-H Q5 shape).
+
+    Scale shape: nation/region are tiny -> explicit broadcast (no
+    shuffle); customer is broadcast-eligible at low SF and AQE decides
+    at runtime; the lineitem⨝orders join is the only real shuffle, on
+    the orderkey. Filters push below the joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("AMERICA", "ASIA")
+    )
+    revenue = (
+        _m("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast(RATE))
+    ).cast("decimal(18,4)")
+    dims = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+            F.broadcast(r), n.n_regionkey == r.r_regionkey
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q10_semi_join",
+    category="join",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+""",
+)
+def q10_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join = EXISTS (J5's set-at-a-time form)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q11_anti_join",
+    category="join",
+    oracle="""
+SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q11_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join = NOT EXISTS — the primitive under the engine's
+    insert-if-absent / delete-by-keys (J2/J4,
+    ``process-pipeline.py:152-174, 209-234``)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q21_range_join",
+    category="join",
+    oracle="""
+SELECT p.p_partkey, p.p_name, COUNT(*) AS n_matches
+FROM part p
+JOIN lineitem l
+  ON l.l_partkey = p.p_partkey
+ AND l.l_quantity BETWEEN p.p_size AND p.p_size + 10
+GROUP BY p.p_partkey, p.p_name
+""",
+)
+def q21_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range-predicate join (SURVEY §2.3 absent list: range/
+    theta). The equi key keeps it a hash join; the BETWEEN rides along
+    as a post-join filter — no nested-loop explosion."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_partkey == p.p_partkey)
+        & (li.l_quantity >= p.p_size)
+        & (li.l_quantity <= p.p_size + 10)
+    )
+    return (
+        p.join(li, cond)
+        .groupBy("p_partkey", "p_name")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q08_topk_per_group",
+    category="window",
+    oracle="""
+SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def q08_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window — the distributed form of
+    'latest version per file' (SURVEY §2.5). One shuffle on the
+    partition key; Spark pushes a per-partition rank limit below the
+    final sort (WindowGroupLimit)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "q09_running_total",
+    category="window",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(10,2)))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS running_value
+FROM events
+""",
+)
+def q09_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-window with an explicit ROWS frame (running
+    total per user). Decimal accumulation keeps every prefix exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(VAL)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "q20_lag_lead",
+    category="window",
+    oracle="""
+SELECT event_id, user_id,
+       LAG(event_type) OVER w AS prev_type,
+       LEAD(event_type) OVER w AS next_type,
+       epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS us_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q20_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead over event time — inter-event gaps per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        ).alias("us_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q12_intersect_users",
+    category="set_ops",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'signup'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def q12_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (signup ∩ purchase users)."""
+    ev = load_table(spark, sf_dir, "events")
+    signup = ev.filter(F.col("event_type") == "signup").select("user_id")
+    purchase = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return signup.intersect(purchase)
+
+
+@register(
+    "q13_except_users",
+    category="set_ops",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'signup'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def q13_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (signed up but never purchased)."""
+    ev = load_table(spark, sf_dir, "events")
+    signup = ev.filter(F.col("event_type") == "signup").select("user_id")
+    purchase = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return signup.subtract(purchase)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions / JSON / dates / pivot (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_scalar_pipeline",
+    category="scalar",
+    oracle="""
+SELECT doc_id,
+       lower(regexp_replace(regexp_replace(source || '_' || lang || '-docs.CSV',
+             '\\.[^.]*$', '', 'g'), '[^a-zA-Z0-9_]', '_', 'g')) AS table_name,
+       upper(substr(lang, 1, 1)) || lower(substr(lang, 2)) AS lang_cap,
+       CASE WHEN lang IN ('en', 'es', 'fr', 'de') THEN 'latin'
+            WHEN lang = 'zh' THEN 'cjk' ELSE NULL END AS script,
+       length(trim(text)) AS n_trimmed,
+       n_chars + 1 AS n_chars_next
+FROM documents
+""",
+)
+def q16_scalar_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F14 scalar chain (SURVEY §2.8) as one JVM-side projection:
+    the reference's file-name -> table-name derivation
+    (``data-query.py:62-68``), capitalize (F6), conditional mapping
+    (F12), membership (F13), trim/length (F7), arithmetic (F14) —
+    all whole-stage-codegen, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    fname = F.concat_ws("", F.col("source"), F.lit("_"), F.col("lang"), F.lit("-docs.CSV"))
+    stem = F.regexp_replace(fname, r"\.[^.]*$", "")
+    table_name = F.lower(F.regexp_replace(stem, "[^a-zA-Z0-9_]", "_"))
+    lang_cap = F.concat(
+        F.upper(F.substring(F.col("lang"), 1, 1)),
+        F.lower(F.expr("substr(lang, 2)")),
+    )
+    script = (
+        F.when(F.col("lang").isin("en", "es", "fr", "de"), F.lit("latin"))
+        .when(F.col("lang") == "zh", F.lit("cjk"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return d.select(
+        "doc_id",
+        table_name.alias("table_name"),
+        lang_cap.alias("lang_cap"),
+        script.alias("script"),
+        F.length(F.trim(F.col("text"))).alias("n_trimmed"),
+        (F.col("n_chars") + 1).alias("n_chars_next"),
+    )
+
+
+@register(
+    "q17_json_props",
+    category="scalar",
+    oracle="""
+SELECT user_id,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY user_id
+""",
+)
+def q17_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — JSON field extraction (``json.loads`` of the event payload,
+    ``process-pipeline.py:448``) via ``get_json_object``, then agg."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("user_id").agg(
+        F.sum(k).alias("sum_k"), F.max(k).alias("max_k")
+    )
+
+
+@register(
+    "q18_monthly_revenue",
+    category="scalar",
+    oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY 1
+""",
+)
+def q18_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 date handling — month bucketing + revenue, timestamps
+    emitted as formatted strings (the engine's oracle-safe timestamp
+    convention)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(_m("o_totalprice")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "q19_pivot_event_values",
+    category="pivot",
+    oracle="""
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(10,2)) END) AS DOUBLE) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(10,2)) END) AS DOUBLE) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(10,2)) END) AS DOUBLE) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(10,2)) END) AS DOUBLE) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(10,2)) END) AS DOUBLE) AS view
+FROM events
+GROUP BY user_id
+""",
+)
+def q19_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list — never inferred, which would be a
+    separate job at scale) of summed value per user × event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.sum(F.col("value").cast(VAL)).cast("double"))
+    )
+    return piv

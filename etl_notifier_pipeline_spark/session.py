@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+One place to encode the engine's execution-model decisions so every
+entry point (tests, bench, driver harness) runs with the same plan-
+shaping config:
+
+- AQE on (runtime join-strategy switch, skew splitting, partition
+  coalescing) — at 100 TB this is what turns a bad static plan into a
+  survivable one.
+- shuffle.partitions sized to cores locally; on a real cluster this is
+  overridden per-job (or left to AQE's coalescing with a high initial).
+- Arrow on for every pandas interchange (the extension operators use
+  Arrow-batched pandas UDFs, never row-at-a-time).
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl_notifier_pipeline_spark",
+    *,
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` then all cores. On a real
+    cluster, drop the ``master`` call and submit with your own resource
+    config — everything else carries over.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus or (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Parquet TIMESTAMP(NANOS) (the events fixture) has no Spark
+        # type; read as long and convert in catalog.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

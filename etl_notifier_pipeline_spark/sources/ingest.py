@@ -1,0 +1,91 @@
+"""Ingestion sources with the reference pipeline's schema policy.
+
+The reference (``process-pipeline.py:332-343``) parses each arriving CSV
+with ``csv.DictReader`` — every value a string, header row defines the
+columns, empty/headerless file is an error — and creates the target
+table either all-TEXT from the header (``process-pipeline.py:122-123``)
+or cloned from a same-named template table
+(``CREATE TABLE t (LIKE public.t INCLUDING ALL)``,
+``process-pipeline.py:117-119``), in which case Postgres coerces the
+strings on insert.
+
+Spark-first translation:
+
+- ``read_csv_all_string``: distributed CSV scan, header=True, no
+  inference — Spark's default CSV column type is already string, which
+  is exactly the reference's all-TEXT semantics. The whole file is never
+  materialized on one node (unlike the reference's driver-memory list).
+- ``cast_to_template``: the "LIKE template" clone — cast the all-string
+  frame to a template ``StructType`` column-by-column (Postgres-style
+  coercion on insert).
+- ``read_csv_typed``: convenience = read + cast.
+- ``derive_table_name``: the reference's file-stem -> table-name rule
+  (``data-query.py:62-68``): strip extension, non-alphanumerics -> ``_``,
+  lowercase.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class EmptyInputError(ValueError):
+    """Raised for an empty or headerless ingest file.
+
+    Mirrors the reference's guard at ``process-pipeline.py:334-337``
+    ("CSV file is empty or has no header").
+    """
+
+
+def derive_table_name(file_name: str) -> str:
+    """File name -> table name, per reference ``data-query.py:62-68``.
+
+    Strip the last extension, replace non ``[a-zA-Z0-9_]`` with ``_``,
+    lowercase. (Column-expression twin: ``functions.table_name_expr``.)
+    """
+    base = re.sub(r"\.[^.]*$", "", file_name)
+    return re.sub(r"[^a-zA-Z0-9_]", "_", base).lower()
+
+
+def read_csv_all_string(spark: SparkSession, path: str) -> DataFrame:
+    """Read CSV with header; every column StringType (reference all-TEXT).
+
+    FAILFAST surfaces malformed rows as errors instead of silent nulls —
+    the reference similarly aborts the file on parse problems. The scan
+    is distributed: at 100 TB this is N parallel file splits, not one
+    driver-side ``rows.append`` loop (contrast
+    ``process-pipeline.py:339-340``).
+    """
+    df = spark.read.options(header=True, mode="FAILFAST").csv(path)
+    if len(df.columns) == 0 or all(c.startswith("_c") for c in df.columns):
+        raise EmptyInputError(f"CSV file is empty or has no header: {path}")
+    return df
+
+
+def cast_to_template(df: DataFrame, template: T.StructType) -> DataFrame:
+    """Cast an all-string frame to a template schema (the LIKE-clone path).
+
+    Columns are matched by (case-insensitive) name; extra incoming
+    columns are dropped, missing template columns error — the reference
+    relies on Postgres raising on column-count mismatch at insert.
+    """
+    by_lower = {c.lower(): c for c in df.columns}
+    missing = [f.name for f in template.fields if f.name.lower() not in by_lower]
+    if missing:
+        raise ValueError(f"ingest is missing template columns: {missing}")
+    return df.select(
+        *[
+            F.col(by_lower[f.name.lower()]).cast(f.dataType).alias(f.name)
+            for f in template.fields
+        ]
+    )
+
+
+def read_csv_typed(
+    spark: SparkSession, path: str, template: T.StructType
+) -> DataFrame:
+    return cast_to_template(read_csv_all_string(spark, path), template)

@@ -1,0 +1,113 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every registered query's Spark side and DuckDB oracle side on the
+same parquet fixtures and compares row count, column names, and an
+order-insensitive value hash. Values are collected as raw Python
+objects (no pandas coercion) and canonicalized identically on both
+sides, so a PASS here is a strong predictor of the driver's
+CORRECTNESS_r{N}.json verdict.
+
+Usage:  python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def canon_value(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        # Strict bit-level repr: the engine's determinism contract is
+        # bit-exactness, so no rounding slack here.
+        return repr(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, str)):
+        return str(v)
+    return str(v)
+
+
+def table_hash(columns: list[str], rows: list[tuple]) -> tuple[int, str, list[str]]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    canon_rows = sorted(
+        "\x1f".join(canon_value(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.md5("\x1e".join(canon_rows).encode()).hexdigest()
+    return len(rows), h, sorted(columns)
+
+
+def run(sf_dir: str, only: list[str] | None = None) -> int:
+    import duckdb
+
+    from etl_notifier_pipeline_spark import plans
+    from etl_notifier_pipeline_spark.catalog import TABLES, table_path
+    from etl_notifier_pipeline_spark.session import get_spark
+
+    spark = get_spark("parity")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, spec in plans.specs().items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            n_rows_only += 1
+            print(f"rows-only {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            cur = con.execute(spec.oracle)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        sn, sh, sc = table_hash(scols, srows)
+        on, oh, oc = table_hash(ocols, orows)
+        ok = (sn, sh, sc) == (on, oh, oc)
+        if ok:
+            n_pass += 1
+            print(f"PASS {name}: {sn} rows  ({time.time()-t0:.1f}s)")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: spark=({sn} rows, cols={sc}, {sh[:10]}) "
+                  f"oracle=({on} rows, cols={oc}, {oh[:10]})")
+            if sn and on and sc == oc and sn == on:
+                sset = set("\x1f".join(map(canon_value, r)) for r in srows)
+                oset = set("\x1f".join(map(canon_value, r)) for r in orows)
+                for d in list(sset - oset)[:3]:
+                    print(f"   spark-only: {d!r}")
+                for d in list(oset - sset)[:3]:
+                    print(f"   oracle-only: {d!r}")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a] or None
+    sys.exit(run(sf, only))
