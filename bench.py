@@ -1,0 +1,61 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The headline set covers each operator family the engine claims: scan+
+agg (q01), star join (q05), window (q08), date rollup (q18), MERGE
+shape (m02), text tf (x02), minhash-LSH dedup (d04), cosine top-k
+(s01), sessionization (st03). Results are materialized with the noop
+sink so timings measure compute, not driver transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_notifier_pipeline_spark import plans  # noqa: E402
+from etl_notifier_pipeline_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q05_revenue_by_nation",
+    "q08_topk_per_group",
+    "q18_monthly_revenue",
+    "m02_upsert",
+    "x02_term_frequency",
+    "d04_minhash_lsh_pairs",
+    "s01_cosine_topk",
+    "st03_session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = plans.get(name).fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

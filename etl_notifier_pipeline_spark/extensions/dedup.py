@@ -1,0 +1,251 @@
+"""Deduplication operators (SURVEY §2.10 X1): exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Design for 100 TB:
+
+- exact dedup: one hash-shuffle on the content hash (not the content —
+  group on md5 so the shuffle carries 32 bytes per row, not documents).
+- n-gram Jaccard: shingle -> inverted index (doc, shingle) -> self-join
+  on shingle to generate candidate pairs -> exact verify. Hot shingles
+  are the skew risk; ``max_doc_freq`` drops ultra-frequent shingles
+  (stop-shingles) the way web-dedup pipelines do.
+- MinHash+LSH: per-doc signature of K permutation-minima computed in
+  one narrow pass (HOF fold, no shuffle, no Python); signatures banded
+  into B buckets; candidate pairs = docs sharing a band bucket (shuffle
+  on the tiny bucket id); then exact Jaccard verify on candidates only.
+  At 100 TB only the O(n·K) signature pass touches full text.
+- SimHash: per-doc 32-bit signature as a weighted bit majority — one
+  narrow pass; band the signature for candidates the same way.
+
+All hashing derives from the engine-portable md5-prefix token hash
+(extensions.text.token_hash), so every operator here — including the
+LSH candidate sets — stays DuckDB-oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_notifier_pipeline_spark.extensions.text import HASH_MOD, token_hash, tokens
+
+# MinHash permutation family h_i(x) = (A[i]*x + B[i]) mod HASH_MOD —
+# x < HASH_MOD (< 2^30) and A[i] < HASH_MOD keep A*x < 2^60 inside
+# int64 on both engines. Frozen from a seeded PRNG (seed 42).
+MINHASH_A = (
+    89250949, 654571477, 438878412, 433015208, 858597865, 85945634,
+    697367985, 201469523, 94177342, 526478946, 975622290, 735752324,
+    761139654, 786064255, 513226541, 128113625,
+)
+MINHASH_B = (
+    839748176, 450385909, 500351883, 370798000, 182549625, 926764930,
+    781567406, 643865079, 402414338, 822761561, 545429084, 443414170,
+    227238707, 92135908, 887889787, 63817251,
+)
+N_HASHES = len(MINHASH_A)
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SIMHASH_BITS = 32
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via content hash: one row per distinct text with the
+    representative (min doc_id) and the duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array (1-based element_at keeps the
+    expression portable to DuckDB's 1-based lists)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+
+
+def shingle_index(
+    df: DataFrame, text_col: str = "text", n: int = 3, max_doc_freq: int | None = None
+) -> DataFrame:
+    """Inverted index (doc_id, shingle), distinct per doc. Optionally
+    drops shingles appearing in more than ``max_doc_freq`` docs — the
+    skew guard for the candidate join."""
+    idx = df.select(
+        "doc_id", F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle")
+    )
+    if max_doc_freq is not None:
+        freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        idx = (
+            idx.join(freq.filter(F.col("df") <= max_doc_freq), "shingle", "left_semi")
+        )
+    return idx
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard >= threshold.
+
+    Candidate generation via the inverted-index self-join (pairs
+    sharing >= 1 shingle), then |A∩B| from the join count and
+    |A∪B| = |A|+|B|-|A∩B|. Jaccard is an int/int division in double,
+    so bit-exact across engines."""
+    idx = shingle_index(df, text_col, n, max_doc_freq)
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """MinHash signature: mh_i = min over shingles of (A_i*h + B_i) mod P.
+
+    One narrow pass per document — the shingle array never leaves the
+    row, no explode, no shuffle. Empty shingle sets yield NULL minima.
+    """
+    # One md5 per shingle: explode hashed shingles to rows, then 16
+    # min-aggregates over the cheap (a*h+b) mod P arithmetic. Keeping
+    # the 16 permutations as array_min columns over a shared transform
+    # looks equivalent but is 16x slower — CollapseProject inlines the
+    # md5 pipeline into every column. The partial (map-side) min makes
+    # the shuffle carry one row per (doc, 16 minima).
+    hashed = F.transform(shingles(text_col, n), token_hash)
+    exploded = df.select(
+        "doc_id", F.explode_outer(hashed).alias("h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_MOD).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame) -> DataFrame:
+    """Band the signature: (doc_id, band_idx, band_key) — band_key is
+    the concatenated minima of the band's rows."""
+    bands = []
+    for bi in range(N_BANDS):
+        key = F.concat_ws(
+            "_", *[F.col(f"mh_{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        )
+        bands.append(F.struct(F.lit(bi).alias("band_idx"), key.alias("band_key")))
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Distinct candidate pairs sharing at least one band bucket.
+
+    The join key is (band_idx, band_key) — a few bytes — so at scale
+    this shuffles signatures, never documents."""
+    b = lsh_bands(sig)
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def pair_jaccard(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exact Jaccard for a given pair set only: join each side's
+    distinct-shingle array and intersect in-row (``array_intersect``) —
+    O(|pairs|), never the all-pairs shingle self-join."""
+    sh = df.select("doc_id", F.array_distinct(shingles(text_col, n)).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            n_inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_inter),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signature -> bands ->
+    candidates -> exact Jaccard verify >= threshold.
+
+    Only candidate pairs are verified (pair_jaccard) — the whole point
+    of LSH at scale: the exact all-pairs join never runs; corpus text
+    is read exactly twice (signatures + per-pair shingle arrays)."""
+    cand = lsh_candidate_pairs(minhash_signature(df, text_col, n))
+    return pair_jaccard(df, cand, text_col, n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """SimHash: bit j of the signature is the majority vote of bit j
+    over all token hashes (+1 if set, -1 if not). One narrow pass;
+    ties (sum == 0) resolve to bit 0 — both conventions fixed so the
+    oracle can replicate exactly."""
+    # Same one-md5-per-token explode+agg shape as minhash_signature
+    # (32 inline folds would recompute the hash pipeline 32x).
+    exploded = df.select(
+        "doc_id", F.explode_outer(F.transform(tokens(text_col), token_hash)).alias("h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").isNull(), 0)
+            .when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = exploded.groupBy("doc_id").agg(*votes)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v_{j}") > 0, F.lit(2 ** j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.alias("simhash"))

@@ -1,0 +1,138 @@
+"""Text-analysis operators over a document table (SURVEY §2.10 X3).
+
+All hot-path computation is JVM-side: split/explode/HOF expressions,
+no Python. The deterministic token hash (md5-prefix -> bigint) is the
+shared primitive for fingerprints, MinHash and SimHash — chosen because
+every engine (Spark `conv(substr(md5(x),1,15),16,10)`, DuckDB
+`('0x'||substr(md5(x),1,15))::BIGINT`) computes the identical value, so
+these operators stay oracle-checkable.
+
+Scale: everything here is embarrassingly parallel per-document (narrow
+transformations — zero shuffle) except term frequency, which is one
+shuffle on the token.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Modulus for token-hash arithmetic: < 2^30 so (31*h + h') stays far
+# inside int64; prime keeps the ring well-mixed.
+HASH_MOD = 999_999_937
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col: Column | str, sep: str = " ") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, sep)
+
+
+def token_hash(col: Column) -> Column:
+    """Deterministic 60-bit token hash, reduced mod HASH_MOD.
+
+    md5 -> first 15 hex chars -> bigint. Engine-portable (see module
+    docstring) and uniform enough for MinHash/SimHash banding.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % HASH_MOD
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def stopword_count(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*stopwords)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring features: token counts, type/token
+    ratio, stopword ratio, mean token length — the standard cheap
+    filters of a pretraining-data pipeline. Pure projection (no
+    shuffle); ratios are int/int divisions in double (bit-exact)."""
+    n_tok = token_count(text_col)
+    n_dist = distinct_token_count(text_col)
+    n_stop = stopword_count(text_col)
+    # Single-space-joined text: mean token len has a closed form.
+    mean_len = (F.length(text_col) - (n_tok - F.lit(1))) / n_tok
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dist.alias("n_distinct_tokens"),
+        (n_dist.cast("double") / n_tok).alias("type_token_ratio"),
+        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+        mean_len.cast("double").alias("mean_token_len"),
+    )
+
+
+def term_frequency(
+    df: DataFrame, text_col: str = "text", by: str = "lang", k: int = 10
+) -> DataFrame:
+    """Top-k tokens per group — explode + count + ranking window.
+
+    Scale shape: partial map-side counts before the single shuffle on
+    (group, token); ranking shuffles once more on the group. Skewed hot
+    tokens are absorbed by the partial aggregation."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.select(F.col(by), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(by, "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy(by).orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Order-sensitive rolling document fingerprint.
+
+    fold over tokens: acc -> (31*acc + token_hash) mod HASH_MOD. The
+    initial accumulator 0 makes the first step equal the first token's
+    hash, which lets the DuckDB oracle express the identical fold with
+    ``list_reduce`` (whose seed is the first element)."""
+    hashed = F.transform(tokens(col), token_hash)
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % HASH_MOD,
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: score against per-language marker-token
+    tables, argmax with alphabetic tie-break. A real deployment swaps
+    the marker lists for char-n-gram profiles; the operator shape
+    (N scores as parallel HOF reductions + greatest/when argmax, no
+    Python, no shuffle) is the point."""
+    markers = {
+        "en": ("the", "and", "of"),
+        "es": ("el", "la", "de"),
+        "fr": ("le", "la", "et"),
+        "de": ("der", "die", "und"),
+        "zh": ("zh",),
+    }
+    toks = tokens(text_col)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in markers.items()
+    }
+    best = F.greatest(*scores.values())
+    # Alphabetic order, first winner takes the tie.
+    expr = None
+    for lang in sorted(scores):
+        cond = scores[lang] == best
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return df.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+        expr.alias("predicted_lang"),
+    )

@@ -1,1 +1,166 @@
-"""Placeholder — filled in this round."""
+"""Deduplication queries (SURVEY §2.10 X1) over the documents table.
+
+The MinHash/LSH oracles replicate the engine's frozen hash family in
+generated DuckDB SQL, so candidate sets — not just final pairs — are
+value-checked against an independent implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_notifier_pipeline_spark.catalog import load_table
+from etl_notifier_pipeline_spark.extensions import dedup as D
+from etl_notifier_pipeline_spark.plans.registry import register
+
+P = D.HASH_MOD
+DUCK_HASH = f"(('0x'||substr(md5({{x}}),1,15))::BIGINT % {P})"
+
+# Shared DuckDB fragments (1-based lists; range(a,b) is [a,b) — both
+# mirrored by element_at/sequence on the Spark side).
+_TOKENS = "string_split(text, ' ')"
+_SHINGLES = (
+    f"list_transform(range(1, len({_TOKENS}) - 1), "
+    f"i -> {_TOKENS}[i] || ' ' || {_TOKENS}[i+1] || ' ' || {_TOKENS}[i+2])"
+)
+_SHINGLE_IDX = f"""
+  SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
+"""
+_JACCARD = f"""
+WITH idx AS ({_SHINGLE_IDX}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM idx GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_inter)
+           AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+"""
+
+_HASHED_SHINGLES = (
+    f"list_transform({_SHINGLES}, s -> {DUCK_HASH.format(x='s')})"
+)
+_MH_COLS = ", ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P})) AS mh_{i}"
+    for i, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
+)
+_SIG_SQL = f"""
+  SELECT doc_id, {_MH_COLS}
+  FROM (SELECT doc_id, {_HASHED_SHINGLES} AS hs FROM documents)
+"""
+_BAND_KEYS = ", ".join(
+    "concat_ws('_', "
+    + ", ".join(f"mh_{bi * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND))
+    + f") AS band_{bi}"
+    for bi in range(D.N_BANDS)
+)
+_BAND_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band_idx, band_{bi} AS band_key FROM sig_bands"
+    for bi in range(D.N_BANDS)
+)
+
+
+@register(
+    "d01_exact_dedup",
+    category="dedup",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: the shuffle carries 32-byte
+    hashes, never document bodies (the 100 TB-safe formulation of
+    ``dropDuplicates(text)``)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(d)
+
+
+@register(
+    "d02_minhash_signature",
+    category="dedup",
+    oracle=f"{_SIG_SQL}",
+)
+def d02_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-permutation MinHash signatures, one narrow HOF pass per doc
+    (no explode, no shuffle, no Python) — value-checked against an
+    independent DuckDB implementation of the same hash family."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_signature(d)
+
+
+@register(
+    "d03_jaccard_pairs",
+    category="dedup",
+    oracle=f"""
+{_JACCARD}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.6
+""",
+)
+def d03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.6) via the
+    inverted-index candidate join."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(d, threshold=0.6)
+
+
+@register(
+    "d04_minhash_lsh_pairs",
+    category="dedup",
+    oracle=f"""
+WITH sig AS ({_SIG_SQL}),
+sig_bands AS (SELECT doc_id, {_BAND_KEYS} FROM sig),
+bands AS ({_BAND_UNION}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+),
+{_JACCARD.strip().removeprefix("WITH")}
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= 0.5
+""",
+)
+def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH pipeline: signatures -> 4 bands × 4 rows ->
+    bucket-join candidates -> exact Jaccard verify (>= 0.5). At scale
+    only the signature pass reads documents; the candidate join
+    shuffles band keys."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(d, threshold=0.5)
+
+
+@register(
+    "d05_simhash",
+    category="dedup",
+    oracle=f"""
+SELECT doc_id,
+       {" + ".join(
+        f"(CASE WHEN list_reduce(list_transform(hs, "
+        f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END), "
+        f"(a, b) -> a + b) > 0 THEN {2**j}::BIGINT ELSE 0 END)"
+        for j in range(D.SIMHASH_BITS)
+    )} AS simhash
+FROM (SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            x -> {DUCK_HASH.format(x='x')}) AS hs
+      FROM documents)
+""",
+)
+def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (per-bit weighted majority over token
+    hashes) — one narrow pass; ties resolve to 0 on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash(d)

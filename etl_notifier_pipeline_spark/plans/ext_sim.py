@@ -1,1 +1,71 @@
-"""Placeholder — filled in this round."""
+"""Similarity-search queries (SURVEY §2.10 X2) over the embeddings table.
+
+The DuckDB oracles replicate the engine's sequential-left-fold double
+arithmetic (list_reduce mirrors zip_with+aggregate element order), so
+cosine scores are bit-equal and the top-k sets match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_notifier_pipeline_spark.catalog import load_table
+from etl_notifier_pipeline_spark.extensions import similarity as S
+from etl_notifier_pipeline_spark.plans.registry import register
+
+# DuckDB twins of similarity.dot / similarity.norm: pairwise products
+# first (so the fold seed is the first product, matching Spark's 0.0
+# seed + first addition), then a sequential double fold.
+_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_transform(range(1, 65), "
+    "i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE), (x, y) -> x + y))"
+)
+_COS = f"({_DOT} / ({_NORM.format(a='{a}')} * {_NORM.format(a='{b}')}))"
+
+
+@register(
+    "s01_cosine_topk",
+    category="similarity",
+    oracle=f"""
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+) WHERE rank <= 5
+""",
+)
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors: broadcast the
+    query set, scan the corpus once, rank per query — the exact
+    baseline every ANN variant is measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.topk_cosine(emb, queries, k=5)
+
+
+@register(
+    "s02_blocked_near_dup",
+    category="similarity",
+    oracle=f"""
+SELECT l.label AS block, l.vec_id AS id_a, r.vec_id AS id_b,
+       {_COS.format(a='l.embedding', b='r.embedding')} AS cos_sim
+FROM embeddings l JOIN embeddings r ON l.label = r.label
+WHERE l.vec_id < r.vec_id
+  AND {_COS.format(a='l.embedding', b='r.embedding')} >= 0.4
+""",
+)
+def s02_blocked_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within a blocking key (label): the
+    |block|²-not-n² candidate pattern for embedding-cosine dedup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.blocked_near_dup_pairs(emb, block_col="label", threshold=0.4)

@@ -1,1 +1,147 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis queries (SURVEY §2.10 X3) over the documents table.
+
+Shared SQL fragments mirror extensions.text exactly: the md5-prefix
+token hash and the rolling-fold fingerprint are engine-portable, so
+even the fingerprinting operator has a true value-level oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_notifier_pipeline_spark.catalog import load_table
+from etl_notifier_pipeline_spark.extensions import text as X
+from etl_notifier_pipeline_spark.plans.registry import register
+
+P = X.HASH_MOD
+# DuckDB twin of extensions.text.token_hash.
+DUCK_HASH = f"(('0x'||substr(md5({{x}}),1,15))::BIGINT % {P})"
+
+
+@register(
+    "x01_token_stats",
+    category="text_analysis",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def x01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per language facet — the first pass of
+    any pretraining-data audit. Narrow scan + one small shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = X.token_count("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "x02_term_frequency",
+    category="text_analysis",
+    oracle="""
+SELECT lang, token, n, rank FROM (
+  SELECT lang, token, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+  FROM (
+    SELECT lang, token, COUNT(*) AS n
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY lang, token
+  )
+) WHERE rank <= 10
+""",
+)
+def x02_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tokens per language: explode -> partial-agg count ->
+    ranking window (SURVEY X3 tf pipeline)."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.term_frequency(d, "text", by="lang", k=10)
+
+
+@register(
+    "x03_quality_features",
+    category="text_analysis",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS type_token_ratio,
+       CAST(len(list_filter(string_split(text, ' '),
+            t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS stopword_ratio,
+       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         / len(string_split(text, ' ')) AS mean_token_len
+FROM documents
+""",
+)
+def x03_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length / diversity / stopword
+    ratios) — the cheap pre-filter stage of a data pipeline; pure
+    projection, no shuffle, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.quality_features(d, "text")
+
+
+@register(
+    "x04_doc_fingerprint",
+    category="text_analysis",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(list_transform(string_split(text, ' '),
+                   x -> {DUCK_HASH.format(x='x')}),
+                   (acc, h) -> (acc * 31 + h) % {P}) AS fingerprint
+FROM documents
+""",
+)
+def x04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint (content identity
+    that, unlike a set hash, distinguishes permuted token order)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", X.doc_fingerprint("text").alias("fingerprint"))
+
+
+_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+    "zh": ("zh",),
+}
+_SCORE_SQL = {
+    lang: "len(list_filter(string_split(text, ' '), t -> t IN ("
+    + ", ".join(f"'{w}'" for w in words)
+    + ")))"
+    for lang, words in _MARKERS.items()
+}
+_BEST_SQL = "greatest(" + ", ".join(_SCORE_SQL[l] for l in sorted(_SCORE_SQL)) + ")"
+_PRED_SQL = "CASE " + " ".join(
+    f"WHEN {_SCORE_SQL[l]} = {_BEST_SQL} THEN '{l}'" for l in sorted(_SCORE_SQL)
+) + " END"
+
+
+@register(
+    "x05_lang_id",
+    category="text_analysis",
+    oracle=f"""
+SELECT doc_id,
+       {", ".join(f"{_SCORE_SQL[l]} AS score_{l}" for l in sorted(_SCORE_SQL))},
+       {_PRED_SQL} AS predicted_lang
+FROM documents
+""",
+)
+def x05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic: N parallel HOF score
+    reductions + argmax, alphabetic tie-break (see
+    extensions.text.lang_id for the production-shape notes)."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.lang_id(d, "text")

@@ -1,1 +1,139 @@
-"""Placeholder — filled in this round."""
+"""Streaming-semantics queries (SURVEY §2.9).
+
+st01 runs a REAL Structured Streaming query (readStream file source,
+AvailableNow trigger, memory sink) whose result is still oracle-checked
+against plain SQL — the tumbling window has an exact batch equivalent.
+The others check the batch twins of the streaming plans (same
+F.window/session_window expressions Structured Streaming executes) so
+every windowing semantic gets a value-level oracle; the live-stream
+behaviors that SQL can't express (watermark eviction, foreachBatch
+ledger effects) are covered in tests/.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etl_notifier_pipeline_spark.catalog import load_table
+from etl_notifier_pipeline_spark.plans.registry import register
+from etl_notifier_pipeline_spark.streaming import windows as SW
+
+
+@register(
+    "st01_tumbling_stream",
+    category="streaming",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def st01_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregate executed by an actual
+    StreamExecution (file source -> AvailableNow -> memory sink); the
+    oracle is the equivalent batch SQL — streaming and batch must
+    agree on event-time semantics."""
+    ev = SW.stream_events(spark, sf_dir)
+    agg = SW.tumbling_counts(ev, "1 hour")
+    name = f"st01_out_{uuid.uuid4().hex[:8]}"
+    return SW.run_stream_to_table(agg, spark, name)
+
+
+@register(
+    "st02_sliding_window",
+    category="streaming",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) // 900000000) * 900000000 AS s1
+  FROM events
+),
+w AS (
+  SELECT event_type, s1 AS ws FROM b
+  UNION ALL
+  SELECT event_type, s1 - 900000000 AS ws FROM b
+)
+SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n
+FROM w
+GROUP BY 1, 2
+""",
+)
+def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 30m/15m window counts (each event lands in exactly 2
+    windows). The oracle enumerates both windows per event with integer
+    epoch-microsecond arithmetic — exact on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return SW.sliding_counts(ev, "30 minutes", "15 minutes")
+
+
+@register(
+    "st03_session_window",
+    category="streaming",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS session_value
+FROM s
+GROUP BY user_id, sess
+""",
+)
+def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30m gap) via ``F.session_window`` —
+    the oracle is the classic gaps-and-islands rewrite; session end =
+    last event + gap on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    return SW.session_aggregate(ev, "30 minutes")
+
+
+@register(
+    "st04_dedup_first_arrival",
+    category="streaming",
+    oracle="""
+SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def st04_dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1's dedup shape in batch form: first event per
+    (user_id, event_type) in event-time order — the deterministic twin
+    of streaming ``dropDuplicates`` (whose arrival-order semantics are
+    exercised in tests/test_streaming.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        )
+    )

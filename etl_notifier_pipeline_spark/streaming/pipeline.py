@@ -1,0 +1,231 @@
+"""Streaming approval pipeline (SURVEY §3 EP1-EP4 on Structured Streaming).
+
+The reference's event flow — GCS arrival -> pending control row + email
+(EP1), human click -> Pub/Sub (EP2), approved message -> CSV ingest +
+keyed mutation + ledger update + email (EP3), scheduled delete drain
+(EP4) — re-expressed as a Structured Streaming job:
+
+- the approval stream is any streaming DataFrame of JSON payloads with
+  the reference's message shape (``approval-handler.py:51-62``);
+  ``decode_approval_stream`` handles the base64+JSON transport encoding
+  (``process-pipeline.py:448``).
+- ``run_batch`` is the ``foreachBatch`` body: idempotency anti-join
+  (ST1), per-operation dispatch to the mutation library (EP3 step d),
+  ledger status transitions (ST2), poison-row dead-lettering (ST3) and
+  a notification hook per outcome (S14/ST6).
+- exactly-once: redelivered event_ids are dropped against the ledger,
+  and every effect is an idempotent TableStore swap keyed by content —
+  the Spark checkpoint gives at-least-once delivery on top.
+
+The notifier replaces the reference's Microsoft-Graph email sender
+(``process-pipeline.py:389-410``) with a pluggable interface; the
+default just logs. No network calls anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_notifier_pipeline_spark.functions import action_to_status, decode_event_payload
+from etl_notifier_pipeline_spark.ledger import Ledger
+from etl_notifier_pipeline_spark.operators import delete_by_keys, insert_if_absent, upsert
+from etl_notifier_pipeline_spark.sources.ingest import read_csv_all_string
+from etl_notifier_pipeline_spark.storage import TableStore
+
+log = logging.getLogger(__name__)
+
+
+def approval_event_schema() -> T.StructType:
+    """The Pub/Sub payload shape (``approval-handler.py:51-62``)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.StringType(), False),
+            T.StructField("action", T.StringType(), True),
+            T.StructField("file_name", T.StringType(), True),
+            T.StructField("table_name", T.StringType(), True),
+            T.StructField("operation", T.StringType(), True),
+            T.StructField("bucket", T.StringType(), True),
+            T.StructField("file_version", T.StringType(), True),
+            T.StructField("provided_timestamp", T.StringType(), True),
+            T.StructField("approval_timestamp", T.StringType(), True),
+            T.StructField("remote_address", T.StringType(), True),
+        ]
+    )
+
+
+def decode_approval_stream(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """base64(JSON) transport frame -> typed columns
+    (``process-pipeline.py:438-457``), with the reference's lowercase
+    normalization of action/operation."""
+    payload = decode_event_payload(F.col(value_col), approval_event_schema())
+    return (
+        raw.select(payload.alias("p"))
+        .select("p.*")
+        .withColumn("action", F.lower("action"))
+        .withColumn("operation", F.lower("operation"))
+    )
+
+
+class Notifier:
+    """S14 — notification hook interface (email in the reference)."""
+
+    def notify(self, subject: str, body: str) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+class LogNotifier(Notifier):
+    def __init__(self) -> None:
+        self.sent: list[tuple[str, str]] = []
+
+    def notify(self, subject: str, body: str) -> None:
+        self.sent.append((subject, body))
+        log.info("notify: %s — %s", subject, body)
+
+
+@dataclass
+class ApprovalPipeline:
+    spark: SparkSession
+    store: TableStore
+    notifier: Notifier
+    keys: dict[str, list[str]]  # table -> primary-key columns (replaces S6 catalog)
+    csv_root: str  # where "bucket" files live locally
+
+    def __post_init__(self) -> None:
+        self.ledger = Ledger(self.spark, self.store)
+        self.dead_letters: list[dict] = []
+
+    # -- EP3 body -----------------------------------------------------------
+
+    def run_batch(self, events: DataFrame, batch_id: int = 0) -> None:
+        """foreachBatch body: dedup, dispatch, ledger, notify.
+
+        Driver-side iteration here is over *events in the micro-batch*
+        (a handful of file approvals), never over data rows — each
+        event fans out to distributed DataFrame plans.
+        """
+        fresh = self.ledger.filter_unprocessed(events)
+        for row in fresh.collect():
+            ev = row.asDict()
+            try:
+                self._apply_event(ev)
+            except Exception as exc:  # ST3: poison event -> dead letter
+                self.dead_letters.append({**ev, "error": str(exc)})
+                self.ledger.mark(
+                    self._one_id(ev["event_id"]), "failed",
+                    approval_timestamp=ev.get("approval_timestamp"),
+                )
+                self.notifier.notify(
+                    f"{(ev.get('operation') or 'unknown').capitalize()} failed: "
+                    f"{ev.get('file_name')}",
+                    str(exc),
+                )
+
+    def _one_id(self, event_id: str) -> DataFrame:
+        return self.spark.createDataFrame([(event_id,)], ["event_id"])
+
+    def _apply_event(self, ev: dict) -> None:
+        status = ev.get("action")
+        status = {"approve": "approved", "reject": "rejected"}.get(status or "")
+        if status is None:
+            raise ValueError(f"unknown action {ev.get('action')!r}")
+        if status == "rejected":  # EP3 step 7: ledger update only
+            self.ledger.mark(
+                self._one_id(ev["event_id"]), "rejected",
+                approval_timestamp=ev.get("approval_timestamp"),
+            )
+            self.notifier.notify(
+                f"{(ev.get('operation') or '').capitalize()} rejected: {ev['file_name']}",
+                f"table {ev['table_name']}",
+            )
+            return
+
+        table, op = ev["table_name"], ev["operation"]
+        incoming = read_csv_all_string(
+            self.spark, f"{self.csv_root}/{ev['file_name']}"
+        )
+        keys = self.keys.get(table)
+        if op in ("update", "delete") and not keys:
+            # mirrors the reference's no-primary-key abort
+            # (process-pipeline.py:179-181, 262-264)
+            raise ValueError(f"no primary key registered for table {table}")
+
+        if not self.store.exists(table):
+            # S8: create on first arrival — all-string from headers
+            self.store.overwrite(table, incoming.limit(0))
+        target = self.store.read(table)
+        incoming = incoming.select(*target.columns) if set(target.columns) == set(
+            incoming.columns
+        ) else incoming
+        order = [incoming.columns[0]] if not keys else [
+            c for c in incoming.columns if c not in keys
+        ] or [incoming.columns[0]]
+
+        if op == "insert":
+            result = (
+                insert_if_absent(target, incoming, keys, order)
+                if keys
+                else target.unionByName(incoming)
+            )
+            self.store.overwrite(table, result)
+        elif op == "update":
+            self.store.overwrite(table, upsert(target, incoming, keys, order))
+        elif op == "delete":
+            # ST4: queue, don't execute (two-phase)
+            reqs = incoming.select(
+                F.lit(ev["event_id"]).alias("event_id"),
+                F.lit(table).alias("target_table"),
+                F.to_json(F.struct(*[F.col(k) for k in keys])).alias("key_json"),
+            )
+            self.ledger.queue_deletes(reqs)
+        else:
+            raise ValueError(f"unknown operation {op!r}")
+
+        self.ledger.mark(
+            self._one_id(ev["event_id"]), "approved",
+            approval_timestamp=ev.get("approval_timestamp"),
+        )
+        self.notifier.notify(
+            f"{op.capitalize()} succeeded: {ev['file_name']}", f"table {table}"
+        )
+
+    # -- EP4: scheduled delete drain ---------------------------------------
+
+    def drain_deletes(self) -> int:
+        def apply(pending: DataFrame) -> None:
+            for table_row in pending.select("target_table").distinct().collect():
+                table = table_row["target_table"]
+                keys = self.keys[table]
+                key_schema = T.StructType(
+                    [T.StructField(k, T.StringType()) for k in keys]
+                )
+                key_df = (
+                    pending.filter(F.col("target_table") == table)
+                    .select(F.from_json("key_json", key_schema).alias("k"))
+                    .select("k.*")
+                )
+                self.store.overwrite(
+                    table, delete_by_keys(self.store.read(table), key_df, keys)
+                )
+
+        return self.ledger.drain_deletes(apply)
+
+    # -- streaming entry ----------------------------------------------------
+
+    def start(self, raw_stream: DataFrame, checkpoint: str):
+        """Attach the pipeline to a raw transport stream
+        (base64-JSON ``value`` column) with exactly-once foreachBatch."""
+        decoded = decode_approval_stream(raw_stream)
+        return (
+            decoded.writeStream.foreachBatch(
+                lambda df, bid: self.run_batch(df, bid)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

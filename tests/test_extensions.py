@@ -1,0 +1,109 @@
+"""Extension-operator property tests (SURVEY §5.5): LSH ⊆ guarantees,
+dedup idempotence, similarity top-k vs brute force, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_notifier_pipeline_spark.catalog import load_table
+from etl_notifier_pipeline_spark.extensions import dedup as D
+from etl_notifier_pipeline_spark.extensions import multimodal as M
+from etl_notifier_pipeline_spark.extensions import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_lsh_pairs_subset_of_jaccard_candidates(spark):
+    """Every LSH-verified pair must appear in the exact Jaccard pair
+    set at the same threshold (LSH adds no false positives after
+    verification)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    lsh = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_dedup(docs, threshold=0.5).collect()}
+    exact = {(r["doc_a"], r["doc_b"]) for r in D.jaccard_pairs(docs, threshold=0.5).collect()}
+    assert lsh <= exact
+    # and identical docs (jaccard 1.0) are always caught by LSH
+    identical = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_pairs(docs, threshold=1.0).collect()
+        if r["jaccard"] == 1.0
+    }
+    assert identical <= lsh
+
+
+def test_exact_dedup_counts(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    groups = D.exact_dedup_groups(docs)
+    assert groups.agg(F.sum("n_copies")).collect()[0][0] == docs.count()
+    # fixture documents have *near*-duplicates (TESTDATA.md); exact
+    # copies may or may not exist at this sf — the invariant above
+    # (partition into groups) is the semantic check. Near-dups must
+    # exist though:
+    assert D.jaccard_pairs(docs, threshold=0.6).count() > 0
+
+
+def test_topk_contains_bruteforce_best(spark):
+    """Top-1 from the operator == argmax of a driver-side numpy check."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = S.topk_cosine(emb, emb.filter(F.col("vec_id") == 0), k=1).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    q = vecs[0]
+    best = max(
+        (i for i in vecs if i != 0),
+        key=lambda i: (float(np.dot(q, vecs[i]) / (np.linalg.norm(q) * np.linalg.norm(vecs[i]))), -i),
+    )
+    assert out[0]["neighbor_id"] == best
+
+
+def test_simhash_near_for_near_duplicate_docs(spark):
+    """Exact-duplicate texts get identical simhash signatures."""
+    docs = load_table(spark, SF_DIR, "documents")
+    sig = D.simhash(docs).alias("s")
+    joined = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.col("a.text") == F.col("b.text"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .join(sig, F.col("a.doc_id") == F.col("s.doc_id"))
+        .select(F.col("s.simhash").alias("ha"), F.col("b.doc_id").alias("bid"))
+    )
+    sig2 = D.simhash(docs).alias("s2")
+    both = joined.join(sig2, F.col("bid") == F.col("s2.doc_id"))
+    for r in both.collect():
+        assert r["ha"] == r["simhash"]
+
+
+class TestMultimodal:
+    @pytest.fixture()
+    def media(self, spark):
+        rows = [
+            (1, "image", b"imgbytes-1", ("image/png", 4, 4, None)),
+            (2, "image", b"imgbytes-2", ("image/png", 8, 8, None)),
+            (3, "video", b"vidbytes", ("video/mp4", 16, 16, 3500)),
+        ]
+        return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+    def test_feature_extraction_fake_decoder(self, spark, media):
+        out = M.extract_features(media, deterministic_fake=True)
+        rows = {r["media_id"]: r["features"] for r in out.collect()}
+        assert len(rows) == 3 and all(len(v) == M.FEATURE_DIM for v in rows.values())
+        # deterministic: same input -> same features
+        again = {r["media_id"]: r["features"]
+                 for r in M.extract_features(media, deterministic_fake=True).collect()}
+        assert rows == again
+
+    def test_real_decoder_is_stubbed(self, spark, media):
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            M.extract_features(media).collect()
+
+    def test_frame_sampling_explodes_by_duration(self, spark, media):
+        frames = M.sample_frames(media, every_ms=1000, deterministic_fake=True).collect()
+        # 3500ms video sampled at 1000ms -> frames at 0,1000,2000,3000
+        assert sorted(r["frame_ms"] for r in frames) == [0, 1000, 2000, 3000]
+
+    def test_partition_sizing(self, spark, media):
+        out = M.size_partitions(media, target_partition_mb=1)
+        assert out.count() == 3

@@ -1,0 +1,72 @@
+"""Mutation-library unit tests (SURVEY §5.3): key-collision matrices,
+missing-PK error, first/last-wins batch semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_notifier_pipeline_spark.operators import (
+    MissingKeyError,
+    delete_by_keys,
+    deleted_count,
+    filter_new_deletes,
+    insert_if_absent,
+    upsert,
+)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["k", "name", "v"]
+    )
+
+
+def test_insert_if_absent_skips_existing_and_first_wins(spark, target):
+    incoming = spark.createDataFrame(
+        # k=2 exists (skipped); k=3 duplicated in-batch -> first by ord wins
+        [(2, "B", 99.0, 1), (3, "c1", 30.0, 2), (3, "c2", 31.0, 3)],
+        ["k", "name", "v", "ord"],
+    )
+    out = insert_if_absent(target, incoming.drop("ord"), ["k"], ["v"])
+    assert rows(out) == [(1, "a", 10.0), (2, "b", 20.0), (3, "c1", 30.0)]
+
+
+def test_upsert_last_wins_and_inserts(spark, target):
+    incoming = spark.createDataFrame(
+        [(2, "B1", 98.0, 1), (2, "B2", 99.0, 2), (4, "d", 40.0, 3)],
+        ["k", "name", "v", "ord"],
+    )
+    out = upsert(target, incoming.drop("ord"), ["k"], ["v"])
+    # k=2 updated with the LAST batch row (v=99), k=4 inserted
+    assert rows(out) == [(1, "a", 10.0), (2, "B2", 99.0), (4, "d", 40.0)]
+
+
+def test_upsert_missing_key_errors(spark, target):
+    incoming = spark.createDataFrame([("x", 1.0)], ["name", "v"])
+    with pytest.raises(MissingKeyError):
+        upsert(target, incoming, ["k"], ["v"])
+
+
+def test_delete_by_keys_and_count(spark, target):
+    keys = spark.createDataFrame([(1,), (1,), (99,)], ["k"])
+    assert rows(delete_by_keys(target, keys, ["k"])) == [(2, "b", 20.0)]
+    assert deleted_count(target, keys, ["k"]) == 1
+
+
+def test_filter_new_deletes(spark):
+    new = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    pending = spark.createDataFrame([(2,)], ["k"])
+    assert rows(filter_new_deletes(new, pending, ["k"])) == [(1,), (3,)]
+
+
+def test_mutation_idempotence(spark, target):
+    """f(f(x)) == f(x) for insert-if-absent (SURVEY §5.5 property)."""
+    incoming = spark.createDataFrame([(3, "c", 30.0)], ["k", "name", "v"])
+    once = insert_if_absent(target, incoming, ["k"], ["v"])
+    twice = insert_if_absent(once, incoming, ["k"], ["v"])
+    assert rows(once) == rows(twice)

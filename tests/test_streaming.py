@@ -1,0 +1,110 @@
+"""Streaming-machinery tests (SURVEY §2.9): live dropDuplicates under a
+watermark, the end-to-end streaming approval flow via foreachBatch, and
+storage atomicity guarantees under the streaming writer."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_notifier_pipeline_spark.streaming import ApprovalPipeline, LogNotifier
+from etl_notifier_pipeline_spark.streaming.windows import (
+    run_stream_to_table,
+    stream_events,
+    tumbling_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_matches_batch_tumbling(spark):
+    """The real StreamExecution result equals the batch plan result —
+    event-time semantics independent of execution mode."""
+    from etl_notifier_pipeline_spark.catalog import load_table
+
+    streamed = run_stream_to_table(
+        tumbling_counts(stream_events(spark, SF_DIR)), spark, "t_stream_batch_eq"
+    )
+    batch = tumbling_counts(load_table(spark, SF_DIR, "events"))
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_drop_duplicates_watermark(spark, tmp_path):
+    """ST1 at scale: dropDuplicates on the stream with a watermark —
+    duplicate event_ids across micro-batches are delivered once."""
+    src = tmp_path / "dupes"
+    src.mkdir()
+    rows1 = [{"event_id": i, "ts": f"2024-01-01 00:{i:02d}:00"} for i in range(5)]
+    rows2 = [{"event_id": i, "ts": f"2024-01-01 00:{i:02d}:00"} for i in range(3, 8)]
+    (src / "a.json").write_text("\n".join(map(json.dumps, rows1)))
+    (src / "b.json").write_text("\n".join(map(json.dumps, rows2)))
+    stream = (
+        spark.readStream.schema("event_id long, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.table("t_dedup_stream").collect())
+    assert got == list(range(8))  # 3..4 delivered once, not twice
+
+
+def test_streaming_approval_pipeline_end_to_end(spark, tmp_store, tmp_path):
+    """EP2->EP3 over a real stream: base64-JSON payloads (the Pub/Sub
+    transport encoding) consumed by foreachBatch, effects in the store."""
+    csv_root = tmp_path / "bucket"
+    csv_root.mkdir()
+    (csv_root / "people.csv").write_text("pid,name\n1,ann\n2,bob\n")
+    pipe = ApprovalPipeline(
+        spark=spark, store=tmp_store, notifier=LogNotifier(),
+        keys={"people": ["pid"]}, csv_root=str(csv_root),
+    )
+    pipe.ledger.record_arrivals(
+        spark.createDataFrame(
+            [("people.csv", "s1", "b", "insert")],
+            ["file_name", "event_id", "bucket", "operation"],
+        )
+    )
+    payload = {
+        "event_id": "s1", "action": "approve", "file_name": "people.csv",
+        "table_name": "people", "operation": "insert", "bucket": "b",
+        "file_version": "1", "provided_timestamp": None,
+        "approval_timestamp": "2026-01-01T00:00:00Z", "remote_address": "1.2.3.4",
+    }
+    msg = base64.b64encode(json.dumps(payload).encode()).decode()
+    src = tmp_path / "msgs"
+    src.mkdir()
+    (src / "m1.json").write_text(json.dumps({"value": msg}))
+    raw = spark.readStream.schema("value string").json(str(src))
+    q = pipe.start(raw, str(tmp_path / "ckpt2"))
+    q.awaitTermination()
+    assert sorted(tuple(r) for r in tmp_store.read("people").collect()) == [
+        ("1", "ann"), ("2", "bob")]
+    assert pipe.ledger.processed_files().collect()[0]["status"] == "approved"
+
+
+def test_store_atomic_swap_versions(spark, tmp_store):
+    df1 = spark.createDataFrame([(1,)], ["x"])
+    df2 = spark.createDataFrame([(2,)], ["x"])
+    assert tmp_store.overwrite("t", df1) == 1
+    p1 = tmp_store.path("t")
+    assert tmp_store.overwrite("t", df2) == 2
+    assert tmp_store.path("t") != p1
+    assert [r["x"] for r in tmp_store.read("t").collect()] == [2]
+    # append builds a new version too
+    tmp_store.append("t", df1)
+    assert sorted(r["x"] for r in tmp_store.read("t").collect()) == [1, 2]
