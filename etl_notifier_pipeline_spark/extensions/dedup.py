@@ -74,14 +74,30 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def hashed_shingle_sets(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, hsh) where hsh = distinct md5-hashed shingles.
+
+    The one expensive pass over text (md5 per shingle) — every dedup
+    operator downstream (signature, LSH verify) derives from this frame
+    so the hash pipeline runs once; callers persist it when they fan
+    out into multiple branches."""
+    return df.select(
+        "doc_id",
+        F.array_distinct(F.transform(shingles(text_col, n), token_hash)).alias("hsh"),
+    )
+
+
 def shingle_index(
     df: DataFrame, text_col: str = "text", n: int = 3, max_doc_freq: int | None = None
 ) -> DataFrame:
-    """Inverted index (doc_id, shingle), distinct per doc. Optionally
-    drops shingles appearing in more than ``max_doc_freq`` docs — the
-    skew guard for the candidate join."""
-    idx = df.select(
-        "doc_id", F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle")
+    """Inverted index (doc_id, shingle-hash), distinct per doc.
+    Optionally drops shingles appearing in more than ``max_doc_freq``
+    docs — the skew guard for the candidate join. Hashed (8-byte)
+    shingles keep the shuffle narrow; Jaccard over hashed sets equals
+    string Jaccard up to md5-collision probability (~n²/2^60), and the
+    oracles hash identically so the check stays exact."""
+    idx = hashed_shingle_sets(df, text_col, n).select(
+        "doc_id", F.explode("hsh").alias("shingle")
     )
     if max_doc_freq is not None:
         freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -137,16 +153,18 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 3) -> Data
     One narrow pass per document — the shingle array never leaves the
     row, no explode, no shuffle. Empty shingle sets yield NULL minima.
     """
-    # One md5 per shingle: explode hashed shingles to rows, then 16
-    # min-aggregates over the cheap (a*h+b) mod P arithmetic. Keeping
-    # the 16 permutations as array_min columns over a shared transform
-    # looks equivalent but is 16x slower — CollapseProject inlines the
-    # md5 pipeline into every column. The partial (map-side) min makes
-    # the shuffle carry one row per (doc, 16 minima).
-    hashed = F.transform(shingles(text_col, n), token_hash)
-    exploded = df.select(
-        "doc_id", F.explode_outer(hashed).alias("h")
-    )
+    return minhash_signature_from_sets(hashed_shingle_sets(df, text_col, n))
+
+
+def minhash_signature_from_sets(hs: DataFrame) -> DataFrame:
+    """Signature from precomputed hashed-shingle sets: explode to rows,
+    then 16 min-aggregates over the cheap (a*h+b) mod P arithmetic.
+    (Computing 16 array_min columns over a shared transform looks
+    equivalent but is 16x slower — CollapseProject inlines the md5
+    pipeline into every column.) Map-side partial min keeps the shuffle
+    at one row per (doc, 16 minima). min over distinct hashes equals
+    min over raw hashes, so array_distinct upstream is value-neutral."""
+    exploded = hs.select("doc_id", F.explode_outer("hsh").alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_MOD).alias(f"mh_{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
@@ -187,15 +205,12 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def pair_jaccard(
-    df: DataFrame, pairs: DataFrame, text_col: str = "text", n: int = 3
-) -> DataFrame:
+def pair_jaccard(hs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact Jaccard for a given pair set only: join each side's
-    distinct-shingle array and intersect in-row (``array_intersect``) —
+    hashed-shingle set and intersect in-row (``array_intersect``) —
     O(|pairs|), never the all-pairs shingle self-join."""
-    sh = df.select("doc_id", F.array_distinct(shingles(text_col, n)).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    a = hs.select(F.col("doc_id").alias("doc_a"), F.col("hsh").alias("sh_a"))
+    b = hs.select(F.col("doc_id").alias("doc_b"), F.col("hsh").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         pairs.join(a, "doc_a")
@@ -215,12 +230,14 @@ def minhash_lsh_dedup(
     candidates -> exact Jaccard verify >= threshold.
 
     Only candidate pairs are verified (pair_jaccard) — the whole point
-    of LSH at scale: the exact all-pairs join never runs; corpus text
-    is read exactly twice (signatures + per-pair shingle arrays)."""
-    cand = lsh_candidate_pairs(minhash_signature(df, text_col, n))
-    return pair_jaccard(df, cand, text_col, n).filter(
-        F.col("jaccard") >= threshold
-    )
+    of LSH at scale: the exact all-pairs join never runs. The hashed-
+    shingle sets are computed once and persisted across the three uses
+    (signature + both verify sides), so text is md5-hashed exactly
+    once. (On a cluster the persist maps to a checkpoint/staging table
+    of (doc_id, int64[]) — tiny next to the corpus.)"""
+    hs = hashed_shingle_sets(df, text_col, n).persist()
+    cand = lsh_candidate_pairs(minhash_signature_from_sets(hs))
+    return pair_jaccard(hs, cand).filter(F.col("jaccard") >= threshold)
 
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:

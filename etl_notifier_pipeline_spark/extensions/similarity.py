@@ -58,11 +58,19 @@ def topk_cosine(
     the corpus; the ranking window shuffles only (query_id, score, id)
     triples. Self-matches are excluded. Tie-break: (score desc, id).
     """
+    # Norms are precomputed per row (corpus norms once per vector, not
+    # once per (query, vector) pair — the folds are interpreted, so an
+    # 8-query workload would otherwise pay 8x the norm cost). Same
+    # bits as inline norms: the fold is deterministic.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -70,7 +78,10 @@ def topk_cosine(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -99,11 +110,13 @@ def blocked_near_dup_pairs(
     l = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        norm(F.col(vec_col)).alias("norm_a"),
         F.col(block_col).alias("block"),
     )
     r = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        norm(F.col(vec_col)).alias("norm_b"),
         F.col(block_col).alias("block"),
     )
     return (
@@ -113,7 +126,10 @@ def blocked_near_dup_pairs(
             "block",
             "id_a",
             "id_b",
-            cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"),
+            (
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

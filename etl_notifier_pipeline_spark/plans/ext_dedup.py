@@ -23,8 +23,15 @@ _SHINGLES = (
     f"list_transform(range(1, len({_TOKENS}) - 1), "
     f"i -> {_TOKENS}[i] || ' ' || {_TOKENS}[i+1] || ' ' || {_TOKENS}[i+2])"
 )
+_HASHED_SETS = (
+    f"list_distinct(list_transform({_SHINGLES}, s -> {DUCK_HASH.format(x='s')}))"
+)
+# Jaccard runs over md5-hashed shingle sets on BOTH engines (narrow
+# 8-byte shuffle keys at scale; values identical up to ~2^-60 collision
+# probability, and bit-identical between engine and oracle).
 _SHINGLE_IDX = f"""
-  SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM documents
+  SELECT doc_id, unnest(hset) AS shingle
+  FROM (SELECT doc_id, {_HASHED_SETS} AS hset FROM documents)
 """
 _JACCARD = f"""
 WITH idx AS ({_SHINGLE_IDX}),
