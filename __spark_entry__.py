@@ -46,10 +46,17 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     """Apply the engine's session-level determinism/read settings to a
     driver-provided SparkSession (it may not have been built by
     ``etl_notifier_pipeline_spark.session.get_spark``)."""
+    import os
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        # The fixture scales are small; a 200-partition default shuffle
+        # is pure scheduling overhead. Sized to cores like session.py.
+        ("spark.sql.shuffle.partitions", cpus),
     ):
         try:
             spark.conf.set(k, v)

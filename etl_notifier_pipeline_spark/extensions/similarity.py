@@ -94,6 +94,100 @@ def topk_cosine(
     )
 
 
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Frozen random hyperplanes (seeded) — a fixed engine parameter,
+    like the MinHash coefficient family."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit_i = [vec · plane_i >= 0]. Same
+    JVM-side fold as ``dot``; the planes ride along as array literals
+    (broadcast with the plan, no Python)."""
+    bucket = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(2 ** i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH candidate
+    filter, then exact cosine rerank of the (deduplicated) candidates.
+
+    Scale shape: one narrow corpus pass computes all L bucket ids (an
+    array column exploded to (table, bucket) rows); candidates resolve
+    through an equi-join on (table, bucket) — the n²·d brute-force pair
+    space never materializes. Recall tuning is the standard LSH
+    trade-off: fewer planes -> bigger buckets (higher recall per
+    table), more tables -> OR over tables (recall 1-(1-p^b)^L).
+    Approximate by construction -> rows-only driver check + recall
+    property test, no SQL oracle."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)
+    ]
+
+    def buckets(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"), lsh_bucket(vec, planes).alias("bkt")
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        F.explode(buckets(F.col(vec_col))).alias("b"),
+    ).select("neighbor_id", "c_vec", "c_norm", "b.tbl", "b.bkt")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(buckets(F.col(vec_col))).alias("b"),
+    ).select("query_id", "q_vec", "q_norm", "b.tbl", "b.bkt")
+    scored = (
+        c.join(F.broadcast(q), ["tbl", "bkt"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec", "q_norm", "c_norm")
+        .dropDuplicates(["query_id", "neighbor_id"])  # OR across tables
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def blocked_near_dup_pairs(
     df: DataFrame,
     block_col: str = "label",

@@ -1,0 +1,104 @@
+"""As-of join (SURVEY §2.3 absent list: range/as-of).
+
+Spark has no native ASOF JOIN; the engine composes one:
+
+- ``asof_join`` (default): equi-join on the partition key with the
+  range predicate, then keep the latest right row per left row via a
+  ranking window. Correct for any data; the join inflates to
+  |left ⨝_key right| before the window prunes it, so it fits when the
+  per-key fan-out is bounded (the usual case: events × dimension
+  versions).
+- For unbounded fan-out, the scale path is the union-sort trick or
+  per-key ``applyInPandas`` + ``pd.merge_asof`` (documented here,
+  selectable via ``strategy="pandas"``) — sorts each key group once
+  instead of materializing the pair blow-up.
+
+DuckDB's native ``ASOF JOIN`` is the oracle for both.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    *,
+    right_values: Sequence[str],
+    strategy: str = "window",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_time`` <= ``left_time`` within the same ``on`` key
+    (backward as-of). Left rows with no match keep NULL values.
+    """
+    if strategy == "pandas":
+        return _asof_join_pandas(left, right, on, left_time, right_time, right_values)
+    lid = "__asof_lid"
+    lmark = left.withColumn(lid, F.monotonically_increasing_id())
+    r = right.select(
+        *on, F.col(right_time).alias("__rt"), *[F.col(c) for c in right_values]
+    )
+    joined = lmark.join(r, list(on), "left").filter(
+        F.col("__rt").isNull() | (F.col("__rt") <= F.col(left_time))
+    )
+    w = W.partitionBy(lid).orderBy(F.col("__rt").desc_nulls_last())
+    best = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    # Rows whose every candidate violated the range predicate were
+    # filtered out entirely; restore them with NULL right-values.
+    missing = lmark.join(best.select(lid), lid, "left_anti")
+    nulls = [F.lit(None).cast(dict(r.dtypes)["__rt"]).alias("__rt")] + [
+        F.lit(None).cast(dict(r.dtypes)[c]).alias(c) for c in right_values
+    ]
+    out = best.select(*lmark.columns, "__rt", *right_values).unionByName(
+        missing.select(*lmark.columns, *nulls)
+    )
+    return out.drop(lid, "__rt")
+
+
+def _asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_values: Sequence[str],
+) -> DataFrame:
+    """Scale path: cogroup both sides by key, ``pd.merge_asof`` per
+    group (one sort each, no pair blow-up). Arrow-batched."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_fields = left.schema.fields + [right.schema[c] for c in right_values]
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in out_fields]
+    )
+    lcols = list(left.columns)
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        l = l.sort_values(left_time)
+        if r.empty:
+            for c in right_values:
+                l[c] = None
+            return l[[f.name for f in out_schema.fields]]
+        r = r.sort_values(right_time)[[right_time, *right_values]]
+        m = pd.merge_asof(
+            l, r, left_on=left_time, right_on=right_time, direction="backward"
+        )
+        return m[[f.name for f in out_schema.fields]]
+
+    return (
+        left.groupBy(*on)
+        .cogroup(right.groupBy(*on))
+        .applyInPandas(lambda l, r: merge(l, r), out_schema)
+    )

@@ -21,6 +21,7 @@ from etl_notifier_pipeline_spark.plans import ext_text  # noqa: E402,F401
 from etl_notifier_pipeline_spark.plans import ext_dedup  # noqa: E402,F401
 from etl_notifier_pipeline_spark.plans import ext_sim  # noqa: E402,F401
 from etl_notifier_pipeline_spark.plans import streaming_queries  # noqa: E402,F401
+from etl_notifier_pipeline_spark.plans import advanced  # noqa: E402,F401
 
 __all__ = [
     "QuerySpec",

@@ -1,0 +1,298 @@
+"""Advanced relational + approximate + multimodal queries: as-of join,
+list aggregation, exact distributed median, grouping sets (SQL API),
+range window frames, unpivot, approximate distinct, ANN, stateful
+streaming, multimodal feature plumbing.
+
+The approximate operators (HLL distinct, hyperplane-LSH ANN) and the
+pandas/stateful ones register without oracles — their driver check is
+rows-only; their value-level guarantees live in tests/ as property
+tests (recall bounds, error bounds) instead of equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etl_notifier_pipeline_spark.catalog import load_table, register_views
+from etl_notifier_pipeline_spark.extensions import multimodal as MM
+from etl_notifier_pipeline_spark.extensions import similarity as S
+from etl_notifier_pipeline_spark.operators.asof import asof_join
+from etl_notifier_pipeline_spark.plans.registry import register
+
+VAL = "decimal(10,2)"
+
+
+@register(
+    "q22_collect_sets",
+    category="aggregation",
+    oracle="""
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY user_id
+""",
+)
+def q22_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + deterministic ordering (SURVEY §2.4 absent list).
+    Emitted as a sorted joined string — set aggregation is only
+    oracle-comparable after imposing an order."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register(
+    "q23_asof_join",
+    category="join",
+    oracle="""
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       o.o_orderkey AS last_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS last_totalprice
+FROM events e
+ASOF LEFT JOIN (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         -- unique per (custkey, ts): synthetic strictly-ordered time
+         o_orderdate + INTERVAL (o_orderkey % 86400) SECOND AS ots
+  FROM orders
+) o ON e.user_id = o.o_custkey AND o.ots <= e.ts
+""",
+)
+def q23_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (SURVEY §2.3 absent list): each event picks
+    the latest order of the same customer at-or-before its timestamp.
+    Spark lacks a native ASOF; the engine composes join+window (see
+    operators/asof.py for the pandas merge_asof scale path). Oracle:
+    DuckDB's native ASOF JOIN. Order times are de-duplicated with a
+    deterministic second-offset so 'latest' is unambiguous on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        "o_totalprice",
+        (
+            F.col("o_orderdate")
+            + F.make_interval(secs=(F.col("o_orderkey") % 86400).cast("double"))
+        ).alias("ots"),
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        o,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ots",
+        right_values=["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").cast("double").alias("last_totalprice"),
+    )
+
+
+@register(
+    "q24_exact_median",
+    category="aggregation",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, CAST(value AS DECIMAL(10,2)) AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS median_value
+FROM ranked
+WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+GROUP BY event_type
+""",
+)
+def q24_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed median via rank-and-pick (SURVEY §2.6 top-k
+    family): sort-free interpolation arithmetic is done in decimal so
+    both engines agree bit-for-bit (library percentile()s interpolate
+    in double with engine-specific expression shapes)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        F.col("value").cast(VAL).alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("cnt"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2))
+    )
+    return mid.groupBy("event_type").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("median_value")
+    )
+
+
+@register(
+    "q25_grouping_sets",
+    category="aggregation",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q25_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + GROUPING() markers through the SQL API
+    (the engine's SQL surface is the same Catalyst plan as the
+    DataFrame surface)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q26_range_frame",
+    category="window",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(10,2)))
+         OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS value_last_hour
+FROM events
+""",
+)
+def q26_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event-time (trailing 1-hour sum per
+    user) — the windowed form of a sliding aggregate; decimal sums keep
+    every frame exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(VAL)).over(w).cast("double").alias("value_last_hour"),
+    )
+
+
+@register(
+    "q27_unpivot",
+    category="set_ops",
+    oracle="""
+SELECT l_returnflag, metric,
+       CAST(SUM(CAST(val AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM (
+  SELECT l_returnflag, 'quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'price' AS metric, l_extendedprice AS val FROM lineitem
+)
+GROUP BY l_returnflag, metric
+""",
+)
+def q27_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack() — wide metrics to long (melt), then agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(2, 'quantity', l_quantity, 'price', l_extendedprice) AS (metric, val)"
+        ),
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.sum(F.col("val").cast("decimal(12,2)")).cast("double").alias("total")
+    )
+
+
+@register("q28_approx_distinct", category="aggregation", oracle=None)
+def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) per event_type — approximate by
+    design, so no value oracle (rows-only; the <=2% error bound vs
+    exact countDistinct is a property test in tests/test_advanced.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+@register("s03_ann_lsh_topk", category="similarity", oracle=None)
+def s03_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucket filter +
+    exact rerank (the scale path next to s01's brute force). Rows-only
+    check; recall-vs-bruteforce is a property test."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.ann_lsh_topk(emb, queries, k=5, n_planes=3, n_tables=6)
+
+
+@register("xm01_multimodal_features", category="multimodal", oracle=None)
+def xm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end on fixture data: documents.text
+    re-encoded as opaque binary content -> Arrow-batched feature
+    extraction (deterministic fake codec; see extensions.multimodal) ->
+    per-modality feature stats. Rows-only check (binary + pandas UDF
+    path has no SQL twin)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image")).otherwise(F.lit("audio")).alias(
+            "modality"
+        ),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("n_chars").cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = MM.extract_features(media, deterministic_fake=True)
+    return feats.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.avg(F.element_at("features", 1)).alias("mean_f0"),
+    )
+
+
+@register("st05_stateful_running_totals", category="streaming", oracle=None)
+def st05_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals maintained in explicit state across
+    micro-batches. Rows-only (final state after draining the stream);
+    cross-batch accumulation asserted in tests/test_advanced.py."""
+    import uuid
+
+    from etl_notifier_pipeline_spark.streaming.stateful import running_user_totals
+    from etl_notifier_pipeline_spark.streaming.windows import (
+        run_stream_to_table,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+    out = running_user_totals(ev)
+    name = f"st05_out_{uuid.uuid4().hex[:8]}"
+    result = run_stream_to_table(out, spark, name, output_mode="update")
+    # update-mode memory sink may hold multiple emissions per user
+    # (one per batch); the final state is the last row per user.
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        result.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )

@@ -1,0 +1,117 @@
+"""Property tests for the advanced/approximate operators: HLL error
+bound, ANN recall, as-of strategy equivalence, stateful accumulation."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_notifier_pipeline_spark.catalog import load_table
+from etl_notifier_pipeline_spark.extensions import similarity as S
+from etl_notifier_pipeline_spark.operators.asof import asof_join
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_approx_distinct_error_bound(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    both = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    for r in both.collect():
+        assert abs(r["approx"] - r["exact"]) <= max(3, 0.05 * r["exact"])
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = S.topk_cosine(emb, queries, k=5)
+    approx = S.ann_lsh_topk(emb, queries, k=5, n_planes=3, n_tables=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # imperfect by design (random near-orthogonal vectors are LSH's
+    # worst case) but must be far above chance (5/499 ≈ 1%).
+    assert recall >= 0.5, f"ANN recall {recall:.2f} too low"
+    # and every approx result must be a genuine corpus neighbor pair
+    assert all(q != n for q, n in a)
+
+
+def test_asof_window_and_pandas_strategies_agree(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 25, "e2"), (2, 5, "e3"), (3, 50, "e4")],
+        ["k", "t", "ev"],
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 20, "b"), (1, 30, "c"), (2, 7, "d")],
+        ["k", "t", "val"],
+    )
+    kwargs = dict(on=["k"], left_time="t", right_time="t", right_values=["val"])
+    w = asof_join(left, right.withColumnRenamed("t", "rt"),
+                  on=["k"], left_time="t", right_time="rt", right_values=["val"])
+    got_w = {(r["ev"], r["val"]) for r in w.collect()}
+    # e1: latest right at t<=10 is (8,a); e2: (20,b);
+    # e3 (k=2,t=5): only right row is at t=7 > 5 -> no match;
+    # e4: no k=3 rows at all -> no match
+    assert got_w == {("e1", "a"), ("e2", "b"), ("e3", None), ("e4", None)}
+    p = asof_join(left, right.withColumnRenamed("t", "rt"),
+                  on=["k"], left_time="t", right_time="rt",
+                  right_values=["val"], strategy="pandas")
+    got_p = {(r["ev"], r["val"]) for r in p.collect()}
+    assert got_p == got_w
+
+
+def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
+    """Two files delivered as separate micro-batches must accumulate
+    into one state per user, not reset."""
+    import json
+
+    from etl_notifier_pipeline_spark.streaming.stateful import running_user_totals
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(json.dumps({"user_id": 1, "value": v}) for v in (1.0, 2.0))
+    )
+    (src / "b.json").write_text(
+        "\n".join(json.dumps({"user_id": 1, "value": v}) for v in (3.0,))
+    )
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_stateful")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_stateful").collect()
+    final = max(rows, key=lambda r: r["n_events"])
+    assert final["n_events"] == 3 and final["total_value"] == pytest.approx(6.0)
+    assert len(rows) >= 2  # one emission per micro-batch
+
+
+def test_median_matches_sorted_middle(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    from etl_notifier_pipeline_spark.plans import get
+
+    med = {
+        r["event_type"]: r["median_value"]
+        for r in get("q24_exact_median").fn(spark, SF_DIR).collect()
+    }
+    import statistics
+
+    for etype in med:
+        vals = [
+            r["value"]
+            for r in ev.filter(F.col("event_type") == etype).select("value").collect()
+        ]
+        assert med[etype] == pytest.approx(statistics.median(vals))
