@@ -1,0 +1,53 @@
+"""Skew-handling join helper (brief: 'skewed keys hurt … salting for
+skew, AQE for runtime re-plan').
+
+AQE's skew-join splitting (on by default in session.py) handles most
+skew at runtime; ``salted_join`` is the explicit fallback for the cases
+AQE can't fix — e.g. a shuffled aggregation-free join where one key
+holds half the table, or pre-AQE engines. Mechanics:
+
+- the skewed (big) side gets a deterministic salt in [0, n): derived by
+  hashing a distinguishing column (NOT rand() — retries/speculative
+  tasks must salt identically or results are nondeterministic);
+- the small side is replicated n× with every salt value (explode);
+- the join key becomes (key, salt): the hot key's rows now spread over
+  n reducers instead of one.
+
+Aggregations over salted joins need no unsalting step here because the
+join output is row-identical to the unsalted join (asserted in tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    *,
+    n_salts: int = 8,
+    salt_source: Column | str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skewed big side with a (replicable) small side on ``keys``
+    with an ``n_salts``-way salt. ``salt_source`` is the column whose
+    hash spreads the hot key's rows (defaults to the whole row via
+    xxhash64 of all non-key columns)."""
+    if salt_source is None:
+        others = [c for c in skewed.columns if c not in keys] or list(keys)
+        salt = F.pmod(F.xxhash64(*others), F.lit(n_salts))
+    else:
+        c = F.col(salt_source) if isinstance(salt_source, str) else salt_source
+        salt = F.pmod(F.xxhash64(c), F.lit(n_salts))
+    left = skewed.withColumn(SALT_COL, salt.cast("int"))
+    right = small.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return left.join(right, [*keys, SALT_COL], how).drop(SALT_COL)

@@ -1,0 +1,89 @@
+"""Plan-shape regression tests: the scale guarantees the docs claim
+(pushdown, pruning, broadcast, map-side combine, window group limits)
+asserted against the actual physical plans — a correctness-preserving
+refactor that silently loses a broadcast or a pushed filter fails here,
+not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_notifier_pipeline_spark.plans import get
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = get(name).fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    plan = plan_of(spark, "q02_filter_project")
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,error)" in plan and "GreaterThan(value,100.0)" in plan
+    # column pruning: props/ts never leave the scan
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "props" not in scan and "ReadSchema" in scan
+
+
+def test_point_lookup_pushes_key(spark):
+    plan = plan_of(spark, "q03_point_lookup")
+    assert "EqualTo(event_id,42)" in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = plan_of(spark, "q05_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 4
+    # the only hash-partition exchange is the final aggregation
+    shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(shuffles) == 1
+
+
+def test_flagship_agg_has_partial_aggregation(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    for unused in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert unused not in scan  # 7-of-11 column pruning
+
+
+def test_topk_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "q04_topk_orders")
+
+
+def test_topk_per_group_prunes_before_sort(spark):
+    # Spark 3.5+/4.x pushes rank()<=k below the window sort
+    assert "WindowGroupLimit" in plan_of(spark, "q08_topk_per_group")
+
+
+def test_mutation_broadcasts_incoming_side(spark):
+    plan = plan_of(spark, "m02_upsert")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_whole_stage_codegen_everywhere_hot(spark):
+    df = get("q01_pricing_summary").fn(spark, SF_DIR)
+    df.collect()  # AQE only shows codegen spans in the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' node prefixes are the compact WholeStageCodegen markers
+    import re
+
+    assert re.search(r"\*\(\d+\) HashAggregate", plan)
+    assert re.search(r"\*\(\d+\) (Project|Filter|ColumnarToRow)", plan)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from etl_notifier_pipeline_spark.catalog import load_table
+    from etl_notifier_pipeline_spark.operators.skew import salted_join
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    dim = spark.createDataFrame(
+        [(u, f"seg{u % 3}") for u in range(150)], ["user_id", "segment"]
+    )
+    plain = ev.join(dim, "user_id").select("event_id", "segment")
+    salted = salted_join(ev, dim, ["user_id"], n_salts=4).select("event_id", "segment")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
