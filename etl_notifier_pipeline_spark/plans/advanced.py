@@ -221,6 +221,88 @@ def q27_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q29_full_outer_join",
+    category="join",
+    oracle="""
+SELECT COALESCE(s.user_id, p.user_id) AS user_id,
+       COALESCE(s.n_signups, 0) AS n_signups,
+       COALESCE(p.n_purchases, 0) AS n_purchases
+FROM (SELECT user_id, COUNT(*) AS n_signups FROM events
+      WHERE event_type = 'signup' GROUP BY user_id) s
+FULL OUTER JOIN
+     (SELECT user_id, COUNT(*) AS n_purchases FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id) p
+  ON s.user_id = p.user_id
+""",
+)
+def q29_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with COALESCE'd keys (SURVEY §2.3 absent list:
+    outer family). Outer joins can't broadcast either side whole — this
+    is the sort-merge shape, both sides pre-aggregated so the shuffle
+    carries one row per user."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_signups"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    joined = s.withColumnRenamed("user_id", "s_uid").join(
+        p.withColumnRenamed("user_id", "p_uid"),
+        F.col("s_uid") == F.col("p_uid"),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("s_uid", "p_uid").alias("user_id"),
+        F.coalesce("n_signups", F.lit(0)).alias("n_signups"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+    )
+
+
+@register(
+    "q30_distinct_rows",
+    category="set_ops",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def q30_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates / SELECT DISTINCT (SURVEY §2.7) — hash-agg on the
+    full projection, partial-dedup map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+@register(
+    "x06_edit_distance",
+    category="text_analysis",
+    oracle="""
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       levenshtein(a.lang, b.lang) AS lev
+FROM (SELECT DISTINCT lang FROM documents) a
+JOIN (SELECT DISTINCT lang FROM documents) b ON a.lang < b.lang
+""",
+)
+def x06_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance over a deduplicated key domain — the
+    fuzzy-matching primitive (entity resolution on short keys; for long
+    text the n-gram/MinHash family above is the scale path)."""
+    d = load_table(spark, sf_dir, "documents").select("lang").distinct()
+    a = d.select(F.col("lang").alias("lang_a"))
+    b = d.select(F.col("lang").alias("lang_b"))
+    return (
+        a.join(b, F.col("lang_a") < F.col("lang_b"))
+        .select(
+            "lang_a", "lang_b", F.levenshtein("lang_a", "lang_b").alias("lev")
+        )
+    )
+
+
 @register("q28_approx_distinct", category="aggregation", oracle=None)
 def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) per event_type — approximate by

@@ -24,7 +24,6 @@ default just logs. No network calls anywhere.
 
 from __future__ import annotations
 
-import json
 import logging
 from dataclasses import dataclass
 
@@ -32,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from etl_notifier_pipeline_spark.functions import action_to_status, decode_event_payload
+from etl_notifier_pipeline_spark.functions import decode_event_payload
 from etl_notifier_pipeline_spark.ledger import Ledger
 from etl_notifier_pipeline_spark.operators import delete_by_keys, insert_if_absent, upsert
 from etl_notifier_pipeline_spark.sources.ingest import read_csv_all_string

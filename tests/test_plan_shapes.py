@@ -7,8 +7,6 @@ not at 100 TB.
 
 from __future__ import annotations
 
-import pytest
-
 from etl_notifier_pipeline_spark.plans import get
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -75,8 +73,6 @@ def test_whole_stage_codegen_everywhere_hot(spark):
 
 
 def test_salted_join_equals_plain_join(spark):
-    from pyspark.sql import functions as F
-
     from etl_notifier_pipeline_spark.catalog import load_table
     from etl_notifier_pipeline_spark.operators.skew import salted_join
 

@@ -7,8 +7,6 @@ from __future__ import annotations
 import base64
 import json
 
-import pytest
-
 from pyspark.sql import functions as F
 
 from etl_notifier_pipeline_spark.streaming import ApprovalPipeline, LogNotifier
