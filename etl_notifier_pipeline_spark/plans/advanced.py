@@ -303,6 +303,149 @@ def x06_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q31_rank_family",
+    category="window",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       PERCENT_RANK() OVER w AS prnk,
+       CUME_DIST() OVER w AS cdist,
+       NTILE(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def q31_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ranking-function family in one window (SURVEY
+    §2.5): row_number / rank / dense_rank / percent_rank / cume_dist /
+    ntile. percent_rank and cume_dist are int-ratio doubles — exact on
+    both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "q32_map_functions",
+    category="scalar",
+    oracle="""
+SELECT event_id,
+       'k' AS first_key,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+""",
+)
+def q32_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (SURVEY §2.8 absent list): JSON -> typed map via
+    from_json, map_keys/element access, arithmetic on values, filter on
+    the extracted value (pushed below the projection by Catalyst)."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    withmap = ev.select("event_id", m.alias("m"))
+    return (
+        withmap.select(
+            "event_id",
+            F.element_at(F.map_keys("m"), 1).alias("first_key"),
+            F.element_at("m", "k").alias("k_value"),
+            (F.element_at("m", "k") % 10).alias("k_mod"),
+        )
+        .filter(F.col("k_value") > 50)
+    )
+
+
+@register("st06_approval_pipeline_sim", category="streaming", oracle=None)
+def st06_approval_pipeline_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full EP1->EP4 lifecycle (SURVEY §3) as one
+    simulation: CSV files derived from the customer fixture arrive,
+    get pending ledger rows, an approval stream (insert -> upsert ->
+    reject -> two-phase delete) drives foreachBatch-style batches, the
+    delete queue drains, and the final ledger + table state comes back
+    as (status, n) counts plus surviving-row count. Rows-only: the
+    output exercises TableStore/Ledger/ApprovalPipeline side effects
+    that SQL cannot model."""
+    import tempfile
+
+    from etl_notifier_pipeline_spark.storage import TableStore
+    from etl_notifier_pipeline_spark.streaming import ApprovalPipeline, LogNotifier
+
+    tmp = tempfile.mkdtemp(prefix="st06_")
+    csv_root = f"{tmp}/bucket"
+    import os
+
+    os.makedirs(csv_root, exist_ok=True)
+    cust = load_table(spark, sf_dir, "customer").limit(50)
+    pdf = cust.select(
+        F.col("c_custkey").cast("string").alias("ckey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+    ).toPandas()
+    pdf.iloc[:30].to_csv(f"{csv_root}/cust.csv", index=False)
+    upd = pdf.iloc[20:40].copy()
+    upd["seg"] = "UPDATED"
+    upd.to_csv(f"{csv_root}/cust_upd.csv", index=False)
+    pdf.iloc[:5].to_csv(f"{csv_root}/cust_del.csv", index=False)
+
+    store = TableStore(spark, f"{tmp}/store")
+    pipe = ApprovalPipeline(
+        spark=spark, store=store, notifier=LogNotifier(),
+        keys={"cust": ["ckey"]}, csv_root=csv_root,
+    )
+    arrivals = spark.createDataFrame(
+        [
+            ("cust.csv", "ev1", "b", "insert"),
+            ("cust_upd.csv", "ev2", "b", "update"),
+            ("cust_upd.csv", "ev3", "b", "update"),
+            ("cust_del.csv", "ev4", "b", "delete"),
+        ],
+        ["file_name", "event_id", "bucket", "operation"],
+    )
+    pipe.ledger.record_arrivals(arrivals)
+
+    def approval(eid, action, fname, op):
+        from etl_notifier_pipeline_spark.streaming.pipeline import approval_event_schema
+
+        row = {
+            "event_id": eid, "action": action, "file_name": fname,
+            "table_name": "cust", "operation": op, "bucket": "b",
+            "file_version": "1", "provided_timestamp": None,
+            "approval_timestamp": "2026-01-01T00:00:00Z", "remote_address": None,
+        }
+        return spark.createDataFrame(
+            [tuple(row[f.name] for f in approval_event_schema().fields)],
+            approval_event_schema(),
+        )
+
+    pipe.run_batch(approval("ev1", "approve", "cust.csv", "insert"))
+    pipe.run_batch(approval("ev2", "approve", "cust_upd.csv", "update"))
+    pipe.run_batch(approval("ev3", "reject", "cust_upd.csv", "update"))
+    pipe.run_batch(approval("ev4", "approve", "cust_del.csv", "delete"))
+    pipe.drain_deletes()
+
+    statuses = pipe.ledger.processed_files().groupBy("status").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    surviving = store.read("cust").count()
+    return statuses.withColumn("surviving_rows", F.lit(surviving))
+
+
 @register("q28_approx_distinct", category="aggregation", oracle=None)
 def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) per event_type — approximate by

@@ -1,0 +1,46 @@
+"""Plan audit: one-line physical-plan summary for every registered
+query — exchanges (shuffles), broadcasts, scans with pruned schemas,
+Python-eval nodes (should be none outside pandas-path operators).
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(sf_dir: str) -> None:
+    from etl_notifier_pipeline_spark import plans
+    from etl_notifier_pipeline_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    print(f"{'query':34} {'shuffles':>8} {'bcasts':>6} {'scans':>5} "
+          f"{'python':>6}  scan columns")
+    for name, spec in plans.specs().items():
+        if spec.category == "streaming" and spec.oracle is None:
+            print(f"{name:34} {'-':>8} {'-':>6} {'-':>5} {'-':>6}  (side-effecting sim)")
+            continue
+        try:
+            df = spec.fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:
+            print(f"{name:34} ERROR {str(e)[:60]}")
+            continue
+        shuffles = len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning", plan))
+        bcasts = plan.count("BroadcastExchange")
+        scans = plan.count("FileScan")
+        python = len(re.findall(r"ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas|MapInPandas", plan))
+        widths = [
+            len(m.split(","))
+            for m in re.findall(r"ReadSchema: struct<([^>]*)", plan)
+        ]
+        print(f"{name:34} {shuffles:>8} {bcasts:>6} {scans:>5} {python:>6}  {widths}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
