@@ -25,7 +25,7 @@ DUCK_HASH = f"(('0x'||substr(md5({{x}}),1,15))::BIGINT % {P})"
     oracle="""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
        MAX(n_chars) AS max_chars
 FROM documents

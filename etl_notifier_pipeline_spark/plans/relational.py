@@ -557,8 +557,8 @@ def q16_scalar_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="scalar",
     oracle="""
 SELECT user_id,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events
 GROUP BY user_id
 """,

@@ -2,10 +2,11 @@
 
 Runs every registered query's Spark side and DuckDB oracle side on the
 same parquet fixtures and compares row count, column names, and an
-order-insensitive value hash. Values are collected as raw Python
-objects (no pandas coercion) and canonicalized identically on both
-sides, so a PASS here is a strong predictor of the driver's
-CORRECTNESS_r{N}.json verdict.
+order-insensitive value hash. Both sides are canonicalized THROUGH
+PANDAS, mirroring the driver: this is what surfaces dtype coercions
+like DuckDB HUGEINT (int128 SUM results) -> float64, which raw
+``fetchall()`` hides (r01 lesson: q17/x01 passed locally, failed the
+driver). A PASS here is a strong predictor of CORRECTNESS_r{N}.json.
 
 Usage:  python tools/parity.py [sf_dir] [query ...]
 """
@@ -22,6 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def canon_value(v) -> str:
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -34,7 +39,25 @@ def canon_value(v) -> str:
         return "true" if v else "false"
     if isinstance(v, (int, str)):
         return str(v)
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    try:
+        import pandas as pd
+
+        if v is pd.NaT:
+            return "NULL"
+    except Exception:
+        pass
     return str(v)
+
+
+def pandas_rows(pdf) -> list[tuple]:
+    """Rows from a pandas DataFrame, preserving the dtype coercion the
+    driver's canonicalizer sees (int64 stays int, HUGEINT/nullable-int
+    columns arrive as float64 and stay float)."""
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
 
 def table_hash(columns: list[str], rows: list[tuple]) -> tuple[int, str, list[str]]:
@@ -67,8 +90,9 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
+            spdf = sdf.toPandas()
+            srows = pandas_rows(spdf)
+            scols = list(spdf.columns)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -78,9 +102,9 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
             print(f"rows-only {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(spec.oracle)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            opdf = con.execute(spec.oracle).df()
+            ocols = list(opdf.columns)
+            orows = pandas_rows(opdf)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
