@@ -48,6 +48,22 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 SIMHASH_BITS = 32
 
 
+def minhash_family(
+    n_hashes: int = N_HASHES, seed: int = 42
+) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """Deterministic (A, B) permutation family of any size — a 100 TB
+    corpus retune (more hashes / different banding) is a config change,
+    not new frozen constants. ``random.Random`` is seed-stable across
+    Python versions; A >= 1 keeps the map non-degenerate, and both
+    coefficients stay < HASH_MOD for int64-safe ``A*x + B``."""
+    import random
+
+    rng = random.Random(seed)
+    a = tuple(rng.randrange(1, HASH_MOD) for _ in range(n_hashes))
+    b = tuple(rng.randrange(0, HASH_MOD) for _ in range(n_hashes))
+    return a, b
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup via content hash: one row per distinct text with the
     representative (min doc_id) and the duplicate count."""
@@ -156,7 +172,10 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 3) -> Data
     return minhash_signature_from_sets(hashed_shingle_sets(df, text_col, n))
 
 
-def minhash_signature_from_sets(hs: DataFrame) -> DataFrame:
+def minhash_signature_from_sets(
+    hs: DataFrame,
+    family: tuple[tuple[int, ...], tuple[int, ...]] = (MINHASH_A, MINHASH_B),
+) -> DataFrame:
     """Signature from precomputed hashed-shingle sets: explode to rows,
     then 16 min-aggregates over the cheap (a*h+b) mod P arithmetic.
     (Computing 16 array_min columns over a shared transform looks
@@ -167,18 +186,24 @@ def minhash_signature_from_sets(hs: DataFrame) -> DataFrame:
     exploded = hs.select("doc_id", F.explode_outer("hsh").alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_MOD).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        for i, (a, b) in enumerate(zip(*family))
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_bands(sig: DataFrame) -> DataFrame:
+def lsh_bands(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """Band the signature: (doc_id, band_idx, band_key) — band_key is
-    the concatenated minima of the band's rows."""
+    the concatenated minima of the band's rows. Signature width is
+    inferred from the ``mh_*`` columns; it must divide into
+    ``n_bands``."""
+    n_hashes = sum(c.startswith("mh_") for c in sig.columns)
+    if n_hashes % n_bands:
+        raise ValueError(f"{n_hashes} hashes do not band evenly into {n_bands}")
+    rows_per_band = n_hashes // n_bands
     bands = []
-    for bi in range(N_BANDS):
+    for bi in range(n_bands):
         key = F.concat_ws(
-            "_", *[F.col(f"mh_{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            "_", *[F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
         )
         bands.append(F.struct(F.lit(bi).alias("band_idx"), key.alias("band_key")))
     return sig.select(
@@ -186,12 +211,12 @@ def lsh_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_idx", "band.band_key")
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """Distinct candidate pairs sharing at least one band bucket.
 
     The join key is (band_idx, band_key) — a few bytes — so at scale
     this shuffles signatures, never documents."""
-    b = lsh_bands(sig)
+    b = lsh_bands(sig, n_bands)
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(
@@ -224,7 +249,14 @@ def pair_jaccard(hs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_dedup(
-    df: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    *,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    seed: int = 42,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signature -> bands ->
     candidates -> exact Jaccard verify >= threshold.
@@ -235,8 +267,13 @@ def minhash_lsh_dedup(
     (signature + both verify sides), so text is md5-hashed exactly
     once. (On a cluster the persist maps to a checkpoint/staging table
     of (doc_id, int64[]) — tiny next to the corpus.)"""
+    family = (
+        (MINHASH_A, MINHASH_B)
+        if (n_hashes, seed) == (N_HASHES, 42)
+        else minhash_family(n_hashes, seed)
+    )
     hs = hashed_shingle_sets(df, text_col, n).persist()
-    cand = lsh_candidate_pairs(minhash_signature_from_sets(hs))
+    cand = lsh_candidate_pairs(minhash_signature_from_sets(hs, family), n_bands)
     return pair_jaccard(hs, cand).filter(F.col("jaccard") >= threshold)
 
 

@@ -135,26 +135,45 @@ class Ledger:
         flag, as one join-and-overwrite of the ledger table."""
         if status not in VALID_STATUSES:
             raise ValueError(f"invalid status {status!r}; expected {VALID_STATUSES}")
+        outcomes = (
+            event_ids.select("event_id")
+            .withColumn("status", F.lit(status))
+            .withColumn("is_processed", F.lit(processed))
+            .withColumn("approval_timestamp", F.lit(approval_timestamp).cast("string"))
+        )
+        self.mark_many(outcomes)
+
+    def mark_many(self, outcomes: DataFrame) -> None:
+        """Batch status transition: ONE ledger read + overwrite for a
+        whole micro-batch of per-event outcomes, instead of one rewrite
+        per event (r01 scale fix: per-event ``mark`` was
+        O(events × ledger) per micro-batch).
+
+        ``outcomes`` columns: event_id, status, is_processed,
+        approval_timestamp. Duplicate event_ids keep one arbitrary row
+        (callers produce at most one outcome per event).
+        """
         ledger = self.processed_files()
-        hit = F.broadcast(event_ids.select("event_id").dropDuplicates(["event_id"])
-                          .withColumn("__hit", F.lit(True)))
+        o = F.broadcast(
+            outcomes.select(
+                "event_id",
+                F.col("status").alias("__new_status"),
+                F.col("is_processed").alias("__new_processed"),
+                F.col("approval_timestamp").alias("__new_ts"),
+            ).dropDuplicates(["event_id"])
+        )
         updated = (
-            ledger.join(hit, "event_id", "left")
-            .withColumn(
-                "status",
-                F.when(F.col("__hit"), F.lit(status)).otherwise(F.col("status")),
-            )
-            .withColumn(
-                "is_processed",
-                F.when(F.col("__hit"), F.lit(processed)).otherwise(F.col("is_processed")),
-            )
+            ledger.join(o, "event_id", "left")
+            .withColumn("is_processed",
+                        F.coalesce(F.col("__new_processed"), F.col("is_processed")))
             .withColumn(
                 "approval_timestamp",
-                F.when(F.col("__hit"), F.lit(approval_timestamp)).otherwise(
+                F.when(F.col("__new_status").isNotNull(), F.col("__new_ts")).otherwise(
                     F.col("approval_timestamp")
                 ),
             )
-            .drop("__hit")
+            .withColumn("status", F.coalesce(F.col("__new_status"), F.col("status")))
+            .drop("__new_status", "__new_processed", "__new_ts")
         )
         self.store.overwrite("processed_files", updated)
 
@@ -175,12 +194,43 @@ class Ledger:
             ["target_table", "key_json"],
             "left_anti",
         )
+        # Intra-batch dedup (the reference's per-row COUNT(*) check sees
+        # its own same-transaction inserts, so duplicate keys within one
+        # batch queue once): keep the earliest event_id per key.
+        fresh = fresh.groupBy("target_table", "key_json").agg(
+            F.min("event_id").alias("event_id")
+        )
         base = (
             dc.agg(F.coalesce(F.max("query_id"), F.lit(0)).alias("m")).collect()[0]["m"]
         )
-        w = W.orderBy("target_table", "key_json", "event_id")
+        # Contiguous ids without a global single-partition window:
+        # row_number within a 64-way hash partition, then add per-
+        # partition cumulative offsets (the offset frame is <=64 rows,
+        # so its unpartitioned window is trivially cheap).
+        fresh = fresh.withColumn(
+            "__p", F.pmod(F.xxhash64("target_table", "key_json"), F.lit(64))
+        )
+        wp = W.partitionBy("__p").orderBy("target_table", "key_json", "event_id")
+        numbered = fresh.withColumn("__rn", F.row_number().over(wp))
+        offs = (
+            numbered.groupBy("__p")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .withColumn(
+                "__off",
+                F.coalesce(
+                    F.sum("__cnt").over(
+                        W.orderBy("__p").rowsBetween(W.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+        )
         rows = (
-            fresh.withColumn("query_id", (F.lit(base) + F.row_number().over(w)).cast("long"))
+            numbered.join(F.broadcast(offs.select("__p", "__off")), "__p")
+            .withColumn(
+                "query_id", (F.lit(base) + F.col("__off") + F.col("__rn")).cast("long")
+            )
+            .drop("__p", "__rn", "__off")
             .withColumn("delete_flag", F.lit(True))
             .withColumn("executed_flag", F.lit(False))
             .withColumn("approval_timestamp", F.lit(None).cast("string"))

@@ -43,13 +43,20 @@ def asof_join(
         return _asof_join_pandas(left, right, on, left_time, right_time, right_values)
     lid = "__asof_lid"
     lmark = left.withColumn(lid, F.monotonically_increasing_id())
-    r = right.select(
+    # NULL right timestamps can never satisfy "greatest rt <= lt";
+    # drop them up front so the isNull arm below only ever matches
+    # left rows with no key match at all (left-join padding).
+    r = right.filter(F.col(right_time).isNotNull()).select(
         *on, F.col(right_time).alias("__rt"), *[F.col(c) for c in right_values]
     )
     joined = lmark.join(r, list(on), "left").filter(
         F.col("__rt").isNull() | (F.col("__rt") <= F.col(left_time))
     )
-    w = W.partitionBy(lid).orderBy(F.col("__rt").desc_nulls_last())
+    # Deterministic pick among equal timestamps: smallest right-value
+    # tuple wins (no unique right key is guaranteed to exist).
+    w = W.partitionBy(lid).orderBy(
+        F.col("__rt").desc_nulls_last(), *[F.col(c).asc_nulls_last() for c in right_values]
+    )
     best = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
     # Rows whose every candidate violated the range predicate were
     # filtered out entirely; restore them with NULL right-values.
@@ -91,7 +98,11 @@ def _asof_join_pandas(
             for c in right_values:
                 l[c] = None
             return l[[f.name for f in out_schema.fields]]
-        r = r.sort_values(right_time)[[right_time, *right_values]]
+        r = r[r[right_time].notna()].sort_values(right_time)[[right_time, *right_values]]
+        if r.empty:
+            for c in right_values:
+                l[c] = None
+            return l[[f.name for f in out_schema.fields]]
         m = pd.merge_asof(
             l, r, left_on=left_time, right_on=right_time, direction="backward"
         )

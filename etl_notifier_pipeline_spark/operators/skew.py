@@ -39,7 +39,18 @@ def salted_join(
     """Join a skewed big side with a (replicable) small side on ``keys``
     with an ``n_salts``-way salt. ``salt_source`` is the column whose
     hash spreads the hot key's rows (defaults to the whole row via
-    xxhash64 of all non-key columns)."""
+    xxhash64 of all non-key columns).
+
+    Only ``inner`` and ``left`` are accepted: the small side is
+    replicated ``n_salts`` times, so for right/full-outer joins every
+    unmatched small-side row would surface once per salt — the salted
+    result would not be row-identical to the unsalted join.
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "replicating the small side breaks outer-join row identity"
+        )
     if salt_source is None:
         others = [c for c in skewed.columns if c not in keys] or list(keys)
         salt = F.pmod(F.xxhash64(*others), F.lit(n_salts))

@@ -52,8 +52,33 @@ class TableStore:
             raise FileNotFoundError(f"no such table: {table}")
         return os.path.join(self._dir(table), f"v={v}")
 
+    def _manifest(self, table: str, v: int) -> list[str]:
+        """Version dirs whose files version ``v`` references. A version
+        with no manifest file (pre-manifest layout) is self-contained."""
+        p = os.path.join(self._dir(table), f"v={v}", "_manifest.txt")
+        if os.path.exists(p):
+            with open(p) as f:
+                return f.read().split()
+        return [f"v={v}"]
+
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+        v = self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"no such table: {table}")
+        dirs = [os.path.join(self._dir(table), d) for d in self._manifest(table, v)]
+        return self.spark.read.parquet(*dirs)
+
+    def _commit(self, table: str, v: int, manifest: list[str]) -> None:
+        """Write the manifest into the version dir (underscore-prefixed,
+        so parquet readers skip it), then atomically swap the pointer."""
+        mpath = os.path.join(self._dir(table), f"v={v}", "_manifest.txt")
+        with open(mpath, "w") as f:
+            f.write("\n".join(manifest))
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"v={v}")
+        os.replace(tmp, self._pointer(table))
+        self._vacuum(table, keep=2)
 
     def overwrite(self, table: str, df: DataFrame) -> int:
         """Write a complete new version, then atomically swap the
@@ -61,25 +86,37 @@ class TableStore:
         v = (self.current_version(table) or 0) + 1
         target = os.path.join(self._dir(table), f"v={v}")
         df.write.mode("overwrite").parquet(target)
-        tmp = self._pointer(table) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(f"v={v}")
-        os.replace(tmp, self._pointer(table))
-        self._vacuum(table, keep=2)
+        self._commit(table, v, [f"v={v}"])
         return v
 
     def append(self, table: str, df: DataFrame) -> int:
-        """Ledger-style append = read current ∪ new, as a new version.
-        (On Delta this is a plain transactional append; here the swap
-        keeps the same all-or-nothing property.)"""
-        if self.exists(table):
-            df = self.read(table).unionByName(df)
-        return self.overwrite(table, df)
+        """File-level append: write ONLY the new rows' files into the
+        next version dir; the new manifest references the prior
+        version's files plus the new dir. Appending N rows to an M-row
+        table writes O(N) bytes, not O(M+N) — at 100 TB ledger scale
+        append-as-rewrite was the control plane's biggest cost (r01).
+        The pointer swap keeps the same all-or-nothing property; on
+        Delta/Iceberg this maps to a plain transactional append."""
+        cur = self.current_version(table)
+        if cur is None:
+            return self.overwrite(table, df)
+        v = cur + 1
+        target = os.path.join(self._dir(table), f"v={v}")
+        df.write.mode("overwrite").parquet(target)
+        self._commit(table, v, [*self._manifest(table, cur), f"v={v}"])
+        return v
 
     def _vacuum(self, table: str, keep: int) -> None:
+        """Delete version dirs neither recent nor referenced by any of
+        the last ``keep`` versions' manifests (readers resolving an
+        older pointer get a grace window, as before)."""
         v = self.current_version(table)
+        referenced: set[str] = set()
+        for recent in range(max(1, v - keep + 1), v + 1):
+            if os.path.isdir(os.path.join(self._dir(table), f"v={recent}")):
+                referenced.update(self._manifest(table, recent))
         for name in os.listdir(self._dir(table)):
-            if name.startswith("v="):
+            if name.startswith("v=") and name not in referenced:
                 n = int(name.removeprefix("v="))
                 if n <= v - keep:
                     shutil.rmtree(os.path.join(self._dir(table), name), ignore_errors=True)

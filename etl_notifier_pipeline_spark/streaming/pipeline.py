@@ -87,6 +87,53 @@ class LogNotifier(Notifier):
         log.info("notify: %s — %s", subject, body)
 
 
+OUTCOME_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.StringType(), False),
+        T.StructField("operation", T.StringType(), True),
+        T.StructField("table_name", T.StringType(), True),
+        T.StructField("file_name", T.StringType(), True),
+        T.StructField("bucket", T.StringType(), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("details", T.StringType(), True),
+        T.StructField("approval_timestamp", T.StringType(), True),
+    ]
+)
+
+
+def render_result_notifications(outcomes: DataFrame) -> DataFrame:
+    """S14 — the reference's per-operation result email
+    (``process-pipeline.py:366-387``: subject ``"{Status}: {Op}
+    Operation on {table}"`` + an HTML body with file/event/bucket/
+    timestamp lines) rendered as pure Column expressions
+    (``format_string``/``initcap``), so body templating for a
+    100 TB-scale outcome stream stays JVM-side — no driver string
+    formatting per event.
+    """
+    ok = F.col("status").isin("approved")
+    status_word = F.when(ok, F.lit("Success")).otherwise(F.lit("Failure"))
+    subject = F.format_string(
+        "%s: %s Operation on %s",
+        status_word, F.initcap("operation"), F.col("table_name"),
+    )
+    body = F.format_string(
+        "<html><body><p>Dear User,</p>"
+        "<p>The <strong>%s</strong> operation on table <strong>%s</strong> "
+        "via file <strong>%s</strong> (Event ID: %s) has finished processing.</p>"
+        "<p><strong>Status:</strong> %s</p>"
+        "<p><strong>Details:</strong></p><p>%s</p>"
+        "<p><strong>Bucket:</strong> %s</p>"
+        "<p><strong>Timestamp:</strong> %s</p>"
+        "<p>Best regards,<br>Your Data Engineering Team</p></body></html>",
+        F.col("operation"), F.col("table_name"), F.col("file_name"),
+        F.col("event_id"), status_word, F.coalesce("details", F.lit("")),
+        F.coalesce("bucket", F.lit("")), F.coalesce("approval_timestamp", F.lit("")),
+    )
+    return outcomes.select(
+        "event_id", subject.alias("subject"), body.alias("body")
+    )
+
+
 @dataclass
 class ApprovalPipeline:
     spark: SparkSession
@@ -106,43 +153,51 @@ class ApprovalPipeline:
 
         Driver-side iteration here is over *events in the micro-batch*
         (a handful of file approvals), never over data rows — each
-        event fans out to distributed DataFrame plans.
+        event fans out to distributed DataFrame plans. Ledger status
+        transitions are accumulated and applied as ONE ``mark_many``
+        per micro-batch (O(1) ledger rewrites per batch, not O(events)),
+        and notification subject/body are rendered JVM-side via
+        ``render_result_notifications`` (S14).
         """
         fresh = self.ledger.filter_unprocessed(events)
+        outcomes: list[tuple] = []
         for row in fresh.collect():
             ev = row.asDict()
             try:
-                self._apply_event(ev)
+                status, details = self._apply_event(ev)
             except Exception as exc:  # ST3: poison event -> dead letter
                 self.dead_letters.append({**ev, "error": str(exc)})
-                self.ledger.mark(
-                    self._one_id(ev["event_id"]), "failed",
-                    approval_timestamp=ev.get("approval_timestamp"),
-                )
-                self.notifier.notify(
-                    f"{(ev.get('operation') or 'unknown').capitalize()} failed: "
-                    f"{ev.get('file_name')}",
-                    str(exc),
-                )
+                status, details = "failed", str(exc)
+            outcomes.append((
+                ev["event_id"], ev.get("operation") or "unknown",
+                ev.get("table_name") or "", ev.get("file_name") or "",
+                ev.get("bucket") or "", status, details,
+                ev.get("approval_timestamp"),
+            ))
+        if not outcomes:
+            return
+        odf = self.spark.createDataFrame(outcomes, OUTCOME_SCHEMA)
+        self.ledger.mark_many(
+            odf.select(
+                "event_id", "status",
+                F.lit(True).alias("is_processed"), "approval_timestamp",
+            )
+        )
+        for r in render_result_notifications(odf).collect():
+            self.notifier.notify(r["subject"], r["body"])
 
-    def _one_id(self, event_id: str) -> DataFrame:
-        return self.spark.createDataFrame([(event_id,)], ["event_id"])
+    def _apply_event(self, ev: dict) -> tuple[str, str]:
+        """Apply one approval event; return (ledger_status, details).
 
-    def _apply_event(self, ev: dict) -> None:
+        Pure effect dispatch — ledger transition and notification are
+        batched by ``run_batch``.
+        """
         status = ev.get("action")
         status = {"approve": "approved", "reject": "rejected"}.get(status or "")
         if status is None:
             raise ValueError(f"unknown action {ev.get('action')!r}")
         if status == "rejected":  # EP3 step 7: ledger update only
-            self.ledger.mark(
-                self._one_id(ev["event_id"]), "rejected",
-                approval_timestamp=ev.get("approval_timestamp"),
-            )
-            self.notifier.notify(
-                f"{(ev.get('operation') or '').capitalize()} rejected: {ev['file_name']}",
-                f"table {ev['table_name']}",
-            )
-            return
+            return "rejected", f"Rejected by approver; table {ev['table_name']} unchanged."
 
         table, op = ev["table_name"], ev["operation"]
         incoming = read_csv_all_string(
@@ -161,19 +216,24 @@ class ApprovalPipeline:
         incoming = incoming.select(*target.columns) if set(target.columns) == set(
             incoming.columns
         ) else incoming
-        order = [incoming.columns[0]] if not keys else [
-            c for c in incoming.columns if c not in keys
-        ] or [incoming.columns[0]]
+        # Reference conflict semantics are POSITIONAL (executemany file
+        # order): first row per key wins for insert, last for update.
+        # Capture file order at read time — a single-file read's
+        # monotonically_increasing_id is ordered by file offset.
+        incoming = incoming.withColumn("__file_order", F.monotonically_increasing_id())
+        order = ["__file_order"]
 
         if op == "insert":
             result = (
                 insert_if_absent(target, incoming, keys, order)
                 if keys
-                else target.unionByName(incoming)
+                else target.unionByName(incoming.drop("__file_order"))
             )
             self.store.overwrite(table, result)
+            details = f"Inserted file rows into {table} (conflicts skipped)."
         elif op == "update":
             self.store.overwrite(table, upsert(target, incoming, keys, order))
+            details = f"Upserted file rows into {table}."
         elif op == "delete":
             # ST4: queue, don't execute (two-phase)
             reqs = incoming.select(
@@ -181,17 +241,11 @@ class ApprovalPipeline:
                 F.lit(table).alias("target_table"),
                 F.to_json(F.struct(*[F.col(k) for k in keys])).alias("key_json"),
             )
-            self.ledger.queue_deletes(reqs)
+            queued = self.ledger.queue_deletes(reqs)
+            details = f"Stored delete queries for {queued.count()} rows into delete_control."
         else:
             raise ValueError(f"unknown operation {op!r}")
-
-        self.ledger.mark(
-            self._one_id(ev["event_id"]), "approved",
-            approval_timestamp=ev.get("approval_timestamp"),
-        )
-        self.notifier.notify(
-            f"{op.capitalize()} succeeded: {ev['file_name']}", f"table {table}"
-        )
+        return "approved", details
 
     # -- EP4: scheduled delete drain ---------------------------------------
 

@@ -142,7 +142,7 @@ class TestApprovalPipeline:
         # ST3: failure recorded, not raised; status=failed + notification
         assert len(pipeline.dead_letters) == 1
         assert led.processed_files().collect()[0]["status"] == "failed"
-        assert "failed" in pipeline.notifier.sent[-1][0].lower()
+        assert "failure" in pipeline.notifier.sent[-1][0].lower()
 
     def test_delete_without_pk_fails(self, spark, pipeline, tmp_store):
         led = pipeline.ledger
