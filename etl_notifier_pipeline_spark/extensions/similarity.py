@@ -188,6 +188,146 @@ def ann_lsh_topk(
     )
 
 
+def _lit_vec(values: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in values])
+
+
+def _sqdist(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid — same JVM-side fold
+    as ``dot``; the centroid rides along as an array literal."""
+    return F.aggregate(
+        F.zip_with(vec, _lit_vec(centroid), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cell_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    return F.array(*[_sqdist(vec, c) for c in centroids])
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (argmin of squared distance; first
+    index wins distance ties — deterministic)."""
+    d = _cell_dists(vec, centroids)
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    *,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Coarse-quantizer centroids: deterministic seeds (the ``n_cells``
+    lowest-id corpus vectors) refined by ``n_iter`` distributed Lloyd
+    steps — assignment is a narrow JVM pass; the element-wise mean is a
+    (cell, pos) shuffle of scalars, never of whole vectors. The
+    centroid table itself is tiny (n_cells × dim) and lives driver-side
+    like any broadcast dimension."""
+    seeds = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    cents = [list(map(float, r[vec_col])) for r in seeds]
+    for _ in range(n_iter):
+        assigned = corpus.select(
+            ivf_assign(F.col(vec_col), cents).alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        means = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        cents = [
+            [by_cell[i][p] for p in range(len(cents[i]))] if i in by_cell else cents[i]
+            for i in range(n_cells)
+        ]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer:
+    assign every corpus vector to its nearest centroid cell, probe only
+    the ``n_probe`` nearest cells per query, exact cosine rerank inside
+    the probed cells.
+
+    Scale shape: one narrow corpus pass computes cell ids; the
+    candidate join is a broadcast equi-join on ``cell`` (the corpus is
+    never shuffled); each (query, neighbor) pair appears at most once
+    because a corpus vector lives in exactly one cell, so no dedup
+    stage is needed (unlike multi-table LSH). Recall is the standard
+    IVF trade-off: higher ``n_probe`` -> more cells scanned. The
+    centroids here come from seeded Lloyd steps; a production corpus
+    would plug in trained k-means centroids — the operator only needs
+    the list.
+    Approximate by construction -> rows-only driver check + recall
+    property test, no SQL oracle."""
+    cents = ivf_centroids(
+        corpus, n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        ivf_assign(F.col(vec_col), cents).alias("cell"),
+    )
+    probes = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _sqdist(F.col(vec_col), cent).alias("d"),
+                        F.lit(i).cast("int").alias("cell"),
+                    )
+                    for i, cent in enumerate(cents)
+                ]
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(probes).alias("p"),
+    ).select("query_id", "q_vec", "q_norm", F.col("p.cell").alias("cell"))
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def blocked_near_dup_pairs(
     df: DataFrame,
     block_col: str = "label",

@@ -46,6 +46,25 @@ def distinct_token_count(col: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(col)))
 
 
+# BPE-style pre-tokenizer: splits into letter runs, digit runs, and
+# punctuation runs, each optionally absorbing one leading space — the
+# GPT-2 pre-tokenization shape, restricted to lookahead-free RE2 syntax
+# so Spark (Java regex) and DuckDB (RE2) agree token-for-token.
+BPE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_tokens(col: Column | str, pattern: str = BPE_PATTERN) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(pattern), F.lit(0))
+
+
+def bpe_token_count(col: Column | str, pattern: str = BPE_PATTERN) -> Column:
+    """Sub-word-ish token budget estimate: counts BPE pre-tokenizer
+    pieces, the standard first-order proxy for LLM token counts when
+    the real BPE merge table isn't in play."""
+    return F.size(bpe_tokens(col, pattern))
+
+
 def stopword_count(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
     return F.size(F.filter(tokens(col), lambda t: t.isin(*stopwords)))
 

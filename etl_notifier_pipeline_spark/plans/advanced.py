@@ -521,3 +521,14 @@ def st05_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+@register("s04_ivf_topk", category="similarity", oracle=None)
+def s04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer (seeded Lloyd
+    centroids, nearest-cell assignment, n_probe-cell search + exact
+    cosine rerank) — the cluster-pruning scale path next to s03's LSH.
+    Rows-only check; recall-vs-bruteforce is a property test."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3)

@@ -145,3 +145,36 @@ def x05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     extensions.text.lang_id for the production-shape notes)."""
     d = load_table(spark, sf_dir, "documents")
     return X.lang_id(d, "text")
+
+
+@register(
+    "x07_bpe_token_budget",
+    category="text_analysis",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{X.BPE_PATTERN}'))) AS BIGINT)
+         AS total_bpe_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{X.BPE_PATTERN}'))) AS DOUBLE)
+         / COUNT(*) AS avg_bpe_tokens,
+       CAST(MAX(len(regexp_extract_all(text, '{X.BPE_PATTERN}'))) AS BIGINT)
+         AS max_bpe_tokens
+FROM documents
+GROUP BY lang
+""",
+)
+def x07_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token-budget estimate per language via the BPE pre-tokenizer
+    regex (letter/digit/punct runs with an optional leading space) —
+    the standard proxy when the merge table isn't in play. The regex
+    runs JVM-side (``regexp_extract_all``); one narrow scan, one small
+    shuffle. Lookahead-free pattern keeps Spark and DuckDB (RE2)
+    token-for-token identical."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = X.bpe_token_count("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_bpe_tokens"),
+        (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_bpe_tokens"),
+        F.max(n_tok).cast("bigint").alias("max_bpe_tokens"),
+    )

@@ -137,3 +137,52 @@ def st04_dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         )
     )
+
+
+@register(
+    "st07_notification_render",
+    category="streaming",
+    oracle="""
+SELECT CAST(event_id AS VARCHAR) AS event_id,
+       printf('%s: %s Operation on %s',
+              CASE WHEN value >= 50 THEN 'Success' ELSE 'Failure' END,
+              upper(substr(event_type, 1, 1)) || substr(event_type, 2),
+              'events') AS subject,
+       printf('<html><body><p>Dear User,</p><p>The <strong>%s</strong> operation on table <strong>%s</strong> via file <strong>%s</strong> (Event ID: %s) has finished processing.</p><p><strong>Status:</strong> %s</p><p><strong>Details:</strong></p><p>%s</p><p><strong>Bucket:</strong> %s</p><p><strong>Timestamp:</strong> %s</p><p>Best regards,<br>Your Data Engineering Team</p></body></html>',
+              event_type, 'events',
+              CAST(event_id AS VARCHAR) || '.csv',
+              CAST(event_id AS VARCHAR),
+              CASE WHEN value >= 50 THEN 'Success' ELSE 'Failure' END,
+              'rows=' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR),
+              'bucket-a',
+              strftime(ts, '%Y-%m-%d %H:%M:%S')) AS body
+FROM events
+WHERE event_id % 97 = 0
+""",
+)
+def st07_notification_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 — result-notification subject/body templating as pure
+    Column expressions (``format_string``/``initcap``), value-checked
+    against DuckDB ``printf``. Mirrors the reference's per-operation
+    result email (``process-pipeline.py:366-387``); the live pipeline
+    renders through the same ``render_result_notifications`` plan."""
+    from etl_notifier_pipeline_spark.streaming.pipeline import (
+        render_result_notifications,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    outcomes = ev.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.col("event_type").alias("operation"),
+        F.lit("events").alias("table_name"),
+        F.concat(F.col("event_id").cast("string"), F.lit(".csv")).alias("file_name"),
+        F.lit("bucket-a").alias("bucket"),
+        F.when(F.col("value") >= 50, F.lit("approved"))
+        .otherwise(F.lit("failed"))
+        .alias("status"),
+        F.concat(
+            F.lit("rows="), F.floor("value").cast("bigint").cast("string")
+        ).alias("details"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("approval_timestamp"),
+    )
+    return render_result_notifications(outcomes)

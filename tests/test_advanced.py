@@ -39,6 +39,37 @@ def test_ann_recall_vs_bruteforce(spark):
     assert all(q != n for q, n in a)
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = S.topk_cosine(emb, queries, k=5)
+    approx = S.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 3-of-8 cells probed on near-orthogonal random vectors: recall is
+    # bounded by the probe fraction's neighborhood coverage; must stay
+    # far above chance (5/499 ≈ 1%).
+    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
+    assert all(q != n for q, n in a)
+    # every query returns at most k rows, all from probed cells
+    counts = approx.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 5 for r in counts)
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """n_probe == n_cells degenerates IVF to exact search — the
+    recall-1.0 invariant that pins the rerank arithmetic to the
+    brute-force baseline."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    exact = {(r["query_id"], r["neighbor_id"], r["rank"])
+             for r in S.topk_cosine(emb, queries, k=5).collect()}
+    full = {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in S.ivf_topk(emb, queries, k=5, n_cells=4, n_probe=4).collect()}
+    assert full == exact
+
+
 def test_asof_window_and_pandas_strategies_agree(spark):
     left = spark.createDataFrame(
         [(1, 10, "e1"), (1, 25, "e2"), (2, 5, "e3"), (3, 50, "e4")],
