@@ -303,3 +303,68 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         sig = term if sig is None else sig + term
     return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every doc in a
+    component gets ``cluster_id`` = the component's minimum doc id —
+    the canonical-representative step that turns pairwise dedup output
+    into keep/drop decisions.
+
+    Iterative min-label propagation: each round joins labels across
+    edges and keeps the element-wise minimum, converging in
+    O(component diameter) rounds (near-dup components are shallow —
+    star-like around a template — so this is 2-4 rounds in practice).
+    Each round is one equi-join + one partial-aggregated groupBy on
+    the PAIR set, which is tiny next to the corpus; the corpus itself
+    is never touched. For adversarial long-chain graphs the
+    large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce") drops in with the same join shape.
+    The driver-side loop is control flow only (one count per round);
+    each round's labels are ``localCheckpoint``-ed — iterative plans
+    MUST truncate lineage, or the logical plan doubles every round and
+    the optimizer itself OOMs long before the data does.
+    """
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select("u").distinct().withColumn("label", F.col("u")).localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("nl")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("nl").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -121,10 +121,9 @@ def d03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(d, threshold=0.6)
 
 
-@register(
-    "d04_minhash_lsh_pairs",
-    category="dedup",
-    oracle=f"""
+# Full LSH-pair pipeline as one reusable SQL block (d04 runs it
+# directly; d06 nests it under a recursive-CTE closure).
+_LSH_PAIRS_SQL = f"""
 WITH sig AS ({_SIG_SQL}),
 sig_bands AS (SELECT doc_id, {_BAND_KEYS} FROM sig),
 bands AS ({_BAND_UNION}),
@@ -138,7 +137,13 @@ cand AS (
 SELECT c.doc_a, c.doc_b, j.jaccard
 FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
 WHERE j.jaccard >= 0.5
-""",
+"""
+
+
+@register(
+    "d04_minhash_lsh_pairs",
+    category="dedup",
+    oracle=_LSH_PAIRS_SQL,
 )
 def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash+LSH pipeline: signatures -> 4 bands × 4 rows ->
@@ -171,3 +176,34 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes) — one narrow pass; ties resolve to 0 on both engines."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash(d)
+
+
+@register(
+    "d06_dedup_clusters",
+    category="dedup",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (
+  SELECT u, u AS v FROM nodes
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+""",
+)
+def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash+LSH near-dup pairs:
+    cluster_id = min doc in the component (the canonical-representative
+    step of a dedup pipeline). Iterative min-label propagation over the
+    pair graph — O(diameter) rounds of joins on the tiny pair set; the
+    DuckDB oracle computes the same closure with a recursive CTE, so
+    even the iterative operator is value-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(d, threshold=0.5)
+    return D.dedup_clusters(pairs)

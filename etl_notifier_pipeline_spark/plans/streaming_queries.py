@@ -186,3 +186,55 @@ def st07_notification_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("approval_timestamp"),
     )
     return render_result_notifications(outcomes)
+
+
+@register(
+    "st08_interval_join",
+    category="streaming",
+    oracle="""
+SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+       s.user_id AS user_id,
+       (epoch_us(p.ts) - epoch_us(s.ts)) // 60000000 AS minutes_after
+FROM events s JOIN events p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.ts
+ AND p.ts <= s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+""",
+)
+def st08_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin: purchases within 1h
+    after a signup by the same user — the same equi-key + event-time
+    range predicate Structured Streaming executes under dual
+    watermarks (live form in tests/test_stream_join.py). At scale the
+    equi-key carries the shuffle; the range predicate bounds the
+    per-key state window."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        s.join(
+            p,
+            ["user_id"],
+        )
+        .filter(
+            (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select(
+            "signup_id",
+            "purchase_id",
+            "user_id",
+            ((F.unix_micros("p_ts") - F.unix_micros("s_ts")) / F.lit(60000000))
+            .cast("long")
+            .alias("minutes_after"),
+        )
+    )

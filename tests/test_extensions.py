@@ -107,3 +107,30 @@ class TestMultimodal:
     def test_partition_sizing(self, spark, media):
         out = M.size_partitions(media, target_partition_mb=1)
         assert out.count() == 3
+
+
+def test_dedup_clusters_connected_components(spark):
+    # chain 1-2-3 (diameter > 1 forces >1 propagation round),
+    # pair 10-11, and 20-21-22 sharing hub 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (20, 22)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.dedup_clusters(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    n = 12  # diameter 11: exercises multi-round convergence + early exit
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["doc_a", "doc_b"]
+    )
+    got = D.dedup_clusters(pairs).collect()
+    assert len(got) == n + 1
+    assert all(r["cluster_id"] == 0 for r in got)
