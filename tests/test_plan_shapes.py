@@ -83,3 +83,31 @@ def test_salted_join_equals_plain_join(spark):
     plain = ev.join(dim, "user_id").select("event_id", "segment")
     salted = salted_join(ev, dim, ["user_id"], n_salts=4).select("event_id", "segment")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bpe_budget_prunes_and_partial_aggs(spark):
+    plan = plan_of(spark, "x07_bpe_token_budget")
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    for unused in ("doc_id", "source", "n_chars"):
+        assert unused not in scan  # only lang + text leave the scan
+    assert "partial_sum" in plan  # map-side combine before the lang shuffle
+
+
+def test_interval_join_broadcasts_no_shuffle(spark):
+    plan = plan_of(spark, "st08_interval_join")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # equi-key carried by broadcast
+
+
+def test_ivf_broadcasts_probes_over_corpus(spark):
+    plan = plan_of(spark, "s04_ivf_topk")
+    assert "BroadcastHashJoin" in plan  # probe set broadcast, corpus unshuffled
+    # the only hash exchange is the top-k ranking window
+    shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(shuffles) == 1 and "query_id" in shuffles[0]
+
+
+def test_notification_render_is_pure_projection(spark):
+    plan = plan_of(spark, "st07_notification_render")
+    assert "Exchange" not in plan  # scan + filter + format_string only
+    assert "format_string" in plan or "Project" in plan
