@@ -239,14 +239,19 @@ class TestLshParameterization:
         pairs = minhash_lsh_dedup(
             docs, threshold=0.5, n_hashes=8, n_bands=2
         ).collect()
+        assert pairs, "non-default banding found no near-dup pairs at all"
         assert all(p["jaccard"] >= 0.5 for p in pairs)
-        # fewer, wider bands -> candidate recall can only shrink vs the
-        # verified default-parameter result set
-        default_pairs = {
+        # soundness at any parameterization: LSH output is a subset of
+        # the exhaustive n-gram Jaccard pairs at the same threshold
+        # (jaccard_pairs is candidate-complete: any pair with J >= 0.5
+        # shares at least one shingle)
+        from etl_notifier_pipeline_spark.extensions.dedup import jaccard_pairs
+
+        exact = {
             (p["doc_a"], p["doc_b"])
-            for p in minhash_lsh_dedup(docs, threshold=0.5).collect()
+            for p in jaccard_pairs(docs, threshold=0.5).collect()
         }
-        assert {(p["doc_a"], p["doc_b"]) for p in pairs} <= default_pairs or pairs
+        assert {(p["doc_a"], p["doc_b"]) for p in pairs} <= exact
 
     def test_bad_banding_rejected(self, spark):
         from etl_notifier_pipeline_spark.catalog import load_table
