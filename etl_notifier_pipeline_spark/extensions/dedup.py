@@ -305,6 +305,68 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return per_doc.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 32-bit signature into
+    ``n_bands`` byte-sized keys, equi-join on (band_idx, band_value)
+    for candidates (pigeonhole: any pair within ``max_hamming`` <
+    ``n_bands`` bit flips shares at least one unchanged band), then
+    verify hamming distance via ``bit_count(xor)`` in-row.
+
+    Scale shape: identical to MinHash banding — the candidate shuffle
+    carries (band_idx, one byte, doc_id); signatures are 8 bytes; text
+    never moves. All JVM-side bit arithmetic, oracle-checkable."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    band_width = bits // n_bands
+    mask = (1 << band_width) - 1
+    sig = simhash(df, text_col)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), b * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -155,3 +155,44 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
         expr.alias("predicted_lang"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by ratio-form tf-idf:
+    score = tf * N / df (term frequency x inverse document-frequency
+    ratio). The log is deliberately omitted: ln() differs in the last
+    ulp across libm implementations, while an int*int/int double
+    division is bit-identical on every engine — rankings are unchanged
+    (log is monotone), and the score stays oracle-checkable.
+
+    Scale shape: explode -> (doc, token) partial-agg count (the only
+    wide shuffle, carrying token strings once), token-level df as a
+    second small agg, corpus size N rides in as a literal. The ranking
+    window shuffles (doc_id, token, two longs).
+    """
+    from pyspark.sql import Window as W
+
+    n_docs = df.count()
+    tf = (
+        df.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias(
+            "tfidf_ratio"
+        ),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf_ratio").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "tfidf_ratio", "rank")
+    )

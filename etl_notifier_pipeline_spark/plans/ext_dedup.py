@@ -154,10 +154,8 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(d, threshold=0.5)
 
 
-@register(
-    "d05_simhash",
-    category="dedup",
-    oracle=f"""
+# SimHash signature SQL, reusable (d05 emits it; d07 bands it).
+_SIMHASH_SQL = f"""
 SELECT doc_id,
        {" + ".join(
         f"(CASE WHEN list_reduce(list_transform(hs, "
@@ -169,7 +167,13 @@ FROM (SELECT doc_id,
              list_transform(string_split(text, ' '),
                             x -> {DUCK_HASH.format(x='x')}) AS hs
       FROM documents)
-""",
+"""
+
+
+@register(
+    "d05_simhash",
+    category="dedup",
+    oracle=_SIMHASH_SQL,
 )
 def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures (per-bit weighted majority over token
@@ -207,3 +211,37 @@ def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_dedup(d, threshold=0.5)
     return D.dedup_clusters(pairs)
+
+
+N_SIMHASH_BANDS = 4
+_BAND_W = D.SIMHASH_BITS // N_SIMHASH_BANDS
+_SIM_BAND_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band_idx, "
+    f"(simhash >> {b * _BAND_W}) & {(1 << _BAND_W) - 1} AS band_val FROM sims"
+    for b in range(N_SIMHASH_BANDS)
+)
+
+
+@register(
+    "d07_simhash_pairs",
+    category="dedup",
+    oracle=f"""
+WITH sims AS ({_SIMHASH_SQL}),
+bands AS ({_SIM_BAND_UNION}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         bit_count(xor(l.simhash, r.simhash)) AS hamming
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+   AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+""",
+)
+def d07_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-band the 32-bit signature for
+    candidates (pigeonhole: hamming <= 3 < 4 bands guarantees a shared
+    band), verify with in-row bit_count(xor). The banding/verify split
+    mirrors MinHash-LSH with 8-byte signatures instead of 16 minima."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, max_hamming=3)

@@ -178,3 +178,34 @@ def x07_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_bpe_tokens"),
         F.max(n_tok).cast("bigint").alias("max_bpe_tokens"),
     )
+
+
+@register(
+    "x08_tfidf_terms",
+    category="text_analysis",
+    oracle="""
+WITH tfc AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+dfc AS (SELECT token, COUNT(*) AS df FROM tfc GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf, df, tfidf_ratio, rank FROM (
+  SELECT tfc.doc_id, tfc.token, tfc.tf, dfc.df,
+         CAST(tfc.tf * n.n_docs AS DOUBLE) / dfc.df AS tfidf_ratio,
+         ROW_NUMBER() OVER (
+           PARTITION BY tfc.doc_id
+           ORDER BY CAST(tfc.tf * n.n_docs AS DOUBLE) / dfc.df DESC, tfc.token
+         ) AS rank
+  FROM tfc JOIN dfc USING (token) CROSS JOIN n
+) WHERE rank <= 3
+""",
+)
+def x08_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by ratio-form tf-idf
+    (log-free so the score is bit-exact cross-engine; ranking is
+    unchanged since log is monotone). Two counting aggs + one ranking
+    window; the corpus-size scalar rides in as a literal."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(d, "text", k=3)

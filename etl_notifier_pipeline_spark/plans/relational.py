@@ -634,3 +634,38 @@ def q19_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("value").cast(VAL)).cast("double"))
     )
     return piv
+
+
+@register(
+    "q33_above_customer_avg",
+    category="subquery",
+    oracle="""
+WITH pc AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_p,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, pc.n_orders
+FROM orders o JOIN pc ON o.o_custkey = pc.o_custkey
+WHERE CAST(o.o_totalprice AS DECIMAL(12,2)) * pc.n_orders > pc.sum_p
+""",
+)
+def q33_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery ("orders above this customer's
+    average"), written as its decorrelated plan — the aggregate-then-
+    rejoin Catalyst itself rewrites such subqueries into. The predicate
+    compares price*count > sum in exact decimal instead of dividing:
+    avg() would round differently across engines (Spark widens the
+    decimal, DuckDB goes to double), while the cross-multiplied form
+    is bit-exact and algebraically identical."""
+    o = load_table(spark, sf_dir, "orders")
+    pc = o.groupBy("o_custkey").agg(
+        F.sum(_m("o_totalprice")).alias("sum_p"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        o.join(pc, "o_custkey")
+        .filter(_m("o_totalprice") * F.col("n_orders") > F.col("sum_p"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "n_orders")
+    )

@@ -134,3 +134,27 @@ def test_dedup_clusters_long_chain_converges(spark):
     got = D.dedup_clusters(pairs).collect()
     assert len(got) == n + 1
     assert all(r["cluster_id"] == 0 for r in got)
+
+
+def test_simhash_pairs_pigeonhole_guard(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_pairs(docs, max_hamming=4, n_bands=4)
+    # identical docs: hamming 0, always paired
+    pairs = D.simhash_pairs(docs, max_hamming=3).collect()
+    assert [(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from etl_notifier_pipeline_spark.extensions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "common common rare"), (2, "common stuff"), (3, "common other")],
+        ["doc_id", "text"],
+    )
+    top = tfidf_top_terms(docs, k=1)
+    got = {r["doc_id"]: r["token"] for r in top.collect()}
+    # doc 1: tf(common)=2/df=3 -> 2, tf(rare)=1/df=1 -> 3: rare wins
+    assert got[1] == "rare"
