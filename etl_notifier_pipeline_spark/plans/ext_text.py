@@ -209,3 +209,40 @@ def x08_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; the corpus-size scalar rides in as a literal."""
     d = load_table(spark, sf_dir, "documents")
     return X.tfidf_top_terms(d, "text", k=3)
+
+
+_DENY = ("hash", "spark", "join")
+_DENY_SQL = ", ".join(f"'{w}'" for w in _DENY)
+
+
+@register(
+    "x09_term_scrub",
+    category="text_analysis",
+    oracle=f"""
+SELECT doc_id,
+       array_to_string(list_transform(string_split(text, ' '),
+         t -> CASE WHEN t IN ({_DENY_SQL}) THEN '<MASKED>' ELSE t END), ' ')
+         AS scrubbed,
+       len(list_filter(string_split(text, ' '),
+         t -> t IN ({_DENY_SQL}))) AS n_masked
+FROM documents
+WHERE doc_id % 7 = 0
+""",
+)
+def x09_term_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deny-list scrubbing (the content-policy masking pass of a
+    training-data pipeline): token-level replacement via a pure HOF
+    transform + rejoin, masked-count via a HOF filter — no regex
+    backtracking, no Python, zero shuffle; trivially retargetable to a
+    broadcast deny-table at 100 TB."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    toks = F.split(F.col("text"), " ")
+    masked = F.transform(
+        toks,
+        lambda t: F.when(t.isin(*_DENY), F.lit("<MASKED>")).otherwise(t),
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(masked, " ").alias("scrubbed"),
+        F.size(F.filter(toks, lambda t: t.isin(*_DENY))).alias("n_masked"),
+    )

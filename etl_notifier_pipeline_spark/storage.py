@@ -120,3 +120,51 @@ class TableStore:
                 n = int(name.removeprefix("v="))
                 if n <= v - keep:
                     shutil.rmtree(os.path.join(self._dir(table), name), ignore_errors=True)
+
+
+class CatalogTableStore:
+    """Metastore-backed TableStore twin (SURVEY §1.3's
+    ``df.write.saveAsTable`` mapping): tables live in the session
+    catalog / warehouse dir under a namespace instead of the
+    pointer-file layout. Same duck-typed surface the control plane uses
+    (exists/read/overwrite/append), so ``Ledger``/``ApprovalPipeline``
+    run unchanged against either backend.
+
+    Trade-offs vs ``TableStore`` (deliberate, documented): the catalog
+    handles concurrent readers and name resolution, and ``append`` is a
+    true file-level append; but plain-parquet ``saveAsTable`` overwrite
+    is not atomic mid-write — pick THIS backend when a metastore is the
+    deployment target (with Delta/Iceberg providing the transactional
+    overwrite), the pointer-swap backend when it is not.
+    """
+
+    def __init__(self, spark: SparkSession, namespace: str = "engine") -> None:
+        self.spark = spark
+        self.namespace = namespace
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {namespace}")
+
+    def _qualified(self, table: str) -> str:
+        return f"{self.namespace}.{table}"
+
+    def exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(self._qualified(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.table(self._qualified(table))
+
+    def overwrite(self, table: str, df: DataFrame) -> int:
+        # Self-referential overwrites (the mutation pattern: read t,
+        # transform, write t) must materialize first — saveAsTable
+        # cannot scan the table it is truncating. localCheckpoint keeps
+        # the materialization distributed (executor-local blocks, no
+        # driver collect).
+        if self.exists(table):
+            df = df.localCheckpoint()
+        df.write.mode("overwrite").format("parquet").saveAsTable(
+            self._qualified(table)
+        )
+        return 0
+
+    def append(self, table: str, df: DataFrame) -> int:
+        df.write.mode("append").format("parquet").saveAsTable(self._qualified(table))
+        return 0
