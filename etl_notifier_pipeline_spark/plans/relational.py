@@ -669,3 +669,59 @@ def q33_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_m("o_totalprice") * F.col("n_orders") > F.col("sum_p"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "n_orders")
     )
+
+
+@register(
+    "q34_shipping_priority",
+    category="join",
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)))
+         AS DOUBLE) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+)
+def q34_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped multi-join: filtered customer dim broadcasts
+    into orders, the half-joined orders broadcast into the lineitem
+    scan, one grouped decimal-exact revenue agg, TakeOrdered top-10
+    (revenue desc, unique orderkey tie-break). lineitem — the 100 TB
+    fact — is scanned once and never shuffled before the aggregation."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    rev = (_m("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast(RATE))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

@@ -161,12 +161,13 @@ class ApprovalPipeline:
         """
         fresh = self.ledger.filter_unprocessed(events)
         outcomes: list[tuple] = []
+        batch_dead: list[dict] = []
         for row in fresh.collect():
             ev = row.asDict()
             try:
                 status, details = self._apply_event(ev)
             except Exception as exc:  # ST3: poison event -> dead letter
-                self.dead_letters.append({**ev, "error": str(exc)})
+                batch_dead.append({**ev, "error": str(exc)})
                 status, details = "failed", str(exc)
             outcomes.append((
                 ev["event_id"], ev.get("operation") or "unknown",
@@ -176,6 +177,25 @@ class ApprovalPipeline:
             ))
         if not outcomes:
             return
+        if batch_dead:
+            # Durable dead-letter queue: one append per batch (the
+            # in-memory list is a convenience view; the table is the
+            # record — a restart must not lose poison events).
+            self.dead_letters.extend(batch_dead)
+            self.store.append(
+                "dead_letters",
+                self.spark.createDataFrame(
+                    [
+                        (d["event_id"], d.get("operation"), d.get("table_name"),
+                         d.get("file_name"), d.get("bucket"), d["error"],
+                         d.get("approval_timestamp"))
+                        for d in batch_dead
+                    ],
+                    "event_id string, operation string, table_name string, "
+                    "file_name string, bucket string, error string, "
+                    "approval_timestamp string",
+                ),
+            )
         odf = self.spark.createDataFrame(outcomes, OUTCOME_SCHEMA)
         self.ledger.mark_many(
             odf.select(

@@ -143,6 +143,10 @@ class TestApprovalPipeline:
         assert len(pipeline.dead_letters) == 1
         assert led.processed_files().collect()[0]["status"] == "failed"
         assert "failure" in pipeline.notifier.sent[-1][0].lower()
+        # the dead letter is durable, not just in-memory
+        dl = pipeline.store.read("dead_letters").collect()
+        assert len(dl) == 1 and dl[0]["event_id"] == "e9"
+        assert dl[0]["error"]
 
     def test_delete_without_pk_fails(self, spark, pipeline, tmp_store):
         led = pipeline.ledger
