@@ -202,3 +202,64 @@ def m07_status_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("string"))
     )
     return ev.groupBy(status.alias("status")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "m08_scd2_upsert",
+    category="mutation",
+    oracle="""
+WITH cur AS (
+  SELECT c_custkey, c_name, c_acctbal,
+         '2025-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+  FROM customer
+),
+inc AS (
+  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal
+  FROM customer WHERE c_custkey % 97 = 0
+),
+changed AS (
+  SELECT t.c_custkey FROM cur t JOIN inc i USING (c_custkey)
+  WHERE t.c_name IS DISTINCT FROM i.c_name
+     OR t.c_acctbal IS DISTINCT FROM i.c_acctbal
+)
+SELECT c_custkey, c_name, c_acctbal, valid_from, '2026-01-01' AS valid_to
+FROM cur WHERE c_custkey IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to
+FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT i.c_custkey, i.c_name, i.c_acctbal,
+       '2026-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+FROM inc i
+WHERE i.c_custkey IN (SELECT c_custkey FROM changed)
+   OR i.c_custkey NOT IN (SELECT c_custkey FROM cur)
+""",
+)
+def m08_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 row-history upsert (operators/scd.py): changed keys close
+    their current version at the effective timestamp and insert a new
+    current row; unchanged rows emit no spurious versions; new keys
+    insert as current. One broadcast-incoming plan over a single
+    target scan — the engine-native form of a Delta MERGE
+    close-and-insert. Deterministic effective timestamp by contract."""
+    from etl_notifier_pipeline_spark.operators.scd import scd2_upsert
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    target = c.withColumn("valid_from", F.lit("2025-01-01")).withColumn(
+        "valid_to", F.lit(None).cast("string")
+    )
+    incoming = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 97 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(1000000)
+            )
+        )
+    )
+    return scd2_upsert(target, incoming, ["c_custkey"], "2026-01-01")

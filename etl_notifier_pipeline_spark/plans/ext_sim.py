@@ -53,19 +53,56 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_cosine(emb, queries, k=5)
 
 
-@register(
-    "s02_blocked_near_dup",
-    category="similarity",
-    oracle=f"""
+# Blocked near-dup pair SQL, reusable (s02 emits it; s05 clusters it).
+_NEAR_DUP_SQL = f"""
 SELECT l.label AS block, l.vec_id AS id_a, r.vec_id AS id_b,
        {_COS.format(a='l.embedding', b='r.embedding')} AS cos_sim
 FROM embeddings l JOIN embeddings r ON l.label = r.label
 WHERE l.vec_id < r.vec_id
   AND {_COS.format(a='l.embedding', b='r.embedding')} >= 0.4
-""",
+"""
+
+
+@register(
+    "s02_blocked_near_dup",
+    category="similarity",
+    oracle=_NEAR_DUP_SQL,
 )
 def s02_blocked_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs within a blocking key (label): the
     |block|²-not-n² candidate pattern for embedding-cosine dedup."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.blocked_near_dup_pairs(emb, block_col="label", threshold=0.4)
+
+
+@register(
+    "s05_embedding_clusters",
+    category="similarity",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_NEAR_DUP_SQL}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (
+  SELECT u, u AS v FROM nodes
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+""",
+)
+def s05_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup clusters: connected components over the
+    blocked-cosine pair graph (cluster_id = min member) — the same
+    canonical-representative step as d06, driven by vector similarity
+    instead of shingle overlap. Value-checked via recursive CTE."""
+    from etl_notifier_pipeline_spark.extensions.dedup import dedup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.blocked_near_dup_pairs(emb, block_col="label", threshold=0.4)
+    return dedup_clusters(pairs, "id_a", "id_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )

@@ -70,3 +70,34 @@ def test_mutation_idempotence(spark, target):
     once = insert_if_absent(target, incoming, ["k"], ["v"])
     twice = insert_if_absent(once, incoming, ["k"], ["v"])
     assert rows(once) == rows(twice)
+
+
+def test_scd2_upsert_close_and_insert(spark):
+    from etl_notifier_pipeline_spark.operators.scd import scd2_upsert
+
+    target = spark.createDataFrame(
+        [
+            (1, "ann", "2024-01-01", "2025-01-01"),   # historical row
+            (1, "anne", "2025-01-01", None),          # current, will change
+            (2, "bob", "2025-01-01", None),           # current, unchanged
+            (3, "cyd", "2025-01-01", None),           # current, not in batch
+        ],
+        ["k", "name", "valid_from", "valid_to"],
+    )
+    incoming = spark.createDataFrame(
+        [(1, "anna"), (2, "bob"), (4, "dee")], ["k", "name"]
+    )
+    out = scd2_upsert(target, incoming, ["k"], "2026-01-01")
+    rows = {(r["k"], r["name"], r["valid_from"], r["valid_to"])
+            for r in out.collect()}
+    assert rows == {
+        (1, "ann", "2024-01-01", "2025-01-01"),   # history untouched
+        (1, "anne", "2025-01-01", "2026-01-01"),  # closed
+        (1, "anna", "2026-01-01", None),          # new current version
+        (2, "bob", "2025-01-01", None),           # unchanged: no new version
+        (3, "cyd", "2025-01-01", None),           # untouched
+        (4, "dee", "2026-01-01", None),           # brand-new key
+    }
+    # idempotency: re-applying the same batch changes nothing
+    again = scd2_upsert(out, incoming, ["k"], "2027-01-01")
+    assert again.count() == out.count()
