@@ -1,0 +1,48 @@
+"""Dataset splitting / sampling operators for training pipelines.
+
+A training corpus needs reproducible splits: the split must be a pure
+function of a stable row key — never ``rand()`` (re-runs, retries, and
+added data would reshuffle rows across splits, leaking val/test into
+train). The engine derives the split from the same engine-portable
+md5-prefix hash as the dedup operators, so assignments are identical
+across engines (DuckDB-oracle-checkable) and across runs, and adding
+new rows never moves an existing row's split.
+
+Spark's built-ins (``randomSplit``, ``sampleBy``) are seed-stable only
+per partitioning — a repartition changes the sample. Hash-based
+assignment has no such coupling: it is row-local, shuffle-free, and
+embarrassingly parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_notifier_pipeline_spark.extensions.text import token_hash
+
+
+def split_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from a stable key."""
+    return token_hash(key.cast("string")) % n_buckets
+
+
+def stratified_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Assign train/val/test by hash bucket of the key column.
+
+    Percentages are integer bucket counts out of 100 (exact, no float
+    thresholds); the remainder is test. Pure projection — zero shuffle.
+    """
+    b = split_bucket(F.col(key_col))
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

@@ -8,6 +8,7 @@ even the fingerprinting operator has a true value-level oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etl_notifier_pipeline_spark.catalog import load_table
@@ -245,4 +246,78 @@ def x09_term_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_join(masked, " ").alias("scrubbed"),
         F.size(F.filter(toks, lambda t: t.isin(*_DENY))).alias("n_masked"),
+    )
+
+
+@register(
+    "x10_stratified_split",
+    category="sampling",
+    oracle=f"""
+SELECT lang, split, COUNT(*) AS n_docs FROM (
+  SELECT lang,
+         CASE WHEN {DUCK_HASH.format(x='CAST(doc_id AS VARCHAR)')} % 100 < 80
+                THEN 'train'
+              WHEN {DUCK_HASH.format(x='CAST(doc_id AS VARCHAR)')} % 100 < 90
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+) GROUP BY lang, split
+""",
+)
+def x10_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by key hash (never
+    rand(): retries and new data must not move existing rows across
+    splits) — rolled up per (lang, split). The assignment itself is a
+    row-local projection, zero shuffle at any scale."""
+    from etl_notifier_pipeline_spark.extensions.sampling import stratified_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_split(d, "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "x11_sequence_packing",
+    category="sampling",
+    oracle="""
+SELECT doc_id, lang, n_tokens,
+       CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin_id
+FROM (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+         SUM(len(string_split(text, ' '))) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM documents
+)
+""",
+)
+def x11_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing of documents into fixed token-budget
+    bins (4096) per language — the start-offset form used to batch
+    LLM training sequences: bin = floor(start_token / budget), where
+    start_token is the running total before the doc. One running-sum
+    window per stratum; integer arithmetic, bit-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = X.token_count("text")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.sum(n_tok).over(w).alias("cum"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        ((F.col("cum") - F.col("n_tokens")) / F.lit(4096))
+        .cast("long")
+        .alias("bin_id"),
     )

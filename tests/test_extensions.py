@@ -158,3 +158,35 @@ def test_tfidf_rare_term_outranks_common(spark):
     got = {r["doc_id"]: r["token"] for r in top.collect()}
     # doc 1: tf(common)=2/df=3 -> 2, tf(rare)=1/df=1 -> 3: rare wins
     assert got[1] == "rare"
+
+
+def test_stratified_split_deterministic_and_stable(spark):
+    from etl_notifier_pipeline_spark.extensions.sampling import stratified_split
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = {r["doc_id"]: r["split"] for r in stratified_split(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         stratified_split(docs.repartition(7), "doc_id").collect()}
+    assert a == b  # partitioning-independent (unlike randomSplit)
+    frac_train = sum(s == "train" for s in a.values()) / len(a)
+    assert 0.7 < frac_train < 0.9
+    # adding rows never moves an existing row's split (hash is row-local)
+    half = {r["doc_id"]: r["split"] for r in
+            stratified_split(docs.filter(F.col("doc_id") < 250), "doc_id").collect()}
+    assert all(a[k] == v for k, v in half.items())
+
+
+def test_sequence_packing_respects_budget_boundaries(spark):
+    from etl_notifier_pipeline_spark.plans import get
+
+    out = get("x11_sequence_packing").fn(spark, SF_DIR).collect()
+    # bins are contiguous non-negative integers per lang, and a doc's
+    # bin is determined by the tokens that precede it
+    by_lang: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r["lang"], r["doc_id"])):
+        by_lang.setdefault(r["lang"], []).append(r)
+    for rows in by_lang.values():
+        cum = 0
+        for r in rows:
+            assert r["bin_id"] == cum // 4096
+            cum += r["n_tokens"]
