@@ -725,3 +725,34 @@ def q34_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "q35_argmax_latest",
+    category="aggregation",
+    oracle="""
+SELECT user_id,
+       (max({'ts': ts, 'event_id': event_id})).event_id AS last_event,
+       strftime((max({'ts': ts, 'event_id': event_id})).ts,
+                '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM events
+GROUP BY user_id
+""",
+)
+def q35_argmax_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user via max-of-struct argmax — ONE partially-
+    aggregated shuffle carrying a single (ts, id) struct per key,
+    versus the row_number window's full sort of every row. The
+    struct's field order (ts first, unique id second) makes the tie-
+    break deterministic on both engines; at 100 TB this is the idiom
+    that replaces 'ORDER BY ts DESC LIMIT 1 per key'."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.event_id").alias("last_event"),
+            F.date_format("m.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        )
+    )

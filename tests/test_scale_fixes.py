@@ -308,3 +308,23 @@ class TestCatalogTableStore:
         pipe.run_batch(batch(spark, ev("e1", "approve", "people.csv", "people", "insert")))
         assert store.read("people").count() == 3
         spark.sql(f"DROP DATABASE {ns} CASCADE")
+
+
+class TestCrashRecovery:
+    def test_partial_write_is_invisible_and_recoverable(self, spark, tmp_store):
+        """A writer that dies after writing files but BEFORE the
+        pointer swap leaves no trace for readers, and the next writer
+        reclaims the orphaned version dir."""
+        import os
+
+        df1 = spark.createDataFrame([(1,)], ["x"])
+        tmp_store.overwrite("t", df1)
+        # simulate the crash: stray v=2 with garbage, pointer untouched
+        stray = os.path.join(os.path.dirname(tmp_store.path("t")), "v=2")
+        os.makedirs(stray)
+        with open(os.path.join(stray, "part-junk.parquet"), "w") as f:
+            f.write("not parquet")
+        assert [r["x"] for r in tmp_store.read("t").collect()] == [1]
+        # next overwrite claims v=2 cleanly (mode=overwrite wipes junk)
+        tmp_store.overwrite("t", spark.createDataFrame([(2,)], ["x"]))
+        assert [r["x"] for r in tmp_store.read("t").collect()] == [2]
