@@ -105,13 +105,30 @@ def size_partitions(media: DataFrame, target_partition_mb: int = 256) -> DataFra
     return media.repartition(n)
 
 
+def frame_schedule(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """The metadata-only half of frame sampling: one row per sampled
+    frame offset, generated from ``meta.duration_ms`` as a JVM
+    ``sequence`` + ``explode`` — no binary column touched, so the
+    schedule is plannable (and oracle-checkable) independently of the
+    decoder."""
+    return media.filter(F.col("modality") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ms"),
+    )
+
+
 def sample_frames(
     media: DataFrame, every_ms: int = 1000, *, deterministic_fake: bool = False
 ) -> DataFrame:
-    """Video frame sampling: one output row per sampled frame offset.
-    The offsets come from metadata (duration), so the plan explodes a
-    JVM-generated sequence — the decoder is only invoked per sampled
-    frame, not per video."""
+    """Video frame sampling: one output row per sampled frame offset
+    (``frame_schedule``), decoder invoked per sampled frame only, never
+    per video."""
     frames = media.filter(F.col("modality") == "video").select(
         "media_id",
         F.explode(

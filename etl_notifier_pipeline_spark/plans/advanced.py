@@ -532,3 +532,29 @@ def s04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return S.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3)
+
+
+@register(
+    "xm02_frame_schedule",
+    category="multimodal",
+    oracle="""
+SELECT doc_id AS media_id,
+       unnest(range(0, greatest(CAST(n_chars AS BIGINT) - 1, 0) + 1, 250))
+         AS frame_ms
+FROM documents
+WHERE doc_id % 3 = 0
+""",
+)
+def xm02_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4's metadata-driven frame-sampling SCHEDULE, value-checked:
+    duration metadata -> JVM sequence+explode of frame offsets. The
+    decoder half stays a rows-only check (xm01); this pins the
+    distributed planning half — the part that determines 100 TB cost —
+    to an exact oracle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("modality"),
+        F.struct(F.col("n_chars").cast("long").alias("duration_ms")).alias("meta"),
+    )
+    return MM.frame_schedule(media, every_ms=250)

