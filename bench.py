@@ -4,8 +4,10 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 The headline set covers each operator family the engine claims: scan+
 agg (q01), star join (q05), window (q08), date rollup (q18), MERGE
 shape (m02), text tf (x02), minhash-LSH dedup (d04), cosine top-k
-(s01), sessionization (st03). Results are materialized with the noop
-sink so timings measure compute, not driver transfer.
+(s01), sessionization (st03), and — added in round 2 — the iterative
+graph family via connected-components dedup clusters (d06). Results
+are materialized with the noop sink so timings measure compute, not
+driver transfer.
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ HEADLINE = [
     "m02_upsert",
     "x02_term_frequency",
     "d04_minhash_lsh_pairs",
+    "d06_dedup_clusters",
     "s01_cosine_topk",
     "st03_session_window",
 ]
