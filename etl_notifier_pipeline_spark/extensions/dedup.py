@@ -53,9 +53,14 @@ def minhash_family(
 ) -> tuple[tuple[int, ...], tuple[int, ...]]:
     """Deterministic (A, B) permutation family of any size — a 100 TB
     corpus retune (more hashes / different banding) is a config change,
-    not new frozen constants. ``random.Random`` is seed-stable across
-    Python versions; A >= 1 keeps the map non-degenerate, and both
-    coefficients stay < HASH_MOD for int64-safe ``A*x + B``."""
+    not new frozen constants. At the default (16, 42) this returns the
+    FROZEN module constants (which predate this generator and are what
+    every oracle encodes), so all parameter paths agree; other sizes/
+    seeds come from ``random.Random`` (seed-stable across Python
+    versions). A >= 1 keeps the map non-degenerate; both coefficients
+    stay < HASH_MOD for int64-safe ``A*x + B``."""
+    if (n_hashes, seed) == (N_HASHES, 42):
+        return MINHASH_A, MINHASH_B
     import random
 
     rng = random.Random(seed)
@@ -267,11 +272,7 @@ def minhash_lsh_dedup(
     (signature + both verify sides), so text is md5-hashed exactly
     once. (On a cluster the persist maps to a checkpoint/staging table
     of (doc_id, int64[]) — tiny next to the corpus.)"""
-    family = (
-        (MINHASH_A, MINHASH_B)
-        if (n_hashes, seed) == (N_HASHES, 42)
-        else minhash_family(n_hashes, seed)
-    )
+    family = minhash_family(n_hashes, seed)
     hs = hashed_shingle_sets(df, text_col, n).persist()
     cand = lsh_candidate_pairs(minhash_signature_from_sets(hs, family), n_bands)
     return pair_jaccard(hs, cand).filter(F.col("jaccard") >= threshold)
@@ -402,6 +403,7 @@ def dedup_clusters(
     labels = (
         edges.select("u").distinct().withColumn("label", F.col("u")).localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -428,5 +430,14 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Wrong labels are worse than no labels: a non-converged result
+        # would silently split one component into several cluster_ids.
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or "
+            "switch to the large-star/small-star variant"
+        )
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))

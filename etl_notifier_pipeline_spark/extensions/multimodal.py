@@ -105,12 +105,14 @@ def size_partitions(media: DataFrame, target_partition_mb: int = 256) -> DataFra
     return media.repartition(n)
 
 
-def frame_schedule(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+def frame_schedule(
+    media: DataFrame, every_ms: int = 1000, *, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """The metadata-only half of frame sampling: one row per sampled
     frame offset, generated from ``meta.duration_ms`` as a JVM
-    ``sequence`` + ``explode`` — no binary column touched, so the
-    schedule is plannable (and oracle-checkable) independently of the
-    decoder."""
+    ``sequence`` + ``explode`` — no binary column touched (unless
+    explicitly carried via ``carry_cols``), so the schedule is
+    plannable (and oracle-checkable) independently of the decoder."""
     return media.filter(F.col("modality") == "video").select(
         "media_id",
         F.explode(
@@ -120,6 +122,7 @@ def frame_schedule(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.lit(every_ms),
             )
         ).alias("frame_ms"),
+        *carry_cols,
     )
 
 
@@ -127,19 +130,9 @@ def sample_frames(
     media: DataFrame, every_ms: int = 1000, *, deterministic_fake: bool = False
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame offset
-    (``frame_schedule``), decoder invoked per sampled frame only, never
-    per video."""
-    frames = media.filter(F.col("modality") == "video").select(
-        "media_id",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
-                F.lit(every_ms),
-            )
-        ).alias("frame_ms"),
-        "content",
-    )
+    (``frame_schedule``, carrying the bytes alongside), decoder invoked
+    per sampled frame only, never per video."""
+    frames = frame_schedule(media, every_ms, carry_cols=("content",))
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),

@@ -202,15 +202,22 @@ def _sqdist(vec: Column, centroid: list[float]) -> Column:
     )
 
 
-def _cell_dists(vec: Column, centroids: list[list[float]]) -> Column:
-    return F.array(*[_sqdist(vec, c) for c in centroids])
+def _cell_structs(vec: Column, centroids: list[list[float]]) -> Column:
+    return F.array(
+        *[
+            F.struct(_sqdist(vec, c).alias("d"), F.lit(i).cast("int").alias("cell"))
+            for i, c in enumerate(centroids)
+        ]
+    )
 
 
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid cell id (argmin of squared distance; first
-    index wins distance ties — deterministic)."""
-    d = _cell_dists(vec, centroids)
-    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+    """Nearest-centroid cell id via min-of-(dist, cell) structs: one
+    fold per centroid (array_position-over-array_min would inline the
+    interpreted folds TWICE per row — the CollapseProject duplication
+    this repo's parity notes warn against); lowest cell wins distance
+    ties — deterministic."""
+    return F.array_min(_cell_structs(vec, centroids)).getField("cell")
 
 
 def ivf_centroids(
@@ -231,11 +238,18 @@ def ivf_centroids(
         corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     )
     cents = [list(map(float, r[vec_col])) for r in seeds]
+    if not cents:
+        raise ValueError("ivf_centroids: corpus is empty")
+    # A corpus smaller than n_cells degrades to one cell per vector.
+    n_cells = len(cents)
     for _ in range(n_iter):
+        # Two selects on purpose: a generator (posexplode) in the same
+        # projection as the struct-getField argmin strips the struct's
+        # field names during analysis (Spark re-creates it as col1/col2).
         assigned = corpus.select(
             ivf_assign(F.col(vec_col), cents).alias("cell"),
-            F.posexplode(F.col(vec_col)).alias("pos", "x"),
-        )
+            F.col(vec_col).alias("__v"),
+        ).select("cell", F.posexplode("__v").alias("pos", "x"))
         means = (
             assigned.groupBy("cell", "pos")
             .agg(F.avg("x").alias("m"))

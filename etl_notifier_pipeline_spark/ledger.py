@@ -237,6 +237,10 @@ class Ledger:
             .withColumn("executed_timestamp", F.lit(None).cast("string"))
             .select([f.name for f in DELETE_CONTROL_SCHEMA.fields])
         )
+        # Materialize once: the append AND every caller-side count/
+        # collect read the checkpointed rows instead of re-running the
+        # anti-join + id-assignment plan.
+        rows = rows.localCheckpoint()
         self.store.append("delete_control", rows)
         return rows
 

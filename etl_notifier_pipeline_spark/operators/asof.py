@@ -98,7 +98,14 @@ def _asof_join_pandas(
             for c in right_values:
                 l[c] = None
             return l[[f.name for f in out_schema.fields]]
-        r = r[r[right_time].notna()].sort_values(right_time)[[right_time, *right_values]]
+        # rt ascending (merge_asof requirement); among equal rt, value
+        # columns DESCENDING so merge_asof's pick (last tied row) is the
+        # smallest value tuple — the same deterministic choice as the
+        # window strategy's ranking tie-break.
+        r = r[r[right_time].notna()].sort_values(
+            [right_time, *right_values],
+            ascending=[True] + [False] * len(right_values),
+        )[[right_time, *right_values]]
         if r.empty:
             for c in right_values:
                 l[c] = None

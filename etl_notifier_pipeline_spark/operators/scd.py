@@ -28,6 +28,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 VALID_FROM = "valid_from"
@@ -40,6 +41,7 @@ def scd2_upsert(
     keys: Sequence[str],
     effective: str,
     *,
+    order_by: Sequence[str] | None = None,
     broadcast_incoming: bool = True,
 ) -> DataFrame:
     """Apply an SCD-2 upsert; returns the full new dimension table.
@@ -47,11 +49,22 @@ def scd2_upsert(
     ``target`` columns: business columns + valid_from/valid_to (string
     timestamps; valid_to NULL = current row). ``incoming``: business
     columns only. ``effective``: the version boundary timestamp.
+    ``order_by``: deterministic per-key pick for duplicate incoming
+    keys — last row per key wins (pass the ingest order column, like
+    the mutation operators do); defaults to the value columns, so the
+    surviving row is the greatest value tuple (never dropDuplicates,
+    whose pick is partitioning-dependent).
     """
     value_cols = [
         c for c in incoming.columns if c not in keys
     ]
-    inc = incoming.dropDuplicates(list(keys))
+    order_cols = list(order_by) if order_by else value_cols
+    w_pick = W.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in order_cols])
+    inc = (
+        incoming.withColumn("__rn", F.row_number().over(w_pick))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     binc = F.broadcast(inc) if broadcast_incoming else inc
     current = target.filter(F.col(VALID_TO).isNull())
     history = target.filter(F.col(VALID_TO).isNotNull())

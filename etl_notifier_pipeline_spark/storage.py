@@ -100,6 +100,15 @@ class TableStore:
         cur = self.current_version(table)
         if cur is None:
             return self.overwrite(table, df)
+        # Fail fast on column drift (the old read-union-overwrite path
+        # got this from unionByName; multi-dir parquet reads would
+        # instead resolve columns permissively and yield silent NULLs).
+        existing = set(self.read(table).columns)
+        if set(df.columns) != existing:
+            raise ValueError(
+                f"append to {table!r}: columns {sorted(set(df.columns))} "
+                f"do not match table columns {sorted(existing)}"
+            )
         v = cur + 1
         target = os.path.join(self._dir(table), f"v={v}")
         df.write.mode("overwrite").parquet(target)
