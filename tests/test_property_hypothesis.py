@@ -1,0 +1,122 @@
+"""Hypothesis property tests (SURVEY §5 strategy): algebraic laws of
+the mutation operators and a union-find reference model for the
+connected-components operator, over randomized inputs.
+
+Spark jobs per example are real, so example counts are small and the
+hypothesis deadline is disabled — these are law checks, not fuzzing
+for throughput.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_notifier_pipeline_spark.extensions.dedup import dedup_clusters
+from etl_notifier_pipeline_spark.operators import (
+    delete_by_keys,
+    insert_if_absent,
+    upsert,
+)
+
+SETTINGS = dict(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 99), st.integers(0, 999)),
+    min_size=0,
+    max_size=12,
+)
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=15,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v int, ord int") if rows else (
+        spark.createDataFrame([], "k int, v int, ord int")
+    )
+
+
+@settings(**SETTINGS)
+@given(target=rows_strategy, incoming=rows_strategy)
+def test_insert_if_absent_laws(spark, target, incoming):
+    t, i = _df(spark, target), _df(spark, incoming)
+    once = insert_if_absent(t, i, ["k"], ["ord", "v"])
+    # law 1: target rows survive verbatim
+    t_rows = set(map(tuple, t.collect()))
+    once_rows = set(map(tuple, once.collect()))
+    assert t_rows <= once_rows
+    # law 2: keys(result) == keys(target) ∪ keys(incoming)
+    assert {r["k"] for r in once.collect()} == (
+        {r[0] for r in target} | {r[0] for r in incoming}
+    )
+    # law 3: idempotency
+    twice = insert_if_absent(once, i, ["k"], ["ord", "v"])
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, once.collect()))
+
+
+@settings(**SETTINGS)
+@given(target=rows_strategy, incoming=rows_strategy)
+def test_upsert_laws(spark, target, incoming):
+    t, i = _df(spark, target), _df(spark, incoming)
+    out = upsert(t, i, ["k"], ["ord", "v"])
+    out_rows = list(map(tuple, out.collect()))
+    # exactly one row per incoming key, and it is the max-(ord,v) row
+    inc_by_key: dict[int, list] = {}
+    for k, v, o in incoming:
+        inc_by_key.setdefault(k, []).append((k, v, o))
+    for k, rows in inc_by_key.items():
+        expect = max(rows, key=lambda r: (r[2], r[1]))
+        got = [r for r in out_rows if r[0] == k]
+        assert got == [expect]
+    # non-incoming target keys survive untouched
+    for k, v, o in target:
+        if k not in inc_by_key:
+            assert (k, v, o) in out_rows
+
+
+@settings(**SETTINGS)
+@given(target=rows_strategy, keys=st.lists(st.integers(0, 9), max_size=6))
+def test_delete_by_keys_laws(spark, target, keys):
+    t = _df(spark, target)
+    kdf = spark.createDataFrame([(k,) for k in keys], "k int") if keys else (
+        spark.createDataFrame([], "k int")
+    )
+    out = list(map(tuple, delete_by_keys(t, kdf, ["k"]).collect()))
+    assert all(r[0] not in set(keys) for r in out)
+    assert sorted(out) == sorted(
+        (k, v, o) for k, v, o in target if k not in set(keys)
+    )
+
+
+def _reference_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(**SETTINGS)
+@given(edges=edges_strategy)
+def test_dedup_clusters_matches_union_find(spark, edges):
+    pairs = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == _reference_components(edges)
