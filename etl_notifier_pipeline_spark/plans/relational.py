@@ -756,3 +756,32 @@ def q35_argmax_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("m.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
         )
     )
+
+
+@register(
+    "q36_transport_codec",
+    category="scalar",
+    oracle="""
+SELECT doc_id,
+       base64(encode(text)) AS b64,
+       decode(from_base64(base64(encode(text)))) = text AS roundtrip_ok
+FROM documents
+WHERE doc_id % 11 = 0
+""",
+)
+def q36_transport_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — the message-bus transport codec (base64(JSON) payloads,
+    ``process-pipeline.py:448``) value-checked, not just e2e-tested.
+    Gotcha pinned here: Spark's ``base64`` MIME-chunks long inputs
+    with CRLF every 76 chars while DuckDB emits one line — the
+    engine's canonical transport form strips the soft breaks (decoders
+    accept both)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    b64 = F.regexp_replace(
+        F.base64(F.encode(F.col("text"), "utf-8")), "\r\n", ""
+    )
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        (F.decode(F.unbase64(b64), "utf-8") == F.col("text")).alias("roundtrip_ok"),
+    )

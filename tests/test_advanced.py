@@ -75,15 +75,16 @@ def test_asof_window_and_pandas_strategies_agree(spark):
         [(1, 10, "e1"), (1, 25, "e2"), (2, 5, "e3"), (3, 50, "e4")],
         ["k", "t", "ev"],
     )
+    # (1, 20, "zz") ties (1, 20, "b") on timestamp: BOTH strategies
+    # must make the same deterministic pick (smallest value tuple, "b")
     right = spark.createDataFrame(
-        [(1, 8, "a"), (1, 20, "b"), (1, 30, "c"), (2, 7, "d")],
+        [(1, 8, "a"), (1, 20, "b"), (1, 20, "zz"), (1, 30, "c"), (2, 7, "d")],
         ["k", "t", "val"],
     )
-    kwargs = dict(on=["k"], left_time="t", right_time="t", right_values=["val"])
     w = asof_join(left, right.withColumnRenamed("t", "rt"),
                   on=["k"], left_time="t", right_time="rt", right_values=["val"])
     got_w = {(r["ev"], r["val"]) for r in w.collect()}
-    # e1: latest right at t<=10 is (8,a); e2: (20,b);
+    # e1: latest right at t<=10 is (8,a); e2: tie at t=20 -> "b";
     # e3 (k=2,t=5): only right row is at t=7 > 5 -> no match;
     # e4: no k=3 rows at all -> no match
     assert got_w == {("e1", "a"), ("e2", "b"), ("e3", None), ("e4", None)}
