@@ -785,3 +785,68 @@ def q36_transport_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         b64.alias("b64"),
         (F.decode(F.unbase64(b64), "utf-8") == F.col("text")).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "q37_late_shipment_exists",
+    category="join",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+""",
+)
+def q37_late_shipment_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS: orders with at least one lineitem
+    shipped >90 days after ordering — a COMPOUND-condition semi join
+    (equi key + event-time range), the shape q10's pure equi-semi
+    doesn't cover. The semi join keeps orders narrow; lineitem is
+    probed on (orderkey, shipdate) only."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q38_order_count_distribution",
+    category="join",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q38_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped two-level aggregation: orders per customer
+    (LEFT join so zero-order customers count as 0 — COUNT of a
+    nullable column, not COUNT(*)), then the distribution of those
+    counts. First agg shuffles on custkey; the second input is one row
+    per customer, so the histogram shuffle is tiny."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
