@@ -558,3 +558,18 @@ def xm02_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("n_chars").cast("long").alias("duration_ms")).alias("meta"),
     )
     return MM.frame_schedule(media, every_ms=250)
+
+
+@register("q39_approx_quantiles", category="aggregation", oracle=None)
+def q39_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch) p50/p95/p99 of value
+    per event_type — the mergeable-sketch path for quantiles at 100 TB
+    (exact sort-based percentile in q24 is the small-data twin).
+    Approximate by design -> rows-only; the error bound vs exact
+    percentile is a property test."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+    )

@@ -200,3 +200,22 @@ def test_transform_with_state_gate_raises_clearly(spark):
     df = spark.createDataFrame([(1, 1.0)], ["user_id", "value"])
     with pytest.raises(NotImplementedError, match="protobuf"):
         running_user_totals_tws(df)
+
+
+def test_approx_quantiles_error_bound(spark):
+    """GK-sketch quantiles must land within rank-error accuracy of the
+    exact percentiles (accuracy=10000 -> rank error <= n/10000)."""
+    from etl_notifier_pipeline_spark.plans import get
+
+    ev = load_table(spark, SF_DIR, "events")
+    approx = {r["event_type"]: r for r in
+              get("q39_approx_quantiles").fn(spark, SF_DIR).collect()}
+    for etype, row in approx.items():
+        vals = sorted(
+            r["value"] for r in
+            ev.filter(F.col("event_type") == etype).select("value").collect()
+        )
+        n = len(vals)
+        for p, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            rank = vals.index(row[col])  # sketch returns a real sample
+            assert abs(rank - p * n) <= max(2, n / 10000 * 2 + 1)
