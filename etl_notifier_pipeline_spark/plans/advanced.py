@@ -568,8 +568,17 @@ def q39_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate by design -> rows-only; the error bound vs exact
     percentile is a property test."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, 10000).alias("p50"),
-        F.percentile_approx("value", 0.95, 10000).alias("p95"),
-        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+    # ONE sketch serving all three percentiles (a percentage array),
+    # not three independent aggregation buffers — at 100 TB the
+    # sketch-merge traffic is the cost that matters.
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+    return (
+        ev.groupBy("event_type")
+        .agg(q.alias("qs"))
+        .select(
+            "event_type",
+            F.col("qs").getItem(0).alias("p50"),
+            F.col("qs").getItem(1).alias("p95"),
+            F.col("qs").getItem(2).alias("p99"),
+        )
     )

@@ -33,17 +33,30 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _update(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
+def _accumulate(
+    prev: tuple, pdfs: Iterator[pd.DataFrame]
+) -> tuple[int, float]:
+    """Shared accumulation for both stateful APIs — one place for the
+    count/sum semantics so the twins cannot drift."""
+    n, total = prev
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
+    return n, total
+
+
+def _emit(key: tuple, n: int, total: float) -> pd.DataFrame:
+    return pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
     )
+
+
+def _update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total = _accumulate(state.get if state.exists else (0, 0.0), pdfs)
+    state.update((n, total))
+    yield _emit(key, n, total)
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
@@ -86,14 +99,9 @@ try:  # the API is Spark 4+; gate so Spark 3 deployments still import
 
         def handleInputRows(self, key, rows, timerValues):
             prev = self._totals.get() if self._totals.exists() else (0, 0.0)
-            n, total = prev
-            for pdf in rows:
-                n += len(pdf)
-                total += float(pdf["value"].sum())
+            n, total = _accumulate(tuple(prev), rows)
             self._totals.update((n, total))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
-            )
+            yield _emit(key, n, total)
 
         def close(self) -> None:
             pass
@@ -116,11 +124,14 @@ try:  # the API is Spark 4+; gate so Spark 3 deployments still import
                 "state protocol; install protobuf or use "
                 "running_user_totals (applyInPandasWithState)"
             ) from exc
+        # TTL state is only legal under processing-time semantics
+        # (Spark raises STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_
+        # ASSIGN_TTL otherwise), so the time mode follows the ttl arg.
         return events.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=RunningTotalsProcessor(ttl_ms),
             outputStructType=OUTPUT_SCHEMA,
             outputMode="Update",
-            timeMode="None",
+            timeMode="ProcessingTime" if ttl_ms is not None else "None",
         )
 
 except ImportError:  # pragma: no cover - Spark 3 fallback
@@ -128,6 +139,7 @@ except ImportError:  # pragma: no cover - Spark 3 fallback
 
     def running_user_totals_tws(events: DataFrame, *, ttl_ms: int | None = None):
         raise NotImplementedError(
-            "transformWithStateInPandas requires Spark 4+; use "
-            "running_user_totals (applyInPandasWithState) instead"
+            "transformWithStateInPandas requires Spark 4+ and its protobuf "
+            "state protocol; use running_user_totals "
+            "(applyInPandasWithState) instead"
         )

@@ -216,6 +216,13 @@ def test_approx_quantiles_error_bound(spark):
             ev.filter(F.col("event_type") == etype).select("value").collect()
         )
         n = len(vals)
+        import bisect
+
         for p, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
-            rank = vals.index(row[col])  # sketch returns a real sample
-            assert abs(rank - p * n) <= max(2, n / 10000 * 2 + 1)
+            # the sketch returns a real sample; with ties its true rank
+            # is an interval [lo, hi) — the bound holds if ANY rank in
+            # the interval is within accuracy
+            lo = bisect.bisect_left(vals, row[col])
+            hi = bisect.bisect_right(vals, row[col])
+            tol = max(2, n / 10000 * 2 + 1)
+            assert lo - tol <= p * n <= hi - 1 + tol
