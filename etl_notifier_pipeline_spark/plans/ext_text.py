@@ -321,3 +321,58 @@ def x11_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bin_id"),
     )
+
+
+@register(
+    "x12_column_profile",
+    category="profiling",
+    oracle="""
+SELECT 'o_totalprice' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT(o_totalprice) AS n_non_null,
+       COUNT(DISTINCT o_totalprice) AS n_distinct,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_val,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_val,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+       CAST(SUM(CAST(o_custkey AS DECIMAL(12,2))) AS DOUBLE)
+FROM orders
+""",
+)
+def x12_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling (the engine's ``df.summary()`` twin): per-column
+    row/null/distinct counts + min/max + exact decimal sum, one
+    aggregation pass PER OUTPUT ROW but one table scan total — Spark
+    computes all columns' aggregates in a single groupBy-less agg and
+    unpivots, so a 100-column profile is still one scan + one tiny
+    shuffle-free reduce."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_totalprice", "o_custkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            F.count(F.col(c)).alias(f"{c}__n_non_null"),
+            F.countDistinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.min(F.col(c)).cast("double").alias(f"{c}__min_val"),
+            F.max(F.col(c)).cast("double").alias(f"{c}__max_val"),
+            F.sum(F.col(c).cast("decimal(12,2)")).cast("double").alias(f"{c}__sum_val"),
+        ]
+    wide = o.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__n_rows").alias("n_rows"),
+            F.col(f"{c}__n_non_null").alias("n_non_null"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min_val").alias("min_val"),
+            F.col(f"{c}__max_val").alias("max_val"),
+            F.col(f"{c}__sum_val").alias("sum_val"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
