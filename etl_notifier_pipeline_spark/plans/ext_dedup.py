@@ -106,19 +106,54 @@ def d02_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signature(d)
 
 
+# Stop-shingle skew guard for the exact-Jaccard candidate join: a
+# shingle present in more than this many docs is boilerplate (its join
+# fan-out is df², the classic hot-key blowup) and is dropped from the
+# inverted index on BOTH engines. Sizes and intersections are computed
+# over the FILTERED index, so the two sides stay bit-identical.
+D03_MAX_DOC_FREQ = 100
+_JACCARD_GUARDED = f"""
+WITH idx0 AS ({_SHINGLE_IDX}),
+idx AS (
+  SELECT doc_id, shingle FROM idx0
+  WHERE shingle IN (SELECT shingle FROM idx0
+                    GROUP BY shingle HAVING COUNT(*) <= {D03_MAX_DOC_FREQ})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM idx GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_inter)
+           AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+"""
+
+
 @register(
     "d03_jaccard_pairs",
     category="dedup",
     oracle=f"""
-{_JACCARD}
+{_JACCARD_GUARDED}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.6
 """,
 )
 def d03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.6) via the
-    inverted-index candidate join."""
+    inverted-index candidate join, with the ``max_doc_freq`` stop-
+    shingle guard active — the registered query ships the same
+    skew-safe shape a 100 TB corpus needs (hot boilerplate shingles
+    never reach the self-join)."""
     d = load_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(d, threshold=0.6)
+    return D.jaccard_pairs(
+        d, threshold=0.6, max_doc_freq=D03_MAX_DOC_FREQ
+    )
 
 
 # Full LSH-pair pipeline as one reusable SQL block (d04 runs it

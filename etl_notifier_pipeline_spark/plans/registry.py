@@ -57,8 +57,58 @@ def register(
     return deco
 
 
+# Queries that already have a green driver CORRECTNESS row (union of
+# CORRECTNESS_r01 + CORRECTNESS_r02 keys). The driver samples ~50
+# queries per round in catalog order, so `all_queries`/`all_oracles`
+# emit never-driver-checked queries FIRST — this is how the 11 queries
+# the r02 sample rotated past (and any newly added ones) are guaranteed
+# a CORRECTNESS row next round. Purely an ordering hint; every query is
+# identical regardless of position.
+DRIVER_CHECKED: frozenset[str] = frozenset(
+    {
+        "d01_exact_dedup", "d02_minhash_signature", "d03_jaccard_pairs",
+        "d04_minhash_lsh_pairs", "d05_simhash",
+        "m01_insert_if_absent", "m02_upsert", "m03_delete_by_keys",
+        "m04_delete_queue_dedup", "m05_idempotency_filter",
+        "m06_file_versioning", "m07_status_transition", "m08_scd2_upsert",
+        "q01_pricing_summary", "q02_filter_project", "q03_point_lookup",
+        "q04_topk_orders", "q05_revenue_by_nation",
+        "q06_max_coalesce_version", "q07_distinct_users",
+        "q08_topk_per_group", "q09_running_total", "q10_semi_join",
+        "q11_anti_join", "q12_intersect_users", "q13_except_users",
+        "q14_cube_qty", "q15_rollup_revenue", "q16_scalar_pipeline",
+        "q17_json_props", "q18_monthly_revenue", "q19_pivot_event_values",
+        "q20_lag_lead", "q21_range_join", "q22_collect_sets",
+        "q23_asof_join", "q24_exact_median", "q25_grouping_sets",
+        "q26_range_frame", "q27_unpivot", "q33_above_customer_avg",
+        "q34_shipping_priority", "q35_argmax_latest", "q36_transport_codec",
+        "q37_late_shipment_exists", "q38_order_count_distribution",
+        "s01_cosine_topk", "s02_blocked_near_dup",
+        "st01_tumbling_stream", "st02_sliding_window", "st03_session_window",
+        "st04_dedup_first_arrival",
+        "x01_token_stats", "x02_term_frequency", "x03_quality_features",
+        "x04_doc_fingerprint", "x05_lang_id", "x07_bpe_token_budget",
+        "x08_tfidf_terms", "x09_term_scrub", "x10_stratified_split",
+        "x11_sequence_packing", "x12_column_profile",
+    }
+)
+
+
+def _catalog_order() -> list[str]:
+    """Registration order, rotated: never-driver-checked oracle-paired
+    queries first, then rows-only, then already-green queries."""
+    names = list(_REGISTRY)
+
+    def rank(n: str) -> int:
+        if n in DRIVER_CHECKED:
+            return 2
+        return 0 if _REGISTRY[n].oracle else 1
+
+    return sorted(names, key=lambda n: (rank(n), names.index(n)))
+
+
 def specs() -> dict[str, QuerySpec]:
-    return dict(_REGISTRY)
+    return {name: _REGISTRY[name] for name in _catalog_order()}
 
 
 def get(name: str) -> QuerySpec:
@@ -66,10 +116,12 @@ def get(name: str) -> QuerySpec:
 
 
 def all_queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in _REGISTRY.items()}
+    return {name: _REGISTRY[name].fn for name in _catalog_order()}
 
 
 def all_oracles() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle
+        name: _REGISTRY[name].oracle
+        for name in _catalog_order()
+        if _REGISTRY[name].oracle
     }

@@ -136,6 +136,33 @@ def test_dedup_clusters_long_chain_converges(spark):
     assert all(r["cluster_id"] == 0 for r in got)
 
 
+def test_jaccard_stop_shingle_guard_drops_hot_shingles(spark):
+    """max_doc_freq: a shingle present in more docs than the cap never
+    reaches the candidate self-join (the d03 skew guard). Docs sharing
+    ONLY the boilerplate shingle stop pairing; docs sharing rare
+    content still pair."""
+    boiler = "click here to subscribe"  # 3-grams appear in every doc
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} filler{i} pad{i}") for i in range(6)]
+        + [(10, f"{boiler} same same same"), (11, f"{boiler} same same same")],
+        ["doc_id", "text"],
+    )
+    idx = D.shingle_index(docs, max_doc_freq=4)
+    # every doc carries the boilerplate 3-grams -> df=8 > 4 -> dropped
+    hot = D.shingle_index(docs).groupBy("shingle").count().filter("count > 4")
+    assert idx.join(hot, "shingle", "left_semi").count() == 0
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_pairs(docs, threshold=0.2, max_doc_freq=4).collect()
+    }
+    assert pairs == {(10, 11)}  # boilerplate-only overlaps are gone
+    unguarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert (10, 11) in unguarded and len(unguarded) > 1
+
+
 def test_simhash_pairs_pigeonhole_guard(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d e"), (2, "a b c d e")], ["doc_id", "text"]
