@@ -4,12 +4,13 @@ Images/audio/video ride through the engine as opaque ``binary`` columns
 with a typed metadata struct — the lakehouse-standard layout
 (``spark.read.format("binaryFile")`` produces the same shape). All
 Spark-side plumbing here is real and tested: schema, Arrow-batched
-``mapInPandas`` operators, partition sizing. Only the codec itself is
-stubbed (the image/audio libraries are not in this container): decoding
-dispatches to ``_decode_impl``, which raises ``NotImplementedError``
-unless ``deterministic_fake=True``, where a seeded, content-derived
-fake feature vector stands in so the distributed pipeline is testable
-end-to-end.
+``mapInPandas`` operators, partition sizing. The codec is resolved at
+runtime: when Pillow is importable, the image modality decodes for
+real (grayscale 4x4 mean-pool features); other modalities (or no
+codec library at all) raise ``NotImplementedError`` unless
+``deterministic_fake=True``, where a seeded, content-derived fake
+feature vector stands in so the distributed pipeline is testable
+end-to-end in codec-free containers like this one.
 
 Scale: media blobs dominate partition size — ``target_partition_mb``
 repartitions by byte budget, not row count, so a 100 TB media table
@@ -50,15 +51,47 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+def _pil_module():
+    """PIL.Image if Pillow is importable, else None — resolved lazily
+    and cached so the probe runs once per executor process."""
+    global _PIL
+    if _PIL is _UNRESOLVED:
+        try:
+            from PIL import Image  # noqa: PLC0415
+
+            _PIL = Image
+        except ImportError:
+            _PIL = None
+    return _PIL
+
+
+_UNRESOLVED = object()
+_PIL = _UNRESOLVED
+
+
 def _decode_impl(blob: bytes, modality: str, deterministic_fake: bool) -> list[float]:
-    if not deterministic_fake:
-        # Real codecs (PIL / torchaudio / pyav) are not in this
-        # container — see module docstring.
-        raise NotImplementedError(
-            "media decoding requires an image/audio codec library"
+    if deterministic_fake:
+        digest = hashlib.sha256(blob or b"").digest()
+        return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+    pil = _pil_module()
+    if modality == "image" and pil is not None:
+        # Real decode path, auto-enabled when Pillow is present:
+        # decode -> grayscale -> 4x4 mean-pool = FEATURE_DIM features
+        # in [0, 1]. Deterministic (no resampling randomness: LANCZOS
+        # is a fixed convolution).
+        import io  # noqa: PLC0415
+
+        side = int(FEATURE_DIM ** 0.5)
+        img = pil.open(io.BytesIO(blob)).convert("L").resize(
+            (side, side), pil.Resampling.LANCZOS
         )
-    digest = hashlib.sha256(blob or b"").digest()
-    return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+        return [px / 255.0 for px in img.getdata()]
+    # Remaining codecs (torchaudio / pyav) are not in this container —
+    # see module docstring.
+    raise NotImplementedError(
+        f"decoding {modality!r} requires a codec library"
+        + ("" if pil is None else " beyond Pillow")
+    )
 
 
 def extract_features(

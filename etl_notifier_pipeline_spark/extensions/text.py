@@ -168,27 +168,33 @@ def tfidf_top_terms(
     (log is monotone), and the score stays oracle-checkable.
 
     Scale shape: explode -> (doc, token) partial-agg count (the only
-    wide shuffle, carrying token strings once), token-level df as a
-    second small agg, corpus size N rides in as a literal. The ranking
-    window shuffles (doc_id, token, two longs).
+    wide shuffle, carrying token strings once); token-level df is a
+    count window over that same frame partitioned by token (one narrow
+    re-shuffle, no second corpus scan, no join); corpus size N rides
+    along as a broadcast scalar aggregate (crossJoin of a 1-row count)
+    — NOT a separate ``df.count()`` job. The whole operator is one
+    action over one text scan.
     """
     from pyspark.sql import Window as W
 
-    n_docs = df.count()
+    n = df.agg(F.count(F.lit(1)).alias("__n_docs"))
     tf = (
         df.select("doc_id", F.explode(tokens(text_col)).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, "token").select(
-        "doc_id",
-        "token",
-        "tf",
-        "df",
-        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias(
-            "tfidf_ratio"
-        ),
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("token")))
+        .crossJoin(n.hint("broadcast"))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("__n_docs")).cast("double") / F.col("df")).alias(
+                "tfidf_ratio"
+            ),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf_ratio").desc(), F.col("token"))
     return (

@@ -95,9 +95,31 @@ class TestMultimodal:
                  for r in M.extract_features(media, deterministic_fake=True).collect()}
         assert rows == again
 
-    def test_real_decoder_is_stubbed(self, spark, media):
+    def test_real_decoder_gated_on_codec_lib(self, spark, media):
+        """Without Pillow the real path raises; with Pillow the audio/
+        video modalities (no codec for those either way) still raise —
+        so .collect() over this mixed-modality frame fails in both
+        worlds, just at different modalities."""
         with pytest.raises(Exception, match="NotImplementedError|codec"):
             M.extract_features(media).collect()
+
+    @pytest.mark.skipif(
+        M._pil_module() is None, reason="Pillow not installed"
+    )
+    def test_real_image_decode_with_pillow(self, spark):
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (32, 32), (200, 10, 10)).save(buf, format="PNG")
+        media = spark.createDataFrame(
+            [(1, "image", buf.getvalue(), ("image/png", 32, 32, None))],
+            M.MEDIA_SCHEMA,
+        )
+        feats = M.extract_features(media).collect()[0]["features"]
+        assert len(feats) == M.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in feats)
 
     def test_frame_sampling_explodes_by_duration(self, spark, media):
         frames = M.sample_frames(media, every_ms=1000, deterministic_fake=True).collect()

@@ -93,6 +93,24 @@ def test_bpe_budget_prunes_and_partial_aggs(spark):
     assert "partial_sum" in plan  # map-side combine before the lang shuffle
 
 
+def test_tfidf_is_one_lazy_job(spark, monkeypatch):
+    """x08's corpus size N must ride inside the plan (broadcast scalar
+    aggregate), not run as a separate eager count() job during query
+    construction — at 100 TB that was a second full (if column-pruned)
+    pass scheduled before any real work."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("eager count() during plan construction")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    df = get("x08_tfidf_terms").fn(spark, SF_DIR)  # must stay lazy
+    monkeypatch.undo()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row N frame crossJoin
+    assert plan.count("FileScan") <= 2  # text scan + zero-column count scan
+
+
 def test_interval_join_broadcasts_no_shuffle(spark):
     plan = plan_of(spark, "st08_interval_join")
     assert "BroadcastHashJoin" in plan
