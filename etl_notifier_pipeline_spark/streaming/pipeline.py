@@ -149,32 +149,89 @@ class ApprovalPipeline:
     # -- EP3 body -----------------------------------------------------------
 
     def run_batch(self, events: DataFrame, batch_id: int = 0) -> None:
-        """foreachBatch body: dedup, dispatch, ledger, notify.
+        """foreachBatch body: dedup, stage, coalesce, dispatch, ledger,
+        notify.
 
         Driver-side iteration here is over *events in the micro-batch*
         (a handful of file approvals), never over data rows — each
-        event fans out to distributed DataFrame plans. Ledger status
-        transitions are accumulated and applied as ONE ``mark_many``
-        per micro-batch (O(1) ledger rewrites per batch, not O(events)),
-        and notification subject/body are rendered JVM-side via
-        ``render_result_notifications`` (S14).
+        event fans out to distributed DataFrame plans. Scale-critical
+        batching, all O(1)-rewrites-per-batch where the reference (and
+        r01/r02 of this engine) was O(events):
+
+        - ledger status transitions accumulate and apply as ONE
+          ``mark_many`` per micro-batch;
+        - approved mutations coalesce into runs of consecutive
+          same-``(table, operation)`` events (per table — tables are
+          independent, so interleaved tables don't break a run), each
+          run applying ONE combined mutation plan + ONE table
+          overwrite. Two hundred approved inserts into one table in a
+          batch = one read + one write of that table, not two hundred.
+          Cross-event precedence rides on an ``__event_seq`` column
+          (batch order) ahead of ``__file_order``, so first/last-
+          per-key winners match the sequential semantics exactly;
+        - notification subject/body render JVM-side via
+          ``render_result_notifications`` (S14).
+
+        Failure granularity: per-event validation (unknown action/op,
+        missing file, missing key columns) dead-letters individually at
+        staging; a storage failure while applying a coalesced run
+        dead-letters that run's events together (they share one write).
         """
         fresh = self.ledger.filter_unprocessed(events)
         outcomes: list[tuple] = []
         batch_dead: list[dict] = []
-        for row in fresh.collect():
-            ev = row.asDict()
-            try:
-                status, details = self._apply_event(ev)
-            except Exception as exc:  # ST3: poison event -> dead letter
-                batch_dead.append({**ev, "error": str(exc)})
-                status, details = "failed", str(exc)
+
+        def fail(ev: dict, exc: Exception) -> None:  # ST3: dead letter
+            batch_dead.append({**ev, "error": str(exc)})
+            add_outcome(ev, "failed", str(exc))
+
+        def add_outcome(ev: dict, status: str, details: str) -> None:
             outcomes.append((
                 ev["event_id"], ev.get("operation") or "unknown",
                 ev.get("table_name") or "", ev.get("file_name") or "",
                 ev.get("bucket") or "", status, details,
                 ev.get("approval_timestamp"),
             ))
+
+        # Stage 1: validate + stage every event; build per-table runs
+        # of consecutive (operation, column-signature) — files with
+        # different headers can't union, so a header change starts a
+        # new run (each still applies exactly as sequential would).
+        runs_by_table: dict[str, list] = {}  # table -> [(run key, items)]
+        run_order: list[tuple[str, int]] = []  # (table, run index) in arrival order
+        for row in fresh.collect():
+            ev = row.asDict()
+            try:
+                staged = self._stage_event(ev)
+            except Exception as exc:
+                fail(ev, exc)
+                continue
+            if staged is None:
+                add_outcome(
+                    ev, "rejected",
+                    f"Rejected by approver; table {ev['table_name']} unchanged.",
+                )
+                continue
+            table, op, incoming = staged
+            run_key = (op, tuple(sorted(incoming.columns)))
+            runs = runs_by_table.setdefault(table, [])
+            if not runs or runs[-1][0] != run_key:
+                runs.append((run_key, []))
+                run_order.append((table, len(runs) - 1))
+            runs[-1][1].append((ev, incoming))
+
+        # Stage 2: ONE combined mutation plan + ONE overwrite per run.
+        for table, idx in run_order:
+            (op, _), items = runs_by_table[table][idx]
+            try:
+                details_by_event = self._apply_run(table, op, items)
+            except Exception as exc:
+                for ev, _ in items:
+                    fail(ev, exc)
+                continue
+            for ev, _ in items:
+                add_outcome(ev, "approved", details_by_event[ev["event_id"]])
+
         if not outcomes:
             return
         if batch_dead:
@@ -206,66 +263,109 @@ class ApprovalPipeline:
         for r in render_result_notifications(odf).collect():
             self.notifier.notify(r["subject"], r["body"])
 
-    def _apply_event(self, ev: dict) -> tuple[str, str]:
-        """Apply one approval event; return (ledger_status, details).
+    def _stage_event(self, ev: dict) -> tuple[str, str, DataFrame] | None:
+        """Validate one approval event and stage its CSV; return
+        ``None`` for rejections, else ``(table, op, incoming)`` with
+        ``__event_id``/``__file_order`` helper columns attached.
 
-        Pure effect dispatch — ledger transition and notification are
-        batched by ``run_batch``.
+        Every per-event failure mode lives here (so one poison event
+        never sinks a coalesced run): unknown action, unknown
+        operation, missing CSV, missing primary-key registration, and
+        incoming files lacking the declared key columns.
         """
         status = ev.get("action")
         status = {"approve": "approved", "reject": "rejected"}.get(status or "")
         if status is None:
             raise ValueError(f"unknown action {ev.get('action')!r}")
         if status == "rejected":  # EP3 step 7: ledger update only
-            return "rejected", f"Rejected by approver; table {ev['table_name']} unchanged."
+            return None
 
         table, op = ev["table_name"], ev["operation"]
-        incoming = read_csv_all_string(
-            self.spark, f"{self.csv_root}/{ev['file_name']}"
-        )
+        if op not in ("insert", "update", "delete"):
+            raise ValueError(f"unknown operation {op!r}")
         keys = self.keys.get(table)
         if op in ("update", "delete") and not keys:
             # mirrors the reference's no-primary-key abort
             # (process-pipeline.py:179-181, 262-264)
             raise ValueError(f"no primary key registered for table {table}")
-
-        if not self.store.exists(table):
-            # S8: create on first arrival — all-string from headers
-            self.store.overwrite(table, incoming.limit(0))
-        target = self.store.read(table)
-        incoming = incoming.select(*target.columns) if set(target.columns) == set(
-            incoming.columns
-        ) else incoming
+        incoming = read_csv_all_string(
+            self.spark, f"{self.csv_root}/{ev['file_name']}"
+        )
+        missing = [k for k in (keys or []) if k not in incoming.columns]
+        if missing and op != "insert":
+            raise ValueError(
+                f"incoming file {ev['file_name']} lacks key columns {missing}"
+            )
         # Reference conflict semantics are POSITIONAL (executemany file
         # order): first row per key wins for insert, last for update.
         # Capture file order at read time — a single-file read's
         # monotonically_increasing_id is ordered by file offset.
-        incoming = incoming.withColumn("__file_order", F.monotonically_increasing_id())
-        order = ["__file_order"]
+        return table, op, (
+            incoming
+            .withColumn("__event_id", F.lit(ev["event_id"]))
+            .withColumn("__file_order", F.monotonically_increasing_id())
+        )
 
-        if op == "insert":
-            result = (
-                insert_if_absent(target, incoming, keys, order)
-                if keys
-                else target.unionByName(incoming.drop("__file_order"))
-            )
-            self.store.overwrite(table, result)
-            details = f"Inserted file rows into {table} (conflicts skipped)."
-        elif op == "update":
-            self.store.overwrite(table, upsert(target, incoming, keys, order))
-            details = f"Upserted file rows into {table}."
-        elif op == "delete":
-            # ST4: queue, don't execute (two-phase)
-            reqs = incoming.select(
-                F.lit(ev["event_id"]).alias("event_id"),
+    def _apply_run(
+        self, table: str, op: str, items: list[tuple[dict, DataFrame]]
+    ) -> dict[str, str]:
+        """Apply ONE coalesced mutation for a run of same-(table, op)
+        events; return per-event details strings.
+
+        The staged frames union with an ``__event_seq`` literal (batch
+        position) so ``(__event_seq, __file_order)`` totally orders all
+        rows of the run exactly as sequential application would have:
+        insert keeps the FIRST row per key across the whole run, update
+        the LAST — identical winners, one table write.
+        """
+        keys = self.keys.get(table)
+        combined = None
+        for seq, (_, inc) in enumerate(items):
+            inc = inc.withColumn("__event_seq", F.lit(seq))
+            combined = inc if combined is None else combined.unionByName(inc)
+        order = ["__event_seq", "__file_order"]
+        helper = ["__event_id", "__event_seq", "__file_order"]
+
+        if op == "delete":
+            # ST4: queue, don't execute (two-phase). queue_deletes
+            # dedups intra-batch keeping the earliest event per key —
+            # the same winner sequential queueing picks.
+            reqs = combined.select(
+                F.col("__event_id").alias("event_id"),
                 F.lit(table).alias("target_table"),
                 F.to_json(F.struct(*[F.col(k) for k in keys])).alias("key_json"),
             )
             queued = self.ledger.queue_deletes(reqs)
-            details = f"Stored delete queries for {queued.count()} rows into delete_control."
+            counts = {
+                r["event_id"]: r["n"]
+                for r in queued.groupBy("event_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            return {
+                ev["event_id"]: (
+                    f"Stored delete queries for {counts.get(ev['event_id'], 0)} "
+                    "rows into delete_control."
+                )
+                for ev, _ in items
+            }
+
+        if not self.store.exists(table):
+            # S8: create on first arrival — all-string from headers
+            self.store.overwrite(table, combined.drop(*helper).limit(0))
+        target = self.store.read(table)
+        if op == "insert":
+            result = (
+                insert_if_absent(target, combined, keys, order)
+                if keys
+                else target.unionByName(combined.drop(*helper))
+            )
+            details = f"Inserted file rows into {table} (conflicts skipped)."
         else:
-            raise ValueError(f"unknown operation {op!r}")
-        return "approved", details
+            result = upsert(target, combined, keys, order)
+            details = f"Upserted file rows into {table}."
+        self.store.overwrite(table, result)
+        return {ev["event_id"]: details for ev, _ in items}
 
     # -- EP4: scheduled delete drain ---------------------------------------
 

@@ -89,6 +89,58 @@ class TestBatchedLedgerMarks:
         assert statuses == {"e1": "approved", "e2": "approved", "e3": "rejected"}
         assert len(pipe.notifier.sent) == 3
 
+    def test_same_table_events_coalesce_to_one_overwrite(
+        self, spark, tmp_store, tmp_path
+    ):
+        """Version growth per micro-batch is O(table op-runs), not
+        O(events): interleaved inserts to two tables + a trailing
+        update coalesce into one overwrite per run, with sequential
+        first/last-per-key winners preserved across events in a run."""
+        csv_root = tmp_path / "bucket"
+        csv_root.mkdir()
+        # e1/e3 insert people with a conflicting pid=1 (e1's row must
+        # win: first-per-key across the run); e4 updates pid=2 twice
+        # across files (later event e5... keep single update run e4+e5
+        # with conflicting pid=2 — e5's row must win: last-per-key).
+        (csv_root / "i1.csv").write_text("pid,name\n1,first\n2,x\n")
+        (csv_root / "i2.csv").write_text("pid,name\n1,second\n3,y\n")
+        (csv_root / "u1.csv").write_text("pid,name\n2,old\n")
+        (csv_root / "u2.csv").write_text("pid,name\n2,new\n")
+        (csv_root / "p1.csv").write_text("sku,price\nA,1\n")
+        pipe = ApprovalPipeline(
+            spark=spark, store=tmp_store, notifier=LogNotifier(),
+            keys={"people": ["pid"], "products": ["sku"]},
+            csv_root=str(csv_root),
+        )
+        from tests.test_ledger_pipeline import batch, ev
+
+        pipe.ledger.record_arrivals(spark.createDataFrame(
+            [("i1.csv", "e1", "b", "insert"), ("p1.csv", "ep", "b", "insert"),
+             ("i2.csv", "e3", "b", "insert"), ("u1.csv", "e4", "b", "update"),
+             ("u2.csv", "e5", "b", "update")],
+            ["file_name", "event_id", "bucket", "operation"],
+        ))
+        pipe.run_batch(batch(
+            spark,
+            ev("e1", "approve", "i1.csv", "people", "insert"),
+            ev("ep", "approve", "p1.csv", "products", "insert"),  # interleaved
+            ev("e3", "approve", "i2.csv", "people", "insert"),
+            ev("e4", "approve", "u1.csv", "people", "update"),
+            ev("e5", "approve", "u2.csv", "people", "update"),
+        ))
+        # people: create + insert-run + update-run = 3 versions;
+        # products: create + insert-run = 2. Five events, three writes.
+        assert tmp_store.current_version("people") == 3
+        assert tmp_store.current_version("products") == 2
+        got = {r["pid"]: r["name"] for r in tmp_store.read("people").collect()}
+        assert got == {"1": "first", "2": "new", "3": "y"}
+        statuses = {
+            r["event_id"]: r["status"]
+            for r in pipe.ledger.processed_files().collect()
+        }
+        assert set(statuses.values()) == {"approved"}
+        assert len(pipe.notifier.sent) == 5  # still one notification per event
+
     def test_mark_many_mixed_statuses(self, spark, tmp_store):
         led = Ledger(spark, tmp_store)
         led.record_arrivals(spark.createDataFrame(
