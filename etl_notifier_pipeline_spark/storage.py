@@ -131,6 +131,261 @@ class TableStore:
                     shutil.rmtree(os.path.join(self._dir(table), name), ignore_errors=True)
 
 
+class BucketedTableStore:
+    """Key-hash-bucketed TableStore: incremental keyed mutations.
+
+    The plain ``TableStore`` rewrites the whole table per mutation —
+    semantically fine, O(table) I/O per approved event at 100 TB. The
+    reference's Postgres applies upserts incrementally
+    (``process-pipeline.py:193-196``); Delta/Iceberg would close the
+    gap with MERGE. Without either in the container, this backend gets
+    the same I/O bound from deterministic hash bucketing:
+
+        <root>/<table>/v=<n>/schema/            # 0-row schema anchor
+        <root>/<table>/v=<n>/data/__bucket=<k>/part-*.parquet
+        <root>/<table>/v=<n>/_manifest.json     # bucket -> [dirs]
+        <root>/<table>/_CURRENT                 # "v=<n>"
+
+    Every row lives in bucket ``xxhash64(key cols) % n_buckets``. A
+    keyed mutation hashes the incoming keys, reads ONLY the affected
+    buckets' files (path-level pruning — the other buckets' bytes are
+    never opened), applies the same insert/upsert/delete plans the
+    full-rewrite path uses, and writes ONLY those buckets into the new
+    version dir; the manifest carries unaffected buckets' entries
+    forward. Upserting N rows into an M-row table reads+writes
+    O(M · min(N, B)/B) bytes, not O(M). The ``_CURRENT`` pointer swap
+    keeps the same all-or-nothing atomicity as ``TableStore``; on
+    Delta/Iceberg this maps to MERGE with partition pruning.
+
+    ``keys`` declares each table's bucketing columns (the pipeline's
+    primary-key registry); tables without declared keys bucket by all
+    columns (append/read work; keyed mutations require declared keys).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        keys: dict[str, list[str]] | None = None,
+        n_buckets: int = 64,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.keys = dict(keys or {})
+        self.n_buckets = n_buckets
+        os.makedirs(root, exist_ok=True)
+
+    # -- layout helpers ------------------------------------------------------
+
+    def _dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self._dir(table), "_CURRENT")
+
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self._pointer(table))
+
+    def current_version(self, table: str) -> int | None:
+        if not self.exists(table):
+            return None
+        with open(self._pointer(table)) as f:
+            return int(f.read().strip().removeprefix("v="))
+
+    def _manifest(self, table: str, v: int) -> dict:
+        """{"schema": reldir, "buckets": {"<k>": [reldir, ...]}}."""
+        import json
+
+        with open(os.path.join(self._dir(table), f"v={v}", "_manifest.json")) as f:
+            return json.load(f)
+
+    def _bucket_col(self, table: str, df: DataFrame):
+        from pyspark.sql import functions as F
+
+        cols = self.keys.get(table) or df.columns
+        return F.pmod(F.xxhash64(*cols), F.lit(self.n_buckets)).cast("int")
+
+    def _write_version(
+        self, table: str, df: DataFrame, carry: dict[str, list[str]] | None,
+        affected: set[int] | None,
+    ) -> int:
+        """Write ``df``'s rows bucket-partitioned into the next version
+        dir and commit a manifest that is ``carry`` (prior entries for
+        unaffected buckets) plus the freshly written buckets. ``affected
+        = None`` means a full rewrite (no carried entries)."""
+        import json
+
+        v = (self.current_version(table) or 0) + 1
+        vrel = f"v={v}"
+        vdir = os.path.join(self._dir(table), vrel)
+        df.limit(0).write.mode("overwrite").parquet(os.path.join(vdir, "schema"))
+        (
+            df.withColumn("__bucket", self._bucket_col(table, df))
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(vdir, "data"))
+        )
+        buckets: dict[str, list[str]] = {}
+        for k, dirs in (carry or {}).items():
+            if affected is None or int(k) not in affected:
+                buckets[k] = dirs
+        data_dir = os.path.join(vdir, "data")
+        if os.path.isdir(data_dir):
+            for name in os.listdir(data_dir):
+                if name.startswith("__bucket="):
+                    k = name.removeprefix("__bucket=")
+                    buckets[k] = [f"{vrel}/data/{name}"]
+        manifest = {"schema": f"{vrel}/schema", "buckets": buckets}
+        with open(os.path.join(vdir, "_manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(vrel)
+        os.replace(tmp, self._pointer(table))
+        self._vacuum(table, keep=2)
+        return v
+
+    # -- TableStore surface --------------------------------------------------
+
+    def _read_paths(self, table: str, bucket_ids: set[int] | None) -> DataFrame:
+        v = self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"no such table: {table}")
+        m = self._manifest(table, v)
+        paths = [os.path.join(self._dir(table), m["schema"])]
+        for k, dirs in m["buckets"].items():
+            if bucket_ids is None or int(k) in bucket_ids:
+                paths.extend(os.path.join(self._dir(table), d) for d in dirs)
+        return self.spark.read.parquet(*paths)
+
+    def read(self, table: str) -> DataFrame:
+        return self._read_paths(table, None)
+
+    def overwrite(self, table: str, df: DataFrame) -> int:
+        return self._write_version(table, df, carry=None, affected=None)
+
+    def append(self, table: str, df: DataFrame) -> int:
+        """File-level append: new rows' buckets gain an extra dir in
+        the manifest (O(new bytes) written); existing entries carry
+        forward untouched. Buckets accumulate dirs until a keyed
+        mutation or overwrite compacts them."""
+        if not self.exists(table):
+            return self.overwrite(table, df)
+        existing = set(self.read(table).columns)
+        if set(df.columns) != existing:
+            raise ValueError(
+                f"append to {table!r}: columns {sorted(set(df.columns))} "
+                f"do not match table columns {sorted(existing)}"
+            )
+        import json
+
+        v = self.current_version(table)
+        m = self._manifest(table, v)
+        new_v = (v or 0) + 1
+        vrel = f"v={new_v}"
+        vdir = os.path.join(self._dir(table), vrel)
+        df.limit(0).write.mode("overwrite").parquet(os.path.join(vdir, "schema"))
+        (
+            df.withColumn("__bucket", self._bucket_col(table, df))
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(vdir, "data"))
+        )
+        buckets = {k: list(dirs) for k, dirs in m["buckets"].items()}
+        data_dir = os.path.join(vdir, "data")
+        if os.path.isdir(data_dir):
+            for name in os.listdir(data_dir):
+                if name.startswith("__bucket="):
+                    k = name.removeprefix("__bucket=")
+                    buckets.setdefault(k, []).append(f"{vrel}/data/{name}")
+        manifest = {"schema": f"{vrel}/schema", "buckets": buckets}
+        with open(os.path.join(vdir, "_manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(vrel)
+        os.replace(tmp, self._pointer(table))
+        self._vacuum(table, keep=2)
+        return new_v
+
+    # -- the incremental path ------------------------------------------------
+
+    def apply_keyed_mutation(
+        self,
+        table: str,
+        incoming: DataFrame,
+        keys: list[str],
+        order_by: list[str],
+        op: str,
+    ) -> int:
+        """Apply insert/update/delete touching ONLY the buckets the
+        incoming keys hash into. ``incoming`` may carry ``__``-prefixed
+        helper columns (event/file order); data columns are the rest.
+        Identical winners to the full-rewrite path: the same
+        insert_if_absent/upsert/delete_by_keys plans run, just against
+        the affected-bucket subset (valid because any target row
+        sharing a key hashes to an affected bucket)."""
+        from pyspark.sql import functions as F
+
+        from etl_notifier_pipeline_spark.operators.mutations import (
+            delete_by_keys,
+            insert_if_absent,
+            upsert,
+        )
+
+        if self.keys.get(table) is None:
+            raise ValueError(
+                f"apply_keyed_mutation needs declared bucket keys for {table!r}"
+            )
+        data_cols = [c for c in incoming.columns if not c.startswith("__")]
+        if not self.exists(table):
+            self._write_version(
+                table, incoming.select(*data_cols).limit(0),
+                carry=None, affected=None,
+            )
+        bucket = F.pmod(
+            F.xxhash64(*self.keys[table]), F.lit(self.n_buckets)
+        ).cast("int")
+        affected = {
+            r["b"]
+            for r in incoming.select(bucket.alias("b")).distinct().collect()
+        }
+        current = self._read_paths(table, affected)
+        if op == "insert":
+            result = insert_if_absent(current, incoming, keys, order_by)
+        elif op == "update":
+            result = upsert(current, incoming, keys, order_by)
+        elif op == "delete":
+            result = delete_by_keys(current, incoming.select(*keys), keys)
+        else:
+            raise ValueError(f"unknown operation {op!r}")
+        v = self.current_version(table)
+        carry = self._manifest(table, v)["buckets"]
+        return self._write_version(table, result, carry=carry, affected=affected)
+
+    def _vacuum(self, table: str, keep: int) -> None:
+        """Delete version dirs not referenced by any of the last
+        ``keep`` versions' manifests."""
+        v = self.current_version(table)
+        referenced: set[str] = set()
+        for recent in range(max(1, v - keep + 1), v + 1):
+            vdir = os.path.join(self._dir(table), f"v={recent}")
+            if os.path.isdir(vdir):
+                m = self._manifest(table, recent)
+                referenced.add(m["schema"].split("/", 1)[0])
+                referenced.add(f"v={recent}")
+                for dirs in m["buckets"].values():
+                    for d in dirs:
+                        referenced.add(d.split("/", 1)[0])
+        for name in os.listdir(self._dir(table)):
+            if name.startswith("v=") and name not in referenced:
+                n = int(name.removeprefix("v="))
+                if n <= v - keep:
+                    shutil.rmtree(
+                        os.path.join(self._dir(table), name), ignore_errors=True
+                    )
+
+
 class CatalogTableStore:
     """Metastore-backed TableStore twin (SURVEY §1.3's
     ``df.write.saveAsTable`` mapping): tables live in the session

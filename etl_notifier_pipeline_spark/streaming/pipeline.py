@@ -350,6 +350,17 @@ class ApprovalPipeline:
                 for ev, _ in items
             }
 
+        details = (
+            f"Inserted file rows into {table} (conflicts skipped)."
+            if op == "insert"
+            else f"Upserted file rows into {table}."
+        )
+        if keys and hasattr(self.store, "apply_keyed_mutation"):
+            # Incremental backend (BucketedTableStore / Delta-shaped):
+            # the store rewrites only the buckets the incoming keys
+            # hash into — O(affected buckets), not O(table).
+            self.store.apply_keyed_mutation(table, combined, keys, order, op)
+            return {ev["event_id"]: details for ev, _ in items}
         if not self.store.exists(table):
             # S8: create on first arrival — all-string from headers
             self.store.overwrite(table, combined.drop(*helper).limit(0))
@@ -360,10 +371,8 @@ class ApprovalPipeline:
                 if keys
                 else target.unionByName(combined.drop(*helper))
             )
-            details = f"Inserted file rows into {table} (conflicts skipped)."
         else:
             result = upsert(target, combined, keys, order)
-            details = f"Upserted file rows into {table}."
         self.store.overwrite(table, result)
         return {ev["event_id"]: details for ev, _ in items}
 
@@ -382,9 +391,12 @@ class ApprovalPipeline:
                     .select(F.from_json("key_json", key_schema).alias("k"))
                     .select("k.*")
                 )
-                self.store.overwrite(
-                    table, delete_by_keys(self.store.read(table), key_df, keys)
-                )
+                if hasattr(self.store, "apply_keyed_mutation"):
+                    self.store.apply_keyed_mutation(table, key_df, keys, [], "delete")
+                else:
+                    self.store.overwrite(
+                        table, delete_by_keys(self.store.read(table), key_df, keys)
+                    )
 
         return self.ledger.drain_deletes(apply)
 

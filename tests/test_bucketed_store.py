@@ -1,0 +1,155 @@
+"""BucketedTableStore: incremental keyed mutations write O(affected
+buckets), not O(table) — the no-Delta answer to the reference's
+incremental Postgres upserts (process-pipeline.py:193-196)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_notifier_pipeline_spark.storage import BucketedTableStore, TableStore
+from etl_notifier_pipeline_spark.streaming import ApprovalPipeline, LogNotifier
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+@pytest.fixture()
+def bstore(spark, tmp_path):
+    return BucketedTableStore(
+        spark, str(tmp_path / "bstore"), keys={"t": ["k"]}, n_buckets=64
+    )
+
+
+def big_frame(spark, n=20_000):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("payload-"), F.col("id")).alias("v"),
+        F.repeat(F.lit("x"), 200).alias("pad"),
+    )
+
+
+class TestIncrementalBytes:
+    def test_upsert_writes_far_less_than_table(self, spark, bstore, tmp_path):
+        """Upserting 3 keys into a 20k-row table must write only the
+        <= 3 affected buckets (~3/64 of the data), not O(table)."""
+        bstore.overwrite("t", big_frame(spark))
+        v1_bytes = dir_bytes(str(tmp_path / "bstore" / "t" / "v=1"))
+        incoming = spark.createDataFrame(
+            [(5, "NEW", "y"), (17, "NEW", "y"), (23_456, "NEW", "y")],
+            ["k", "v", "pad"],
+        ).withColumn("__file_order", F.monotonically_increasing_id())
+        bstore.apply_keyed_mutation("t", incoming, ["k"], ["__file_order"], "update")
+        v2_bytes = dir_bytes(str(tmp_path / "bstore" / "t" / "v=2"))
+        assert v2_bytes < v1_bytes * 0.25, (v2_bytes, v1_bytes)
+        got = bstore.read("t")
+        assert got.count() == 20_001  # 2 updated in place + 1 new key
+        assert {
+            r["k"]: r["v"]
+            for r in got.filter(F.col("k").isin(5, 17, 23_456)).collect()
+        } == {5: "NEW", 17: "NEW", 23_456: "NEW"}
+
+    def test_matches_full_rewrite_backend(self, spark, bstore, tmp_path):
+        """Same winners as the plain TableStore full-rewrite path for
+        insert (first-per-key), update (last-per-key) and delete."""
+        from etl_notifier_pipeline_spark.operators.mutations import (
+            delete_by_keys,
+            insert_if_absent,
+            upsert,
+        )
+
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], ["k", "v"]
+        )
+        plain = TableStore(spark, str(tmp_path / "plain"))
+        plain.overwrite("t", base)
+        bstore.overwrite("t", base)
+
+        ins = spark.createDataFrame(
+            [(1, "dup-first"), (1, "dup-second"), (200, "new")], ["k", "v"]
+        ).withColumn("__file_order", F.monotonically_increasing_id())
+        upd = spark.createDataFrame(
+            [(2, "old"), (2, "newest"), (201, "added")], ["k", "v"]
+        ).withColumn("__file_order", F.monotonically_increasing_id())
+        dels = spark.createDataFrame([(3,), (200,)], ["k"])
+
+        plain.overwrite("t", insert_if_absent(plain.read("t"), ins, ["k"], ["__file_order"]))
+        plain.overwrite("t", upsert(plain.read("t"), upd, ["k"], ["__file_order"]))
+        plain.overwrite("t", delete_by_keys(plain.read("t"), dels, ["k"]))
+
+        bstore.apply_keyed_mutation("t", ins, ["k"], ["__file_order"], "insert")
+        bstore.apply_keyed_mutation("t", upd, ["k"], ["__file_order"], "update")
+        bstore.apply_keyed_mutation("t", dels, ["k"], [], "delete")
+
+        want = sorted(tuple(r) for r in plain.read("t").collect())
+        got = sorted(tuple(r) for r in bstore.read("t").collect())
+        assert got == want
+        assert (2, "newest") in got and (1, "v1") in got
+        assert all(k not in (3, 200) for k, _ in got)
+
+    def test_append_accumulates_then_mutation_compacts(self, spark, bstore, tmp_path):
+        bstore.overwrite("t", spark.createDataFrame([(1, "a")], ["k", "v"]))
+        bstore.append("t", spark.createDataFrame([(2, "b")], ["k", "v"]))
+        assert bstore.read("t").count() == 2
+        # mutation of key 2 compacts its bucket into one dir; key 1 intact
+        inc = spark.createDataFrame([(2, "B")], ["k", "v"]).withColumn(
+            "__file_order", F.monotonically_increasing_id()
+        )
+        bstore.apply_keyed_mutation("t", inc, ["k"], ["__file_order"], "update")
+        assert {r["k"]: r["v"] for r in bstore.read("t").collect()} == {1: "a", 2: "B"}
+
+    def test_create_on_first_mutation(self, spark, bstore):
+        inc = spark.createDataFrame([(1, "a")], ["k", "v"]).withColumn(
+            "__file_order", F.monotonically_increasing_id()
+        )
+        bstore.apply_keyed_mutation("t", inc, ["k"], ["__file_order"], "insert")
+        assert [tuple(r) for r in bstore.read("t").collect()] == [(1, "a")]
+
+    def test_undeclared_keys_rejected(self, spark, bstore):
+        inc = spark.createDataFrame([(1,)], ["x"])
+        with pytest.raises(ValueError, match="bucket keys"):
+            bstore.apply_keyed_mutation("u", inc, ["x"], [], "update")
+
+
+class TestPipelineOnBucketedBackend:
+    def test_ledger_pipeline_runs_incremental(self, spark, tmp_path):
+        """Full approval lifecycle on the bucketed backend: mutations go
+        through apply_keyed_mutation (no full-table rewrite), results
+        identical to the pointer-swap backend."""
+        store = BucketedTableStore(
+            spark, str(tmp_path / "store"), keys={"people": ["pid"]}, n_buckets=8
+        )
+        csv_root = tmp_path / "bucket"
+        csv_root.mkdir()
+        (csv_root / "people.csv").write_text("pid,name\n1,ann\n2,bob\n")
+        (csv_root / "people_v2.csv").write_text("pid,name\n2,BOB\n3,cyd\n")
+        (csv_root / "people_del.csv").write_text("pid,name\n1,ann\n")
+        pipe = ApprovalPipeline(
+            spark=spark, store=store, notifier=LogNotifier(),
+            keys={"people": ["pid"]}, csv_root=str(csv_root),
+        )
+        from tests.test_ledger_pipeline import batch, ev
+
+        pipe.ledger.record_arrivals(spark.createDataFrame(
+            [("people.csv", "e1", "b", "insert"),
+             ("people_v2.csv", "e2", "b", "update"),
+             ("people_del.csv", "e3", "b", "delete")],
+            ["file_name", "event_id", "bucket", "operation"],
+        ))
+        pipe.run_batch(batch(spark, ev("e1", "approve", "people.csv", "people", "insert")))
+        pipe.run_batch(batch(spark, ev("e2", "approve", "people_v2.csv", "people", "update")))
+        assert sorted(tuple(r) for r in store.read("people").collect()) == [
+            ("1", "ann"), ("2", "BOB"), ("3", "cyd")]
+        pipe.run_batch(batch(spark, ev("e3", "approve", "people_del.csv", "people", "delete")))
+        assert pipe.drain_deletes() == 1
+        assert sorted(r["pid"] for r in store.read("people").collect()) == ["2", "3"]
+        statuses = {r["event_id"]: r["status"] for r in pipe.ledger.processed_files().collect()}
+        assert statuses == {"e1": "approved", "e2": "approved", "e3": "approved"}
