@@ -76,6 +76,55 @@ def s02_blocked_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s06_label_centroids",
+    category="similarity",
+    oracle="""
+SELECT label, pos,
+       CAST(qsum AS DOUBLE) / (n * 1000000) AS centroid_val,
+       n AS n_vectors
+FROM (
+  SELECT label, pos, SUM(q) AS qsum, COUNT(*) AS n
+  FROM (
+    SELECT label,
+           unnest(range(0, len(embedding))) AS pos,
+           unnest(list_transform(embedding,
+             e -> CAST(round(e::DOUBLE * 1000000) AS BIGINT))) AS q
+    FROM embeddings
+  )
+  GROUP BY label, pos
+)
+""",
+)
+def s06_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the cluster-profile aggregate an
+    ANN index build or drift monitor needs): elementwise mean of the
+    vectors in each label group.
+
+    Determinism: floats are quantized to micro-units (round(x*1e6) as
+    int64) BEFORE summing — integer sums are order-independent, so the
+    shuffle can't move a bit, and both engines divide the same exact
+    integer by the same exact count. Scale shape: posexplode ->
+    one partial-aggregated groupBy on (label, pos) — the shuffle
+    carries (int, int, int64) rows, never vectors; 100 TB of
+    embeddings reduces map-side to |labels| x dim rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.round(F.col("e").cast("double") * 1_000_000).cast("bigint")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "e"))
+        .groupBy("label", "pos")
+        .agg(F.sum(q).alias("qsum"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "pos",
+            (F.col("qsum").cast("double") / (F.col("n") * 1_000_000)).alias(
+                "centroid_val"
+            ),
+            F.col("n").alias("n_vectors"),
+        )
+    )
+
+
+@register(
     "s05_embedding_clusters",
     category="similarity",
     oracle=f"""

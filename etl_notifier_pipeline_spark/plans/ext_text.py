@@ -323,6 +323,196 @@ def x11_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Word n-gram SQL (1-based lists; [a,b) range — mirrors
+# extensions.dedup.shingles exactly).
+_TOKS = "string_split(text, ' ')"
+
+
+def _grams_sql(n: int) -> str:
+    joined = " || ' ' || ".join(f"{_TOKS}[i+{j}]" for j in range(n))
+    return f"list_transform(range(1, len({_TOKS}) - {n - 2}), i -> {joined})"
+
+
+@register(
+    "x13_repetition_ratio",
+    category="text_analysis",
+    oracle=f"""
+SELECT doc_id,
+       n_2grams,
+       CASE WHEN n_2grams > 0
+            THEN CAST(n_2grams - d_2grams AS DOUBLE) / n_2grams END
+         AS dup_2gram_frac,
+       n_3grams,
+       CASE WHEN n_3grams > 0
+            THEN CAST(n_3grams - d_3grams AS DOUBLE) / n_3grams END
+         AS dup_3gram_frac,
+       CASE WHEN n_2grams > 0
+            THEN CAST(n_2grams - d_2grams AS DOUBLE) / n_2grams > 0.2
+            ELSE FALSE END AS repetitive
+FROM (
+  SELECT doc_id,
+         len({_grams_sql(2)}) AS n_2grams,
+         len(list_distinct({_grams_sql(2)})) AS d_2grams,
+         len({_grams_sql(3)}) AS n_3grams,
+         len(list_distinct({_grams_sql(3)})) AS d_3grams
+  FROM documents
+)
+""",
+)
+def x13_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: the fraction of
+    duplicate word 2-grams / 3-grams per document, plus a repetitive
+    flag (dup-2gram fraction > 0.2) — the standard cheap filter for
+    boilerplate/spam in a pretraining corpus. Pure per-row HOF
+    arithmetic (int/int division in double — bit-exact), zero shuffle
+    at any scale."""
+    from etl_notifier_pipeline_spark.extensions.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    g2, g3 = shingles("text", 2), shingles("text", 3)
+
+    def dup_frac(g):
+        n = F.size(g)
+        return F.when(
+            n > 0, (n - F.size(F.array_distinct(g))).cast("double") / n
+        )
+
+    return d.select(
+        "doc_id",
+        F.size(g2).alias("n_2grams"),
+        dup_frac(g2).alias("dup_2gram_frac"),
+        F.size(g3).alias("n_3grams"),
+        dup_frac(g3).alias("dup_3gram_frac"),
+        F.coalesce(dup_frac(g2) > 0.2, F.lit(False)).alias("repetitive"),
+    )
+
+
+# Benchmark ("eval set") sources for the decontamination check.
+_EVAL_SOURCES = ("src0", "src1")
+_EVAL_SQL = ", ".join(f"'{s}'" for s in _EVAL_SOURCES)
+_GRAMS5_HASHED = (
+    f"list_distinct(list_transform({_grams_sql(5)}, "
+    f"s -> {DUCK_HASH.format(x='s')}))"
+)
+
+
+@register(
+    "x14_decontamination",
+    category="text_analysis",
+    oracle=f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_GRAMS5_HASHED}) AS shingle
+  FROM documents WHERE source IN ({_EVAL_SQL})
+),
+ci AS (
+  SELECT doc_id, unnest({_GRAMS5_HASHED}) AS shingle
+  FROM documents WHERE source NOT IN ({_EVAL_SQL})
+)
+SELECT ci.doc_id, COUNT(*) AS n_contaminated_shingles
+FROM ci JOIN ev ON ci.shingle = ev.shingle
+GROUP BY ci.doc_id
+""",
+)
+def x14_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    5-gram with the eval-set sources, with the count of distinct
+    overlapping 5-grams — the n-gram-collision check every training
+    pipeline runs before a data release.
+
+    Scale shape: both sides hash their 5-grams to 8-byte ints (the
+    engine-portable md5-prefix hash), the eval side dedups to one
+    row per distinct shingle and BROADCASTS (eval benchmarks are
+    tiny next to the corpus), so the corpus side never shuffles —
+    one narrow scan + a broadcast hash join + per-doc count."""
+    from etl_notifier_pipeline_spark.extensions.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = F.array_distinct(F.transform(shingles("text", 5), X.token_hash))
+    ev = (
+        d.filter(F.col("source").isin(*_EVAL_SOURCES))
+        .select(F.explode(hashed).alias("shingle"))
+        .distinct()
+    )
+    ci = d.filter(~F.col("source").isin(*_EVAL_SOURCES)).select(
+        "doc_id", F.explode(hashed).alias("shingle")
+    )
+    return (
+        ci.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+
+
+@register(
+    "x15_weighted_sample",
+    category="sampling",
+    oracle=f"""
+SELECT doc_id, lang, n_tokens, sample_key
+FROM (
+  SELECT doc_id, lang,
+         len({_TOKS}) AS n_tokens,
+         {DUCK_HASH.format(x="CAST(doc_id AS VARCHAR) || ':ws'")} % 256
+           AS sample_key
+  FROM documents
+)
+WHERE sample_key < least(256, n_tokens)
+""",
+)
+def x15_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep each document
+    with probability min(1, n_tokens/256) — longer docs sampled
+    proportionally more — decided by a salted key hash, never rand()
+    (retries and incremental data must not flip prior decisions; the
+    x10 split contract). Pure integer compare, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    key = X.token_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))
+    ) % 256
+    n_tok = X.token_count("text")
+    return (
+        d.select(
+            "doc_id", "lang",
+            n_tok.alias("n_tokens"),
+            key.alias("sample_key"),
+        )
+        .filter(F.col("sample_key") < F.least(F.lit(256), F.col("n_tokens")))
+    )
+
+
+@register(
+    "x16_curriculum_bins",
+    category="sampling",
+    oracle="""
+SELECT doc_id, lang, type_token_ratio,
+       NTILE(4) OVER (PARTITION BY lang
+                      ORDER BY type_token_ratio DESC, doc_id) AS difficulty_bin
+FROM (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS type_token_ratio
+  FROM documents
+)
+""",
+)
+def x16_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: quartile difficulty bins per language by
+    lexical diversity (type/token ratio), doc_id tie-break so NTILE is
+    total-ordered and deterministic. One window per stratum. At 100 TB
+    the same semantics come from joining approx-quantile boundaries
+    (q39's sketch) instead of a per-stratum sort; NTILE is the exact
+    spec both implement."""
+    d = load_table(spark, sf_dir, "documents")
+    ttr = (
+        X.distinct_token_count("text").cast("double") / X.token_count("text")
+    )
+    w = W.partitionBy("lang").orderBy(
+        F.col("type_token_ratio").desc(), "doc_id"
+    )
+    return d.select(
+        "doc_id", "lang", ttr.alias("type_token_ratio")
+    ).withColumn("difficulty_bin", F.ntile(4).over(w))
+
+
 @register(
     "x12_column_profile",
     category="profiling",

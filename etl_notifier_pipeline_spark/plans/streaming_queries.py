@@ -189,6 +189,42 @@ def st07_notification_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st09_stream_static_enrichment",
+    category="streaming",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment,
+       e.event_type,
+       CAST(CAST(e.value AS DECIMAL(10,2)) AS DOUBLE) AS value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type IN ('purchase', 'signup')
+""",
+)
+def st09_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment, batch twin: each event joins
+    the (static) customer dimension — in Structured Streaming the
+    static side is re-read per micro-batch and BROADCAST, so the
+    stream never shuffles; this is the standard lookup-enrichment
+    stage before a feature sink. The value column rides through the
+    decimal round-trip so the twin stays bit-exact."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    c = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+    )
+    return ev.join(c, ev.user_id == c.c_custkey).select(
+        "event_id",
+        "user_id",
+        "c_name",
+        "c_mktsegment",
+        "event_type",
+        F.col("value").cast("decimal(10,2)").cast("double").alias("value"),
+    )
+
+
+@register(
     "st08_interval_join",
     category="streaming",
     oracle="""

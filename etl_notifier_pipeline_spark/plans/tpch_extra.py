@@ -1,0 +1,223 @@
+"""Additional TPC-H-shaped relational queries (SURVEY §2.2-2.4 widening):
+nation-pair volume shipping (Q7), market share (Q8), and the
+anti-join-plus-scalar-subquery sales-opportunity shape (Q22) — the
+multi-fact join patterns the round-1/2 catalog had not yet exercised.
+
+Determinism follows the registry contract: money doubles -> DECIMAL
+before SUM (the fixture's doubles round identically to DECIMAL on both
+engines), ratios as one final double division, years as ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_notifier_pipeline_spark.catalog import load_table
+from etl_notifier_pipeline_spark.plans.registry import register
+
+MONEY = "decimal(12,2)"
+RATE = "decimal(4,2)"
+
+# Exact line revenue: decimal all the way (order-independent sums).
+_VOL_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))"
+)
+
+
+def _vol() -> F.Column:
+    return (
+        F.col("l_extendedprice").cast(MONEY)
+        * (F.lit(1) - F.col("l_discount").cast(RATE))
+    ).cast("decimal(18,4)")
+
+
+@register(
+    "q40_volume_shipping",
+    category="join",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l.l_shipdate) AS l_year,
+         {_VOL_SQL} AS volume
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q40_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations
+    by supplier-nation x customer-nation x ship year.
+
+    Scale shape: supplier+nation and customer+nation resolve as TWO
+    broadcast dimension bundles (each pre-filtered to one nation, so
+    the broadcast side shrinks before it ships); lineitem⨝orders on
+    the orderkey is the only real shuffle. The nation-pair disjunction
+    becomes two one-sided filters pushed into the broadcast builds.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(_vol()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q41_market_share",
+    category="join",
+    oracle=f"""
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n_lineitems
+FROM (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         n1.n_name AS supp_nation,
+         {_VOL_SQL} AS volume
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n2.n_regionkey
+  WHERE r.r_name = 'ASIA'
+)
+GROUP BY o_year
+""",
+)
+def q41_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of revenue sold into
+    ASIA customers, by order year.
+
+    Scale shape: conditional aggregation over ONE pass — numerator and
+    denominator are two decimal sums of the same joined frame, never
+    two scans. Dimension chains broadcast; the fact-fact join shuffles
+    on the orderkey; the share is a single final double division (both
+    sums exact decimals, so the ratio is bit-stable).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    asia_cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(n.alias("n2"), F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n2.n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    vol = _vol()
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q42_sales_opportunity",
+    category="join",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS v
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.v
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+  )
+GROUP BY c_mktsegment
+""",
+)
+def q42_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no large
+    order (sales opportunities), rolled up per market segment.
+
+    Scale shape: the positive-balance average rides in as a broadcast
+    1-row aggregate (crossJoin — no second pass, no collect); the
+    "no large order" predicate is a broadcast anti-join against the
+    pre-filtered orders side (only big orders ship); the exact decimal
+    average makes the > comparison bit-stable cross-engine.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(MONEY)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg_bal")
+    )
+    big = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(F.broadcast(big), "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(MONEY)).cast("double").alias("total_acctbal"),
+        )
+    )
