@@ -171,6 +171,135 @@ def q41_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q43_small_quantity_revenue",
+    category="join",
+    oracle="""
+WITH part_avg AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_partkey,
+       COUNT(*) AS n_small,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS small_revenue
+FROM lineitem l
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE l.l_quantity < 0.5 * a.avg_qty
+GROUP BY l.l_partkey
+""",
+)
+def q43_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems below half their part's
+    average quantity — the canonical correlated-aggregate subquery,
+    DECORRELATED into one per-part aggregate + a self-join (the rewrite
+    Catalyst/DuckDB both plan; here it is explicit so the shape is
+    guaranteed, not optimizer-dependent).
+
+    Scale shape: both sides shuffle once on l_partkey and stay
+    co-partitioned through the join and the final aggregate — one
+    exchange reused three times. The average is an exact decimal
+    sum / count, so the 0.5x threshold compare is bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = (
+        li.groupBy("l_partkey")
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast(MONEY)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty")
+        )
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast(MONEY))
+            .cast("double")
+            .alias("small_revenue"),
+        )
+    )
+
+
+@register(
+    "q44_top_supplier",
+    category="join",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM({_VOL_SQL}) AS DOUBLE) AS total_revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""",
+)
+def q44_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum total revenue —
+    the view + scalar-max-subquery pattern.
+
+    Scale shape: revenue aggregates once on l_suppkey; the scalar max
+    rides back in as a broadcast 1-row aggregate (crossJoin), so the
+    equality filter needs no second pass and no window over a global
+    sort; ties (all max suppliers) survive, matching Q15 semantics.
+    Exact decimal revenue makes the equality compare safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_vol()).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q45_promo_revenue_share",
+    category="aggregation",
+    oracle=f"""
+SELECT EXTRACT(year FROM l.l_shipdate) AS l_year,
+       CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_VOL_SQL}
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM({_VOL_SQL}) AS DOUBLE) AS DOUBLE) AS promo_share,
+       COUNT(*) AS n_lineitems
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1
+""",
+)
+def q45_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO parts' share of revenue by ship year —
+    conditional aggregation over one broadcast-joined pass (numerator
+    and denominator never scan twice). Exact decimal sums; the share
+    is one final double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    vol = _vol()
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero))
+                .cast("double")
+                / F.sum(vol).cast("double")
+            ).cast("double").alias("promo_share"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
     "q42_sales_opportunity",
     category="join",
     oracle="""

@@ -93,6 +93,62 @@ def test_bpe_budget_prunes_and_partial_aggs(spark):
     assert "partial_sum" in plan  # map-side combine before the lang shuffle
 
 
+def test_volume_shipping_broadcasts_both_dim_bundles(spark):
+    """q40: supplier+nation and customer+nation ship as broadcasts;
+    the only hash shuffles belong to lineitem⨝orders + the final agg —
+    no dimension-side exchange."""
+    plan = plan_of(spark, "q40_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_sales_opportunity_is_one_pass(spark, monkeypatch):
+    """q42: the scalar average rides in as a broadcast 1-row aggregate
+    (no eager count/collect at plan-construction), and the no-big-order
+    predicate is a broadcast anti-join."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("eager action during plan construction")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    df = get("q42_sales_opportunity").fn(spark, SF_DIR)
+    monkeypatch.undo()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row avg crossJoin
+    assert "LeftAnti, BuildRight" in plan  # broadcast anti-join
+
+
+def test_small_quantity_revenue_join_shape(spark):
+    """q43: the decorrelated self-join must resolve as either (a) a
+    broadcast of the |parts|-sized average side (what AQE picks at
+    small SF — probe side never shuffles) or (b) a co-partitioned join
+    on l_partkey with the exchange reused. Never an un-broadcast
+    shuffle of both full branches."""
+    plan = plan_of(spark, "q43_small_quantity_revenue")
+    broadcast_shape = "BroadcastHashJoin" in plan
+    copartitioned_shape = "ReusedExchange" in plan
+    assert broadcast_shape or copartitioned_shape
+    # the threshold filter rides inside the join, not a post-join pass
+    assert "l_quantity" in plan.split("HashJoin")[-1] or broadcast_shape
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """x14: the eval-set shingles (tiny) broadcast; the corpus side
+    never shuffles for the join."""
+    plan = plan_of(spark, "x14_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_label_centroids_partial_aggregates(spark):
+    """s06: the (label, pos) aggregate partial-aggregates map-side so
+    the shuffle carries |labels| x dim rows, not every element."""
+    plan = plan_of(spark, "s06_label_centroids")
+    assert "partial_sum" in plan
+
+
 def test_tfidf_is_one_lazy_job(spark, monkeypatch):
     """x08's corpus size N must ride inside the plan (broadcast scalar
     aggregate), not run as a separate eager count() job during query
