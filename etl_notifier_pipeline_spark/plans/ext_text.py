@@ -480,6 +480,34 @@ def x15_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x17_pii_redact",
+    category="text_analysis",
+    oracle="""
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted_props,
+       len(regexp_extract_all(props, '[0-9]+')) AS n_redactions
+FROM events
+WHERE event_id % 11 = 0
+""",
+)
+def x17_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction: mask every digit run in the payload and
+    count the redactions — the pattern-scrub pass (SSNs, phone
+    numbers, account ids) of a data-release pipeline. Pure
+    ``regexp_replace``/``regexp_extract_all`` projection (RE2-safe
+    pattern, identical on both engines), zero shuffle; a production
+    deny-pattern list is a union of alternations in the same shape."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("redacted_props"),
+        F.size(
+            F.regexp_extract_all("props", F.lit("[0-9]+"), F.lit(0))
+        ).alias("n_redactions"),
+    )
+
+
+@register(
     "x16_curriculum_bins",
     category="sampling",
     oracle="""

@@ -300,6 +300,46 @@ def q45_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q46_salted_skew_join",
+    category="join",
+    oracle=f"""
+SELECT s.s_suppkey, s.s_name,
+       CAST(SUM({_VOL_SQL}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+GROUP BY s.s_suppkey, s.s_name
+""",
+)
+def q46_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe revenue-per-supplier through ``salted_join``: the fact
+    side carries a deterministic 8-way salt (hash of the line number,
+    never rand() — speculative retries must salt identically), the
+    supplier side replicates per salt, and the join key becomes
+    (suppkey, salt) so a hot supplier spreads over 8 reducers instead
+    of one. The oracle is the PLAIN join — salting must be
+    row-identical to the unsalted join, and this query value-checks
+    that equivalence on every driver run."""
+    from etl_notifier_pipeline_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(
+        li, s, ["l_suppkey"], n_salts=8, salt_source="l_linenumber"
+    )
+    return (
+        joined.groupBy(
+            F.col("l_suppkey").alias("s_suppkey"), "s_name"
+        )
+        .agg(
+            F.sum(_vol()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
     "q42_sales_opportunity",
     category="join",
     oracle="""
