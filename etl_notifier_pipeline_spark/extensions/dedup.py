@@ -84,9 +84,17 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle array (1-based element_at keeps the
-    expression portable to DuckDB's 1-based lists)."""
+    expression portable to DuckDB's 1-based lists).
+
+    Docs shorter than ``n`` tokens yield an EMPTY array: Spark's
+    ``sequence(1, 0)`` counts DOWN ([1, 0] — then element_at walks out
+    of bounds), unlike DuckDB's empty ``range(1, 0)``, so the guard is
+    load-bearing for both correctness and oracle parity."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    count = F.size(toks) - (n - 1)
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx,
         lambda i: F.concat_ws(

@@ -27,6 +27,28 @@ def split_bucket(key: Column, n_buckets: int = 100) -> Column:
     return token_hash(key.cast("string")) % n_buckets
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    *,
+    resolution: int = 256,
+    salt: str = ":ws",
+) -> DataFrame:
+    """Keep each row with probability ``min(1, weight/resolution)``,
+    decided by a salted hash of the key — deterministic (retries and
+    incremental data never flip prior decisions), row-local, zero
+    shuffle. ``weight`` must be an integer-valued Column (the compare
+    is pure integer arithmetic, bit-exact cross-engine); rows with
+    weight >= resolution are always kept.
+
+    Adds ``sample_key`` (the hash residue) for audit."""
+    key = token_hash(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return df.withColumn("sample_key", key % resolution).filter(
+        F.col("sample_key") < F.least(F.lit(resolution), weight)
+    )
+
+
 def stratified_split(
     df: DataFrame,
     key_col: str,

@@ -157,6 +157,55 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: fraction of duplicate word
+    2-grams / 3-grams per document + a ``repetitive`` flag (dup-2gram
+    fraction > 0.2). Pure per-row HOF arithmetic (int/int division in
+    double), zero shuffle; NULL fractions for docs too short to have
+    n-grams."""
+    from etl_notifier_pipeline_spark.extensions.dedup import shingles
+
+    g2, g3 = shingles(text_col, 2), shingles(text_col, 3)
+
+    def dup_frac(g):
+        n = F.size(g)
+        return F.when(
+            n > 0, (n - F.size(F.array_distinct(g))).cast("double") / n
+        )
+
+    return df.select(
+        "doc_id",
+        F.size(g2).alias("n_2grams"),
+        dup_frac(g2).alias("dup_2gram_frac"),
+        F.size(g3).alias("n_3grams"),
+        dup_frac(g3).alias("dup_3gram_frac"),
+        F.coalesce(dup_frac(g2) > 0.2, F.lit(False)).alias("repetitive"),
+    )
+
+
+def contamination_counts(
+    df: DataFrame, is_eval: Column, text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Benchmark decontamination: for every non-eval document sharing
+    at least one word n-gram with the eval rows, the count of distinct
+    overlapping (hashed) n-grams.
+
+    Scale shape: both sides hash n-grams to 8-byte ints, the eval side
+    dedups to one row per distinct shingle and BROADCASTS (eval
+    benchmarks are tiny next to a training corpus) — the corpus side
+    never shuffles for the join."""
+    from etl_notifier_pipeline_spark.extensions.dedup import shingles
+
+    hashed = F.array_distinct(F.transform(shingles(text_col, n), token_hash))
+    ev = df.filter(is_eval).select(F.explode(hashed).alias("shingle")).distinct()
+    ci = df.filter(~is_eval).select("doc_id", F.explode(hashed).alias("shingle"))
+    return (
+        ci.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, text_col: str = "text", k: int = 3
 ) -> DataFrame:

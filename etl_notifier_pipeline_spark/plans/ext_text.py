@@ -366,25 +366,8 @@ def x13_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/spam in a pretraining corpus. Pure per-row HOF
     arithmetic (int/int division in double — bit-exact), zero shuffle
     at any scale."""
-    from etl_notifier_pipeline_spark.extensions.dedup import shingles
-
     d = load_table(spark, sf_dir, "documents")
-    g2, g3 = shingles("text", 2), shingles("text", 3)
-
-    def dup_frac(g):
-        n = F.size(g)
-        return F.when(
-            n > 0, (n - F.size(F.array_distinct(g))).cast("double") / n
-        )
-
-    return d.select(
-        "doc_id",
-        F.size(g2).alias("n_2grams"),
-        dup_frac(g2).alias("dup_2gram_frac"),
-        F.size(g3).alias("n_3grams"),
-        dup_frac(g3).alias("dup_3gram_frac"),
-        F.coalesce(dup_frac(g2) > 0.2, F.lit(False)).alias("repetitive"),
-    )
+    return X.repetition_features(d, "text")
 
 
 # Benchmark ("eval set") sources for the decontamination check.
@@ -424,22 +407,9 @@ def x14_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per distinct shingle and BROADCASTS (eval benchmarks are
     tiny next to the corpus), so the corpus side never shuffles —
     one narrow scan + a broadcast hash join + per-doc count."""
-    from etl_notifier_pipeline_spark.extensions.dedup import shingles
-
     d = load_table(spark, sf_dir, "documents")
-    hashed = F.array_distinct(F.transform(shingles("text", 5), X.token_hash))
-    ev = (
-        d.filter(F.col("source").isin(*_EVAL_SOURCES))
-        .select(F.explode(hashed).alias("shingle"))
-        .distinct()
-    )
-    ci = d.filter(~F.col("source").isin(*_EVAL_SOURCES)).select(
-        "doc_id", F.explode(hashed).alias("shingle")
-    )
-    return (
-        ci.join(F.broadcast(ev), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    return X.contamination_counts(
+        d, F.col("source").isin(*_EVAL_SOURCES), "text", n=5
     )
 
 
@@ -464,18 +434,12 @@ def x15_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportionally more — decided by a salted key hash, never rand()
     (retries and incremental data must not flip prior decisions; the
     x10 split contract). Pure integer compare, zero shuffle."""
+    from etl_notifier_pipeline_spark.extensions.sampling import weighted_sample
+
     d = load_table(spark, sf_dir, "documents")
-    key = X.token_hash(
-        F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))
-    ) % 256
-    n_tok = X.token_count("text")
-    return (
-        d.select(
-            "doc_id", "lang",
-            n_tok.alias("n_tokens"),
-            key.alias("sample_key"),
-        )
-        .filter(F.col("sample_key") < F.least(F.lit(256), F.col("n_tokens")))
+    staged = d.select("doc_id", "lang", X.token_count("text").alias("n_tokens"))
+    return weighted_sample(staged, "doc_id", F.col("n_tokens")).select(
+        "doc_id", "lang", "n_tokens", "sample_key"
     )
 
 

@@ -158,6 +158,64 @@ def test_dedup_clusters_long_chain_converges(spark):
     assert all(r["cluster_id"] == 0 for r in got)
 
 
+def test_repetition_features_bounds_and_degenerate_doc(spark):
+    from etl_notifier_pipeline_spark.extensions.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"),          # all-identical tokens
+         (2, "all words here are fully distinct"), # no repetition
+         (3, "one")],                              # too short for 2-grams
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    # doc 1: four 2-grams, one distinct -> dup frac 3/4; flagged
+    assert got[1]["dup_2gram_frac"] == 0.75 and got[1]["repetitive"]
+    assert got[2]["dup_2gram_frac"] == 0.0 and not got[2]["repetitive"]
+    assert got[3]["n_2grams"] == 0 and got[3]["dup_2gram_frac"] is None
+    assert not got[3]["repetitive"]  # NULL frac coalesces to unflagged
+    for r in got.values():
+        for c in ("dup_2gram_frac", "dup_3gram_frac"):
+            assert r[c] is None or 0.0 <= r[c] <= 1.0
+
+
+def test_contamination_counts_flags_only_overlapping_docs(spark):
+    from etl_notifier_pipeline_spark.extensions.text import contamination_counts
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "eval"),
+         (2, "a sentence with the quick brown fox jumps inside it", "train"),
+         (3, "completely unrelated training content goes right here", "train")],
+        ["doc_id", "text", "grp"],
+    )
+    got = {
+        r["doc_id"]: r["n_contaminated_shingles"]
+        for r in contamination_counts(docs, F.col("grp") == "eval").collect()
+    }
+    # doc 2 shares exactly one 5-gram ("the quick brown fox jumps")
+    assert got == {2: 1}
+
+
+def test_weighted_sample_deterministic_and_weight_monotone(spark):
+    from etl_notifier_pipeline_spark.extensions.sampling import weighted_sample
+
+    rows = [(i,) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k"])
+    # weight >= resolution -> always kept
+    full = weighted_sample(df, "k", F.lit(256))
+    assert full.count() == 500
+    # weight 0 -> never kept
+    assert weighted_sample(df, "k", F.lit(0)).count() == 0
+    # deterministic: same decisions twice, and half-weight keeps a
+    # subset of full-weight decisions by construction (same hash key)
+    half1 = {r["k"] for r in weighted_sample(df, "k", F.lit(128)).collect()}
+    half2 = {r["k"] for r in weighted_sample(df, "k", F.lit(128)).collect()}
+    assert half1 == half2
+    quarter = {r["k"] for r in weighted_sample(df, "k", F.lit(64)).collect()}
+    assert quarter <= half1
+    # rate roughly proportional (hash uniformity; wide tolerance)
+    assert 0.35 <= len(half1) / 500 <= 0.65
+
+
 def test_jaccard_stop_shingle_guard_drops_hot_shingles(spark):
     """max_doc_freq: a shingle present in more docs than the cap never
     reaches the candidate self-join (the d03 skew guard). Docs sharing
