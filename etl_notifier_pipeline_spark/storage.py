@@ -61,10 +61,19 @@ class TableStore:
                 return f.read().split()
         return [f"v={v}"]
 
-    def read(self, table: str) -> DataFrame:
-        v = self.current_version(table)
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Read the current version, or — time travel — any version
+        still on disk (the vacuum keeps the last 2 plus whatever their
+        manifests reference; on Delta/Iceberg this maps to VERSION AS
+        OF). Version numbers come from the overwrite/append return
+        value or ``current_version``."""
+        v = self.current_version(table) if version is None else version
         if v is None:
             raise FileNotFoundError(f"no such table: {table}")
+        if not os.path.isdir(os.path.join(self._dir(table), f"v={v}")):
+            raise FileNotFoundError(
+                f"{table} has no version {v} on disk (vacuumed or never written)"
+            )
         dirs = [os.path.join(self._dir(table), d) for d in self._manifest(table, v)]
         return self.spark.read.parquet(*dirs)
 
@@ -362,6 +371,28 @@ class BucketedTableStore:
         v = self.current_version(table)
         carry = self._manifest(table, v)["buckets"]
         return self._write_version(table, result, carry=carry, affected=affected)
+
+    def compact(self, table: str, max_dirs_per_bucket: int = 1) -> int | None:
+        """Compact buckets whose manifest references more than
+        ``max_dirs_per_bucket`` dirs (append stacking) into one dir
+        each, leaving already-compact buckets' entries untouched —
+        the maintenance pass a long-lived append-heavy table needs so
+        reads stay O(buckets) file listings. Returns the new version,
+        or None if nothing needed compacting."""
+        v = self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"no such table: {table}")
+        m = self._manifest(table, v)
+        fragmented = {
+            int(k) for k, dirs in m["buckets"].items()
+            if len(dirs) > max_dirs_per_bucket
+        }
+        if not fragmented:
+            return None
+        rows = self._read_paths(table, fragmented)
+        return self._write_version(
+            table, rows, carry=m["buckets"], affected=fragmented
+        )
 
     def _vacuum(self, table: str, keep: int) -> None:
         """Delete version dirs not referenced by any of the last

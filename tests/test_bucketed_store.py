@@ -106,6 +106,25 @@ class TestIncrementalBytes:
         bstore.apply_keyed_mutation("t", inc, ["k"], ["__file_order"], "update")
         assert {r["k"]: r["v"] for r in bstore.read("t").collect()} == {1: "a", 2: "B"}
 
+    def test_compact_merges_stacked_bucket_dirs(self, spark, bstore):
+        """Appends stack dirs per bucket; compact() rewrites only the
+        fragmented buckets into one dir each and leaves compact
+        buckets' manifest entries untouched."""
+        bstore.overwrite("t", spark.createDataFrame([(1, "a")], ["k", "v"]))
+        for i in range(2, 5):
+            bstore.append("t", spark.createDataFrame([(1, f"x{i}")], ["k", "v"]))
+        v = bstore.current_version("t")
+        m = bstore._manifest("t", v)
+        assert any(len(d) > 1 for d in m["buckets"].values())
+        before = sorted(tuple(r) for r in bstore.read("t").collect())
+        new_v = bstore.compact("t")
+        assert new_v == v + 1
+        m2 = bstore._manifest("t", new_v)
+        assert all(len(d) == 1 for d in m2["buckets"].values())
+        assert sorted(tuple(r) for r in bstore.read("t").collect()) == before
+        # already compact -> no-op
+        assert bstore.compact("t") is None
+
     def test_create_on_first_mutation(self, spark, bstore):
         inc = spark.createDataFrame([(1, "a")], ["k", "v"]).withColumn(
             "__file_order", F.monotonically_increasing_id()

@@ -106,3 +106,16 @@ def test_store_atomic_swap_versions(spark, tmp_store):
     # append builds a new version too
     tmp_store.append("t", df1)
     assert sorted(r["x"] for r in tmp_store.read("t").collect()) == [1, 2]
+
+
+def test_store_time_travel(spark, tmp_store):
+    """read(version=) resolves any un-vacuumed version through its own
+    manifest — the VERSION AS OF twin."""
+    v1 = tmp_store.overwrite("t", spark.createDataFrame([(1,)], ["x"]))
+    v2 = tmp_store.append("t", spark.createDataFrame([(2,)], ["x"]))
+    assert [r["x"] for r in tmp_store.read("t", version=v1).collect()] == [1]
+    assert sorted(r["x"] for r in tmp_store.read("t", version=v2).collect()) == [1, 2]
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="no version 99"):
+        tmp_store.read("t", version=99)
