@@ -27,6 +27,49 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, Column]],
+    *,
+    n_salts: int = 8,
+    salt_source: Column | str | None = None,
+) -> DataFrame:
+    """Two-stage aggregation for hot group keys: stage 1 aggregates on
+    (keys, salt) — the hot key's rows spread over ``n_salts`` reducers —
+    stage 2 re-aggregates the per-salt partials on the keys alone (a
+    tiny |keys|×n_salts frame).
+
+    ``aggs`` maps output column -> (merge fn name, partial expression),
+    where the merge fn re-combines partials: ``sum`` for sum/count
+    partials, ``min``/``max`` for extrema. Only decomposable aggregates
+    belong here (that's what makes two-stage correct); AVG = salted SUM
+    + salted COUNT divided afterwards.
+
+    Spark's own partial aggregation (map-side combine) already handles
+    most group-by skew; this operator is for the residual case — e.g.
+    high-cardinality partials (collect-style) or a combine-less
+    aggregation path — and as the explicit, plan-visible form of the
+    two-stage idiom. The salt is deterministic (hash, never rand()).
+    """
+    if salt_source is None:
+        others = [c for c in df.columns if c not in keys] or list(keys)
+        salt = F.pmod(F.xxhash64(*others), F.lit(n_salts))
+    else:
+        c = F.col(salt_source) if isinstance(salt_source, str) else salt_source
+        salt = F.pmod(F.xxhash64(c), F.lit(n_salts))
+    partial = (
+        df.withColumn(SALT_COL, salt.cast("int"))
+        .groupBy(*keys, SALT_COL)
+        .agg(*[expr.alias(out) for out, (_, expr) in aggs.items()])
+    )
+    merged = [
+        getattr(F, merge_fn)(out).alias(out)
+        for out, (merge_fn, _) in aggs.items()
+    ]
+    return partial.groupBy(*keys).agg(*merged)
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,

@@ -340,6 +340,114 @@ def q46_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q47_salted_aggregation",
+    category="aggregation",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q47_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on a 3-value (maximally hot) group
+    key: stage 1 aggregates on (l_returnflag, salt-of-linenumber),
+    stage 2 merges the per-salt partials — the explicit form of the
+    hot-key group-by idiom. The oracle is the PLAIN aggregation:
+    two-stage must be value-identical (decimal partials merge
+    exactly), checked on every driver run."""
+    from etl_notifier_pipeline_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", F.sum(F.col("l_quantity").cast(MONEY))),
+            "n_rows": ("sum", F.count(F.lit(1))),
+            "max_price": ("max", F.max("l_extendedprice")),
+        },
+        n_salts=8,
+        salt_source="l_linenumber",
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "n_rows",
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
+@register(
+    "q48_funnel_conversion",
+    category="join",
+    oracle="""
+WITH s AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+),
+conv AS (
+  SELECT DISTINCT s.user_id
+  FROM events s JOIN events p
+    ON s.user_id = p.user_id
+   AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+  WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+)
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_signup_users,
+       COUNT(conv.user_id) AS n_converted,
+       CAST(COUNT(conv.user_id) AS DOUBLE) / COUNT(*) AS conversion_rate
+FROM s
+JOIN customer c ON c.c_custkey = s.user_id
+LEFT JOIN conv ON conv.user_id = s.user_id
+GROUP BY c.c_mktsegment
+""",
+)
+def q48_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel conversion (within 1 hour) per customer
+    segment — the event-sequence analytics composition: interval
+    self-join (st08's shape) -> distinct converted users -> broadcast
+    dimension rollup. Counts are int-exact; the rate is one final
+    double division."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("s_ts"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+    )
+    converted = (
+        signups.join(purchases, "user_id")
+        .filter(
+            (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("__converted", F.lit(1))
+    )
+    seg = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    return (
+        signups.select("user_id").distinct()
+        .join(seg, F.col("user_id") == F.col("c_custkey"))
+        .join(converted, "user_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_signup_users"),
+            F.count("__converted").alias("n_converted"),
+            (
+                F.count("__converted").cast("double") / F.count(F.lit(1))
+            ).alias("conversion_rate"),
+        )
+    )
+
+
+@register(
     "q42_sales_opportunity",
     category="join",
     oracle="""

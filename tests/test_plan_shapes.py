@@ -72,6 +72,29 @@ def test_whole_stage_codegen_everywhere_hot(spark):
     assert re.search(r"\*\(\d+\) (Project|Filter|ColumnarToRow)", plan)
 
 
+def test_salted_agg_equals_plain_agg_and_spreads_key(spark):
+    from etl_notifier_pipeline_spark.catalog import load_table
+    from etl_notifier_pipeline_spark.operators.skew import salted_agg
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    plain = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.max("user_id").alias("mx")
+    )
+    salted = salted_agg(
+        ev,
+        ["event_type"],
+        {"n": ("sum", F.count(F.lit(1))), "mx": ("max", F.max("user_id"))},
+        n_salts=4,
+        salt_source="event_id",
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # structural: two aggregation stages — (key, salt) then key
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("__salt") > 0
+
+
 def test_salted_join_equals_plain_join(spark):
     from etl_notifier_pipeline_spark.catalog import load_table
     from etl_notifier_pipeline_spark.operators.skew import salted_join
