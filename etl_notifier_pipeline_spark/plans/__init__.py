@@ -17,6 +17,7 @@ from etl_notifier_pipeline_spark.plans.registry import (
 # Import for registration side effects — order defines catalog order.
 from etl_notifier_pipeline_spark.plans import relational  # noqa: E402,F401
 from etl_notifier_pipeline_spark.plans import tpch_extra  # noqa: E402,F401
+from etl_notifier_pipeline_spark.plans import tpch_extra2  # noqa: E402,F401
 from etl_notifier_pipeline_spark.plans import control  # noqa: E402,F401
 from etl_notifier_pipeline_spark.plans import ext_text  # noqa: E402,F401
 from etl_notifier_pipeline_spark.plans import ext_dedup  # noqa: E402,F401

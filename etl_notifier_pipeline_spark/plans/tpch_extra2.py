@@ -1,0 +1,595 @@
+"""Remaining classic TPC-H plan shapes (SURVEY §2.3-2.4 completion):
+min-per-group join-back (Q2), pure pushdown scan-agg (Q6), multi-dim
+profit rollup (Q9), returned-item top-k (Q10), global-fraction HAVING
+(Q11), date-bucket histogram (Q12), countDistinct with exclusion
+anti-join (Q16), disjunctive OR-of-ANDs join predicate (Q19), nested
+semi chain (Q20), and the sole-late-supplier double-correlation (Q21).
+
+The testdata star schema has no ``partsupp``/``l_shipmode``/
+``l_commitdate`` columns, so each query keeps the REFERENCE SHAPE
+(what the optimizer must plan) while adapting the predicate surface to
+the columns that exist; docstrings note the adaptation.
+
+Determinism follows the registry contract: money doubles -> DECIMAL
+before SUM, integer sums CAST(... AS BIGINT) in oracles, one final
+double division/cast, top-k tie-broken on a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_notifier_pipeline_spark.catalog import load_table
+from etl_notifier_pipeline_spark.plans.registry import register
+
+MONEY = "decimal(12,2)"
+RATE = "decimal(4,2)"
+
+_VOL_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))"
+)
+
+
+def _vol() -> F.Column:
+    return (
+        F.col("l_extendedprice").cast(MONEY)
+        * (F.lit(1) - F.col("l_discount").cast(RATE))
+    ).cast("decimal(18,4)")
+
+
+@register(
+    "q49_min_cost_supplier",
+    category="join",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_partkey, l_suppkey, SUM({_VOL_SQL}) AS supp_cost
+  FROM lineitem GROUP BY 1, 2
+),
+m AS (SELECT l_partkey, MIN(supp_cost) AS min_cost FROM rev GROUP BY 1)
+SELECT r.l_partkey, s.s_name, n.n_name,
+       CAST(r.supp_cost AS DOUBLE) AS supp_cost
+FROM rev r
+JOIN m ON m.l_partkey = r.l_partkey AND r.supp_cost = m.min_cost
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+""",
+)
+def q49_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part, the supplier(s) with the minimum
+    total shipped cost, decorated with supplier/nation dims. Adapted:
+    no partsupp table, so the part->supplier link and its cost come
+    from lineitem revenue.
+
+    Scale shape: min-per-group via a WINDOW over the per-(part,supp)
+    aggregate, not a groupBy + join-back — a join-back's min subtree
+    re-derives the aggregate with different inferred null filters, so
+    Spark cannot reuse the exchange and scans lineitem TWICE (verified
+    on the physical plan); the window form scans once, and the window
+    input is already reduced to |part x supp| rows. The equality
+    filter keeps ties (Q2 semantics) on exact decimals; dims
+    broadcast. Ref: SURVEY.md §2.3 absent-join list.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_vol()).alias("supp_cost")
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        rev.withColumn(
+            "__min_cost",
+            F.min("supp_cost").over(Window.partitionBy("l_partkey")),
+        )
+        .filter(F.col("supp_cost") == F.col("__min_cost"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "l_partkey", "s_name", "n_name",
+            F.col("supp_cost").cast("double").alias("supp_cost"),
+        )
+    )
+
+
+@register(
+    "q50_product_profit",
+    category="join",
+    oracle=f"""
+SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+       CAST(SUM(
+         CAST({_VOL_SQL} AS DECIMAL(28,6))
+         - CAST(CAST(l.l_quantity AS DECIMAL(12,2))
+                * CAST(p.p_retailprice AS DECIMAL(12,2))
+                * CAST(0.2 AS DECIMAL(2,1)) AS DECIMAL(28,6))
+       ) AS DOUBLE) AS profit,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+)
+def q50_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and order
+    year, parts filtered by name pattern. Adapted: supply cost is a
+    20%-of-retail surrogate (no partsupp.ps_supplycost).
+
+    Scale shape: part (pre-filtered by the LIKE — the broadcast side
+    shrinks before shipping), supplier, and nation are broadcast dims;
+    lineitem⨝orders on the orderkey is the only shuffle. Profit stays
+    decimal end-to-end (scale 6 covers the 5-decimal product exactly,
+    so no pre-sum rounding); one cast to double at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    o = load_table(spark, sf_dir, "orders")
+    cost = (
+        F.col("l_quantity").cast(MONEY)
+        * F.col("p_retailprice").cast(MONEY)
+        * F.lit("0.2").cast("decimal(2,1)")
+    ).cast("decimal(28,6)")
+    profit = _vol().cast("decimal(28,6)") - cost
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(profit).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q51_important_parts",
+    category="aggregation",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_partkey, SUM({_VOL_SQL}) AS part_rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(part_rev) AS total_rev FROM rev)
+SELECT r.l_partkey, CAST(r.part_rev AS DOUBLE) AS part_revenue
+FROM rev r, tot
+WHERE CAST(r.part_rev AS DOUBLE) > 0.0007 * CAST(tot.total_rev AS DOUBLE)
+""",
+)
+def q51_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds a fraction of
+    GLOBAL revenue — the group-vs-global-scalar HAVING pattern.
+
+    Scale shape: per-part revenue aggregates once (map-side combine);
+    the global total is a second aggregate OVER THE AGGREGATE (part
+    count, not lineitem count — tiny) and rides back as a broadcast
+    1-row crossJoin, so the fraction filter needs no second corpus
+    scan and no collect. Both sums are exact decimals; the threshold
+    compare runs in double identically on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(F.sum(_vol()).alias("part_rev"))
+    tot = rev.agg(F.sum("part_rev").alias("__total_rev"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("part_rev").cast("double")
+            > F.lit(0.0007) * F.col("__total_rev").cast("double")
+        )
+        .select(
+            "l_partkey", F.col("part_rev").cast("double").alias("part_revenue")
+        )
+    )
+
+
+@register(
+    "q52_shipping_delay_histogram",
+    category="aggregation",
+    oracle="""
+SELECT o.o_orderpriority,
+       LEAST(GREATEST(date_diff('day', o.o_orderdate, l.l_shipdate), 0) // 30,
+             6) AS delay_bucket,
+       COUNT(*) AS n_lineitems,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+""",
+)
+def q52_shipping_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: order-priority vs shipping-delay distribution.
+    Adapted: no l_shipmode/commitdate, so the dimension is the
+    order-priority class and the measure is the order->ship delay
+    bucketed into 30-day bins (capped at 6, the open tail).
+
+    Scale shape: one big-big shuffle join on the orderkey, then a
+    low-cardinality (5 x 7 group) aggregate that map-side combines to
+    almost nothing. Delays clamp to >= 0 before bucketing — the
+    synthetic data ships some lines before their order date, and
+    DuckDB's ``//`` truncates toward zero on negative ints while
+    Spark's ``floor`` floors, so the clamp is also what keeps the
+    bucket arithmetic engine-identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay_bucket = F.least(
+        F.floor(
+            F.greatest(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")),
+                F.lit(0),
+            )
+            / 30
+        ),
+        F.lit(6).cast("long"),
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderpriority", delay_bucket.alias("delay_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(F.col("l_quantity").cast(MONEY))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q53_supplier_part_counts",
+    category="aggregation",
+    oracle="""
+SELECT p.p_brand, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 9, 19, 29, 39, 49)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2
+""",
+)
+def q53_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute
+    class, excluding a supplier deny-set. Adapted: the part->supplier
+    link is lineitem; the "complaints" exclusion is negative balance.
+
+    Scale shape: part pre-filters (type + size-list) land in the
+    broadcast build; the deny-set is a broadcast ANTI-join (tiny, and
+    NOT IN without nulls is exactly anti-join semantics — s_suppkey is
+    a key, never null); countDistinct expands to a two-phase
+    (partial-distinct, merge) aggregate, the Spark shape for
+    distinct-count at scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 19, 29, 39, 49)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    deny = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(deny, "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q54_disjunctive_revenue",
+    category="join",
+    oracle=f"""
+SELECT CAST(SUM({_VOL_SQL}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 25
+       AND l.l_quantity BETWEEN 10 AND 40)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+       AND l.l_quantity BETWEEN 20 AND 50)
+""",
+)
+def q54_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate that
+    mixes columns from BOTH join sides — the disjunctive-pushdown
+    stress test.
+
+    Scale shape: Catalyst splits the disjunction into the
+    single-side conjuncts it can push (the brand/size union prunes the
+    broadcast part build; the quantity envelope 1..50 prunes the
+    lineitem scan) and evaluates the cross-side residual after the
+    broadcast join — asserted in tests/test_plan_shapes.py. The final
+    1-row aggregate is exact decimal -> one double cast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(_vol()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q55_excess_shipments",
+    category="join",
+    oracle="""
+WITH shipped AS (
+  SELECT l.l_suppkey,
+         SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'red%' AND EXTRACT(year FROM l.l_shipdate) = 1997
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, n.n_name,
+       CAST(sh.qty AS DOUBLE) AS red_qty
+FROM shipped sh
+JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE sh.qty > CAST(50 AS DECIMAL(12,2))
+  AND n.n_name IN ('NATION_4', 'NATION_5')
+""",
+)
+def q55_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in a nation set who shipped more
+    than a threshold quantity of name-filtered parts in one year — the
+    nested filter->aggregate->semi-chain. Adapted: threshold is
+    absolute (no partsupp.ps_availqty to scale by).
+
+    Scale shape: the part name filter broadcasts; the year filter
+    prunes the lineitem scan BEFORE the per-supplier aggregate (both
+    predicates reach the scan); the HAVING runs on the aggregate
+    (supplier-cardinality, tiny); supplier+nation decorate via
+    broadcast joins after the reduction, so the wide data never
+    carries dim columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(MONEY)).alias("qty"))
+        .filter(F.col("qty") > F.lit(50).cast(MONEY))
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nat = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_4", "NATION_5")
+        )
+    )
+    return (
+        shipped.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey", "s_name", "n_name",
+            F.col("qty").cast("double").alias("red_qty"),
+        )
+    )
+
+
+@register(
+    "q56_late_sole_suppliers",
+    category="join",
+    oracle="""
+WITH enriched AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_os AS (
+  SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+  FROM enriched GROUP BY 1, 2
+),
+per_o AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_supp,
+         CAST(SUM(supp_late) AS BIGINT) AS n_late
+  FROM per_os GROUP BY 1
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM per_os po
+JOIN per_o ON per_o.l_orderkey = po.l_orderkey
+JOIN supplier s ON s.s_suppkey = po.l_suppkey
+WHERE po.supp_late = 1 AND per_o.n_supp >= 2 AND per_o.n_late = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def q56_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    finalized multi-supplier order — the famous exists + not-exists
+    double correlation. Adapted: "late" is ship > order date + 90 days
+    (no commit/receipt dates).
+
+    Scale shape: the correlated EXISTS pair decorrelates into ONE
+    per-(order,supplier) aggregate, and the per-order supplier/late
+    counts ride in as WINDOWS over that aggregate — a groupBy +
+    join-back would re-derive the aggregate subtree (different null
+    filters defeat exchange reuse) and scan lineitem twice; the
+    window form scans once and windows over the already-reduced
+    (order,supplier) frame. Top-20 is TakeOrderedAndProject with the
+    (numwait desc, name) tie-break.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    enriched = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey",
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("late"),
+    )
+    per_os = enriched.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_orderkey", "l_suppkey", "supp_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("supp_late").over(w).alias("n_late"),
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        flagged.filter(
+            (F.col("supp_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q57_returned_items",
+    category="join",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM({_VOL_SQL}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND EXTRACT(year FROM o.o_orderdate) = 1998
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q57_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue of returned lines
+    in one order-year.
+
+    Scale shape: the returnflag filter prunes the lineitem scan and
+    the year filter prunes orders BEFORE their shuffle join; customer
+    and nation broadcast; top-20 collapses to TakeOrderedAndProject
+    (no global sort materializes), tie-broken on the unique custkey so
+    the boundary row is deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1998
+    ).select("o_orderkey", "o_custkey")
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_vol()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q58_revenue_forecast",
+    category="aggregation",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+         AS revenue_delta,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+WHERE EXTRACT(year FROM l_shipdate) = 1997
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q58_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure filter-scan-aggregate forecast query —
+    no join at all; the benchmark's pushdown/pruning canary.
+
+    Scale shape: all three predicates and the 3-column projection
+    reach the parquet scan (min/max row-group pruning does the rest);
+    the single-row aggregate is exact decimal, map-side combined to
+    one partial per task. At 100 TB this query is pure scan bandwidth.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1997)
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(MONEY)
+                * F.col("l_discount").cast(RATE)
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -225,3 +225,55 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     # the row-group data filters must NOT contain lang — it never
     # reaches the parquet reader
     assert df.count() > 0
+
+
+def test_disjunctive_predicate_splits_per_side(spark):
+    """Q19 shape: Catalyst must extract the single-side conjuncts of
+    the OR-of-ANDs — the quantity envelope prunes the lineitem scan,
+    the brand/size union prunes the broadcast part build."""
+    plan = plan_of(spark, "q54_disjunctive_revenue")
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    li_scan = [l for l in scans if "lineitem" in l][0]
+    part_scan = [l for l in scans if "part.parquet" in l][0]
+    assert "l_quantity" in li_scan.split("PushedFilters")[1]
+    assert "p_brand" in part_scan.split("PushedFilters")[1]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_min_per_group_is_single_scan_window(spark):
+    """Q2 shape: the per-part min must come from a window over the
+    aggregate, not a join-back that re-scans lineitem."""
+    plan = plan_of(spark, "q49_min_cost_supplier")
+    scans = [l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l]
+    assert len(scans) == 1
+    assert "Window" in plan
+
+
+def test_sole_late_supplier_single_scan_and_topk(spark):
+    """Q21 shape: decorrelation must not re-scan lineitem for the
+    per-order counts; top-20 collapses to TakeOrderedAndProject."""
+    plan = plan_of(spark, "q56_late_sole_suppliers")
+    scans = [l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l]
+    assert len(scans) == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_forecast_pushes_all_predicates(spark):
+    """Q6 shape: discount/quantity predicates and the 4-column
+    projection must reach the parquet scan."""
+    plan = plan_of(spark, "q58_revenue_forecast")
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    pushed = scan.split("PushedFilters")[1]
+    assert "l_discount" in pushed and "l_quantity" in pushed
+    assert "partial_sum" in plan
+    assert "l_orderkey" not in scan  # column pruning
+
+
+def test_returned_items_prunes_both_scans(spark):
+    """Q10 shape: returnflag prunes lineitem, the year filter prunes
+    orders, both BEFORE their shuffle join; top-20 is TakeOrdered."""
+    plan = plan_of(spark, "q57_returned_items")
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    li_scan = [l for l in scans if "lineitem" in l][0]
+    assert "EqualTo(l_returnflag,R)" in li_scan
+    assert "TakeOrderedAndProject" in plan
