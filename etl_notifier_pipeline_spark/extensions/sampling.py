@@ -68,3 +68,20 @@ def stratified_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def shard_assignment(
+    df: DataFrame, key_col: str, n_shards: int = 64
+) -> DataFrame:
+    """Deterministic output-shard assignment: shard = md5-hash(key) %
+    n_shards — the write-layout step of a training-data pipeline
+    (stable across retries/partitioning, unlike rand() or
+    monotonically_increasing_id; adding docs never moves old ones).
+
+    Scale shape: a pure projection (no shuffle); the subsequent
+    ``.repartition(n_shards, "shard_id")`` or partitionBy write is
+    where the one unavoidable exchange happens, carrying data exactly
+    once.
+    """
+    h = token_hash(F.col(key_col).cast("string"))
+    return df.withColumn("shard_id", h % n_shards)

@@ -251,3 +251,43 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "token", "tf", "df", "tfidf_ratio", "rank")
     )
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window slicing
+    pass of a pretraining pipeline (stride < window gives overlap).
+
+    Emits one row per (doc, chunk): ``chunk_idx`` (0-based, dense),
+    ``chunk_tokens`` (actual length, short at the tail), and
+    ``chunk_text``. Chunk starts are 0, stride, 2*stride, ... < n_tok.
+
+    Scale shape: split + sequence + posexplode + slice — all JVM-side
+    whole-stage-codegen expressions, no shuffle at all (chunking is
+    embarrassingly parallel); the token array is built once per doc
+    and sliced per chunk. The generator and the slice live in separate
+    selects (a posexplode + getField in one select strips struct
+    names during analysis).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = df.select(doc_id_col, tokens(text_col).alias("__toks"))
+    exploded = toks.select(
+        doc_id_col,
+        "__toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(stride))
+        ).alias("chunk_idx", "__start"),
+    )
+    sliced = F.slice("__toks", F.col("__start") + 1, window)
+    return exploded.select(
+        doc_id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(sliced).cast("long").alias("chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )

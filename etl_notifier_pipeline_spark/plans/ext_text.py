@@ -558,3 +558,103 @@ def x12_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in cols
     ]
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+@register(
+    "x18_chunk_windows",
+    category="text_analysis",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+e AS (SELECT doc_id, toks, unnest(range(0, len(toks), 4)) AS start FROM t)
+SELECT doc_id,
+       start // 4 AS chunk_idx,
+       CAST(len(toks[start + 1 : start + 8]) AS BIGINT) AS chunk_tokens,
+       array_to_string(toks[start + 1 : start + 8], ' ') AS chunk_text
+FROM e
+""",
+)
+def x18_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window=8, stride=4 — 50%
+    overlap), the context-window slicing pass of a pretraining
+    pipeline. Pure projection + generator: zero shuffle; see
+    extensions.text.chunk_token_windows."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.chunk_token_windows(d, window=8, stride=4)
+
+
+@register(
+    "x19_chunk_dup_stats",
+    category="text_analysis",
+    oracle="""
+WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+e AS (SELECT source, toks, unnest(range(0, len(toks), 4)) AS start FROM t),
+c AS (SELECT source,
+             md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS h
+      FROM e)
+SELECT source,
+       COUNT(*) AS n_chunks,
+       COUNT(DISTINCT h) AS n_unique,
+       1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*) AS dup_ratio
+FROM c
+GROUP BY source
+""",
+)
+def x19_chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplication audit per source: chunk the corpus
+    (x18's operator), hash each chunk, and report the distinct/dup
+    ratio — the window-granularity twin of document dedup, catching
+    boilerplate that whole-doc hashing misses.
+
+    Scale shape: the shuffle carries 32-byte md5 hashes, never chunk
+    text; countDistinct is Spark's two-phase partial-distinct
+    aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = X.chunk_token_windows(
+        d.select(F.col("source"), "text"), doc_id_col="source",
+        window=8, stride=4,
+    )
+    return (
+        chunks.select("source", F.md5("chunk_text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("h").alias("n_unique"),
+            (
+                F.lit(1.0)
+                - F.countDistinct("h").cast("double") / F.count(F.lit(1))
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+@register(
+    "x20_shard_balance",
+    category="sampling",
+    oracle="""
+WITH s AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 999999937 % 64 AS shard_id,
+         n_chars
+  FROM documents
+)
+SELECT shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY shard_id
+""",
+)
+def x20_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 64-way output-shard assignment + balance audit
+    (docs and bytes per shard) — validates the hash layout a
+    partitionBy write would use. The assignment itself is a pure
+    projection; the audit aggregate is the only (tiny) shuffle."""
+    from etl_notifier_pipeline_spark.extensions.sampling import shard_assignment
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        shard_assignment(d, "doc_id", n_shards=64)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

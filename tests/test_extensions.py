@@ -297,3 +297,57 @@ def test_sequence_packing_respects_budget_boundaries(spark):
         for r in rows:
             assert r["bin_id"] == cum // 4096
             cum += r["n_tokens"]
+
+
+def test_chunk_token_windows_semantics(spark):
+    """Chunk starts at 0, stride, ... < n_tok; tail chunks run short;
+    a short doc yields exactly one chunk; chunking never shuffles."""
+    from etl_notifier_pipeline_spark.extensions.text import chunk_token_windows
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    out = chunk_token_windows(df, window=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 10 tokens -> starts 0,3,6,9 -> lengths 4,4,4,1
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_tokens for r in c1] == [4, 4, 4, 1]
+    assert c1[0].chunk_text == "a b c d"
+    assert c1[1].chunk_text == "d e f g"  # overlap of 1 at stride 3
+    assert c1[3].chunk_text == "j"
+    # doc 2: 2 tokens -> one chunk, short
+    assert [(r.chunk_idx, r.chunk_tokens) for r in by_doc[2]] == [(0, 2)]
+    assert by_doc[3][0].chunk_text == "solo"
+    plan = (
+        chunk_token_windows(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+    with pytest.raises(ValueError):
+        chunk_token_windows(df, stride=0)
+
+
+def test_shard_assignment_stable_and_total(spark):
+    """Shard ids are deterministic across runs/partitioning, in
+    [0, n), and adding rows never moves existing ones."""
+    from etl_notifier_pipeline_spark.extensions.sampling import shard_assignment
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {
+        r.doc_id: r.shard_id
+        for r in shard_assignment(df, "doc_id", 16).collect()
+    }
+    b = {
+        r.doc_id: r.shard_id
+        for r in shard_assignment(df.repartition(7), "doc_id", 16).collect()
+    }
+    assert a == b
+    assert all(0 <= v < 16 for v in a.values())
+    bigger = shard_assignment(
+        spark.range(0, 1000).withColumnRenamed("id", "doc_id"), "doc_id", 16
+    )
+    c = {r.doc_id: r.shard_id for r in bigger.collect()}
+    assert all(c[k] == v for k, v in a.items())
