@@ -89,3 +89,58 @@ def read_csv_typed(
     spark: SparkSession, path: str, template: T.StructType
 ) -> DataFrame:
     return cast_to_template(read_csv_all_string(spark, path), template)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    template: T.StructType | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Read newline-delimited JSON — the other arrival format a file-
+    drop pipeline sees (the reference only ships CSV; this extends S1/S2
+    to the JSONL corpora LLM-data pipelines exchange).
+
+    With a ``template`` the schema is imposed (no inference pass —
+    at 100 TB a schema-inference scan is a full extra read of the
+    corpus); rows that do not parse land in ``corrupt_col`` instead of
+    killing the job (PERMISSIVE), mirroring the dead-letter posture of
+    the streaming path. Without a template, falls back to one
+    inference pass (small/interactive use) and FAILFAST, mirroring
+    ``read_csv_all_string``'s abort-on-malformed policy.
+    """
+    if template is not None:
+        schema = T.StructType(list(template.fields))
+        if corrupt_col not in [f.name for f in schema.fields]:
+            schema = schema.add(T.StructField(corrupt_col, T.StringType()))
+        df = spark.read.schema(schema).options(
+            mode="PERMISSIVE", columnNameOfCorruptRecord=corrupt_col
+        ).json(path)
+        return df
+    df = spark.read.options(mode="FAILFAST").json(path)
+    if len(df.columns) == 0:
+        raise EmptyInputError(f"JSONL file is empty: {path}")
+    return df
+
+
+def split_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE-parsed frame into (clean, dead_letters).
+
+    The clean side drops the corrupt column entirely; the dead-letter
+    side keeps only the raw line — ready for a durable dead-letter
+    append (streaming ST3's posture, applied to batch ingest).
+
+    The frame is cached first: Spark disallows referencing ONLY the
+    internal corrupt-record column on a raw file scan
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and its documented remedy is
+    materializing the parse. The cache covers one arrival batch (a
+    file drop), never the corpus.
+    """
+    df = df.cache()
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    dead = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return clean, dead

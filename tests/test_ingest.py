@@ -60,3 +60,43 @@ def test_table_name_derivation():
     assert derive_table_name("Sales Data-2024.CSV") == "sales_data_2024"
     assert derive_table_name("a.b.c.txt") == "a_b_c"
     assert derive_table_name("noext") == "noext"
+
+
+class TestJsonl:
+    def test_typed_read_splits_corrupt_lines(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from etl_notifier_pipeline_spark.sources.ingest import (
+            read_jsonl,
+            split_corrupt,
+        )
+
+        p = tmp_path / "docs.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "text": "hello world"}\n'
+            "this is not json\n"
+            '{"doc_id": 2, "text": "second"}\n'
+            '{"doc_id": "NaNope", "text": 3}\n'
+        )
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        df = read_jsonl(spark, str(p), template=schema)
+        clean, dead = split_corrupt(df)
+        rows = {r.doc_id: r.text for r in clean.collect()}
+        assert rows == {1: "hello world", 2: "second"}
+        dead_lines = [r.raw_line for r in dead.collect()]
+        assert "this is not json" in dead_lines[0] or len(dead_lines) == 2
+        # imposed schema: no inference scan, columns exactly as templated
+        assert clean.columns == ["doc_id", "text"]
+
+    def test_untemplated_read_infers(self, spark, tmp_path):
+        from etl_notifier_pipeline_spark.sources.ingest import read_jsonl
+
+        p = tmp_path / "ok.jsonl"
+        p.write_text('{"a": 1}\n{"a": 2}\n')
+        df = read_jsonl(spark, str(p))
+        assert [r.a for r in df.orderBy("a").collect()] == [1, 2]

@@ -277,3 +277,27 @@ def test_returned_items_prunes_both_scans(spark):
     li_scan = [l for l in scans if "lineitem" in l][0]
     assert "EqualTo(l_returnflag,R)" in li_scan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_no_row_python_in_any_registered_query(spark):
+    """Global hygiene sweep: NO registered batch query may plan a
+    row-at-a-time Python eval node (BatchEvalPython); Arrow-batched
+    pandas nodes are allowed only on the explicit whitelist (the
+    multimodal decode path, which is pandas by design). A UDF sneaking
+    into a hot path fails here, not at 100 TB."""
+    from etl_notifier_pipeline_spark.plans import specs
+
+    PANDAS_OK = {"xm01_multimodal_features"}
+    offenders = {}
+    for name, sp in specs().items():
+        df = sp.fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders[name] = "BatchEvalPython"
+        elif name not in PANDAS_OK and (
+            "MapInPandas" in plan
+            or "FlatMapGroupsInPandas" in plan
+            or "ArrowEvalPython" in plan
+        ):
+            offenders[name] = "pandas node off-whitelist"
+    assert not offenders, offenders
