@@ -193,26 +193,25 @@ GROUP BY l.l_partkey
 def q43_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from lineitems below half their part's
     average quantity — the canonical correlated-aggregate subquery,
-    DECORRELATED into one per-part aggregate + a self-join (the rewrite
-    Catalyst/DuckDB both plan; here it is explicit so the shape is
-    guaranteed, not optimizer-dependent).
+    DECORRELATED into a per-part WINDOW average over one scan. The
+    aggregate + join-back rewrite (what DuckDB plans) scans lineitem
+    twice on Spark — the agg branch prunes/filters differently, so
+    exchange reuse misses (verified at runtime, 0 ReusedExchange) —
+    while the window form scans once, and the final per-part aggregate
+    reuses the window's l_partkey partitioning (no second exchange).
 
-    Scale shape: both sides shuffle once on l_partkey and stay
-    co-partitioned through the join and the final aggregate — one
-    exchange reused three times. The average is an exact decimal
-    sum / count, so the 0.5x threshold compare is bit-stable."""
+    The average is an exact decimal sum / count, so the 0.5x
+    threshold compare is bit-stable."""
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem")
-    part_avg = (
-        li.groupBy("l_partkey")
-        .agg(
-            (
-                F.sum(F.col("l_quantity").cast(MONEY)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_qty")
-        )
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast(MONEY)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
     )
     return (
-        li.join(part_avg, "l_partkey")
+        li.withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .groupBy("l_partkey")
         .agg(
@@ -243,18 +242,24 @@ def q44_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the view + scalar-max-subquery pattern.
 
     Scale shape: revenue aggregates once on l_suppkey; the scalar max
-    rides back in as a broadcast 1-row aggregate (crossJoin), so the
-    equality filter needs no second pass and no window over a global
-    sort; ties (all max suppliers) survive, matching Q15 semantics.
-    Exact decimal revenue makes the equality compare safe."""
+    is an unpartitioned WINDOW over that aggregate — a crossJoin with
+    a rev-derived 1-row max would re-derive the aggregate subtree
+    (Spark's exchange reuse misses it: the two branches prune columns
+    differently) and scan lineitem TWICE, verified on the runtime
+    plan. The window's single-partition pass sees only the
+    supplier-cardinality frame, never the fact table; ties (all max
+    suppliers) survive, matching Q15 semantics."""
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
         F.sum(_vol()).cast("double").alias("total_revenue")
     )
-    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.withColumn(
+            "__max_rev", F.max("total_revenue").over(Window.partitionBy())
+        )
         .filter(F.col("total_revenue") == F.col("__max_rev"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")

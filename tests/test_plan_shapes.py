@@ -144,17 +144,15 @@ def test_sales_opportunity_is_one_pass(spark, monkeypatch):
 
 
 def test_small_quantity_revenue_join_shape(spark):
-    """q43: the decorrelated self-join must resolve as either (a) a
-    broadcast of the |parts|-sized average side (what AQE picks at
-    small SF — probe side never shuffles) or (b) a co-partitioned join
-    on l_partkey with the exchange reused. Never an un-broadcast
-    shuffle of both full branches."""
+    """q43: the correlated average decorrelates into a WINDOW over one
+    scan — no join at all, and the final per-part aggregate reuses the
+    window's l_partkey partitioning (single exchange end-to-end)."""
     plan = plan_of(spark, "q43_small_quantity_revenue")
-    broadcast_shape = "BroadcastHashJoin" in plan
-    copartitioned_shape = "ReusedExchange" in plan
-    assert broadcast_shape or copartitioned_shape
-    # the threshold filter rides inside the join, not a post-join pass
-    assert "l_quantity" in plan.split("HashJoin")[-1] or broadcast_shape
+    assert "Window" in plan and "Join" not in plan
+    shuffles = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(shuffles) <= 1
 
 
 def test_decontamination_broadcasts_eval_side(spark):
@@ -301,3 +299,18 @@ def test_no_row_python_in_any_registered_query(spark):
         ):
             offenders[name] = "pandas node off-whitelist"
     assert not offenders, offenders
+
+
+def test_scalar_max_and_correlated_avg_scan_fact_once(spark):
+    """Q15/Q17 shapes: the scalar-max and per-group-average subqueries
+    must not re-scan the fact table — the window-over-aggregate form
+    (q44) and window-over-fact form (q43) both keep exactly one
+    lineitem FileScan (the join-back rewrite scans twice: exchange
+    reuse misses cross-branch pruning differences)."""
+    for name in ("q44_top_supplier", "q43_small_quantity_revenue"):
+        plan = plan_of(spark, name)
+        scans = [
+            l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l
+        ]
+        assert len(scans) == 1, name
+        assert "Window" in plan, name
