@@ -411,10 +411,16 @@ GROUP BY c.c_mktsegment
 )
 def q48_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup→purchase funnel conversion (within 1 hour) per customer
-    segment — the event-sequence analytics composition: interval
-    self-join (st08's shape) -> distinct converted users -> broadcast
+    segment — the event-sequence analytics composition: LEFT interval
+    self-join (st08's shape) -> per-user converted flag -> broadcast
     dimension rollup. Counts are int-exact; the rate is one final
-    double division."""
+    double division.
+
+    Scale shape: events is scanned exactly twice (signup slice,
+    purchase slice — both filters pushed), not three times: the
+    non-converted users survive the LEFT join, so the signup-user
+    universe never needs a separate distinct pass. The per-user flag
+    is max-of-case over the user shuffle the join already created."""
     ev = load_table(spark, sf_dir, "events")
     signups = (
         ev.filter(F.col("event_type") == "signup")
@@ -424,29 +430,33 @@ def q48_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase")
         .select("user_id", F.col("ts").alias("p_ts"))
     )
-    converted = (
-        signups.join(purchases, "user_id")
-        .filter(
-            (F.col("p_ts") >= F.col("s_ts"))
-            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
+    per_user = (
+        signups.join(
+            purchases,
+            (signups["user_id"] == purchases["user_id"])
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left",
         )
-        .select("user_id")
-        .distinct()
-        .withColumn("__converted", F.lit(1))
+        .select(signups["user_id"], "p_ts")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("p_ts").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("__converted")
+        )
     )
     seg = F.broadcast(
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     )
     return (
-        signups.select("user_id").distinct()
-        .join(seg, F.col("user_id") == F.col("c_custkey"))
-        .join(converted, "user_id", "left")
+        per_user.join(seg, F.col("user_id") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_signup_users"),
-            F.count("__converted").alias("n_converted"),
+            F.sum("__converted").alias("n_converted"),
             (
-                F.count("__converted").cast("double") / F.count(F.lit(1))
+                F.sum("__converted").cast("double") / F.count(F.lit(1))
             ).alias("conversion_rate"),
         )
     )
@@ -477,7 +487,12 @@ def q42_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (sales opportunities), rolled up per market segment.
 
     Scale shape: the positive-balance average rides in as a broadcast
-    1-row aggregate (crossJoin — no second pass, no collect); the
+    1-row aggregate (crossJoin, no collect). This IS a second pass
+    over customer — but both passes are narrow column-pruned scans
+    that aggregate map-side, which beats the single-scan alternative
+    (an unpartitioned window over the raw table would funnel every
+    row through ONE task; fine over an aggregate as in q44, wrong
+    over a full table). The
     "no large order" predicate is a broadcast anti-join against the
     pre-filtered orders side (only big orders ship); the exact decimal
     average makes the > comparison bit-stable cross-engine.
