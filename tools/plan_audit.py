@@ -1,6 +1,14 @@
 """Plan audit: one-line physical-plan summary for every registered
 query — exchanges (shuffles), broadcasts, scans with pruned schemas,
-Python-eval nodes (should be none outside pandas-path operators).
+Python-eval nodes (should be none outside pandas-path operators), and
+a RESCAN flag when a fact table appears in more than one FileScan.
+
+A RESCAN is not automatically wrong — self-joins (stream x stream,
+corpus x query set) and two-pass global scalars legitimately read a
+table twice with different pushed filters — but every flagged query
+should have a docstring saying WHY (the q43/q44 lesson: Spark's
+exchange reuse misses aggregate+join-back branches whose pruning
+differs, silently doubling fact I/O).
 
 Usage: python tools/plan_audit.py [sf_dir]
 """
@@ -18,9 +26,11 @@ def main(sf_dir: str) -> None:
     from etl_notifier_pipeline_spark import plans
     from etl_notifier_pipeline_spark.session import get_spark
 
+    FACTS = ("lineitem", "orders", "events", "documents", "embeddings")
+
     spark = get_spark("plan_audit")
     print(f"{'query':34} {'shuffles':>8} {'bcasts':>6} {'scans':>5} "
-          f"{'python':>6}  scan columns")
+          f"{'python':>6}  scan columns / rescans")
     for name, spec in plans.specs().items():
         if spec.category == "streaming" and spec.oracle is None:
             print(f"{name:34} {'-':>8} {'-':>6} {'-':>5} {'-':>6}  (side-effecting sim)")
@@ -39,7 +49,14 @@ def main(sf_dir: str) -> None:
             len(m.split(","))
             for m in re.findall(r"ReadSchema: struct<([^>]*)", plan)
         ]
-        print(f"{name:34} {shuffles:>8} {bcasts:>6} {scans:>5} {python:>6}  {widths}")
+        rescans = {
+            t: n
+            for t in FACTS
+            if (n := sum(1 for line in plan.splitlines()
+                         if "FileScan" in line and f"/{t}.parquet" in line)) > 1
+        }
+        flag = f"  RESCAN {rescans}" if rescans else ""
+        print(f"{name:34} {shuffles:>8} {bcasts:>6} {scans:>5} {python:>6}  {widths}{flag}")
 
 
 if __name__ == "__main__":
