@@ -85,3 +85,38 @@ def shard_assignment(
     """
     h = token_hash(F.col(key_col).cast("string"))
     return df.withColumn("shard_id", h % n_shards)
+
+
+def mixture_resample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Per-source mixture resampling: keep each row iff its
+    deterministic hash bucket falls under its source's acceptance rate
+    — the up/down-weighting knob a pretraining pipeline uses to hit a
+    target corpus mixture (e.g. downsample crawl, keep all reference
+    text). Rates are fractions in [0, 1]; rate 1.0 keeps everything.
+
+    rand()-free and keyed on ``key_col``: the same row is kept or
+    dropped identically across retries, partitionings, and corpus
+    growth (supersets keep supersets); raising a rate only ADDS rows,
+    never swaps them — so mixture tuning is an incremental re-read,
+    not a reshuffle of what was already sampled.
+
+    Scale shape: pure projection + filter (the rate map compiles to a
+    CASE chain, broadcast-free); no shuffle at all.
+    """
+    for s, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {s!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    rate = F.lit(default_rate)
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == s, F.lit(r)).otherwise(rate)
+    bucket = split_bucket(F.col(key_col), n_buckets)
+    return df.filter(bucket < (rate * n_buckets).cast("bigint"))

@@ -261,7 +261,9 @@ def chunk_token_windows(
     stride: int = 4,
 ) -> DataFrame:
     """Overlapping token-window chunking — the context-window slicing
-    pass of a pretraining pipeline (stride < window gives overlap).
+    pass of a pretraining pipeline (stride < window gives overlap;
+    stride == window tiles exactly; stride > window is sampling mode
+    and skips the tokens between windows by design).
 
     Emits one row per (doc, chunk): ``chunk_idx`` (0-based, dense),
     ``chunk_tokens`` (actual length, short at the tail), and

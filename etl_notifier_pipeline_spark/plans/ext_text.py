@@ -658,3 +658,42 @@ def x20_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@register(
+    "x21_source_mixture",
+    category="sampling",
+    oracle="""
+WITH s AS (
+  SELECT source, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 999999937 % 10000 AS b,
+         CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 0.25
+              WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5
+              ELSE 1.0 END AS rate
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM s WHERE b < CAST(rate * 10000 AS BIGINT)
+GROUP BY source
+""",
+)
+def x21_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture resampling audit: downsample five sources to 25%, five
+    to 50%, keep the rest, and report surviving docs/chars per source
+    — the corpus-mixture knob of a pretraining pipeline, as a
+    deterministic zero-shuffle filter (see
+    extensions.sampling.mixture_resample; acceptance rates 0.25/0.5
+    are exact in binary so the bucket threshold is engine-identical).
+    """
+    from etl_notifier_pipeline_spark.extensions.sampling import mixture_resample
+
+    d = load_table(spark, sf_dir, "documents")
+    rates = {f"src{i}": 0.25 for i in range(5)}
+    rates.update({f"src{i}": 0.5 for i in range(5, 10)})
+    kept = mixture_resample(d, "source", "doc_id", rates)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )

@@ -351,3 +351,35 @@ def test_shard_assignment_stable_and_total(spark):
     )
     c = {r.doc_id: r.shard_id for r in bigger.collect()}
     assert all(c[k] == v for k, v in a.items())
+
+
+def test_mixture_resample_monotone_and_stable(spark):
+    """Raising a rate only ADDS rows (no swap); identical keep-set
+    across partitionings; rate 0/1 edge cases; invalid rate raises."""
+    from etl_notifier_pipeline_spark.extensions.sampling import mixture_resample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(400)],
+        ["doc_id", "source"],
+    )
+    low = {
+        r.doc_id
+        for r in mixture_resample(df, "source", "doc_id", {"a": 0.25}).collect()
+    }
+    high = {
+        r.doc_id
+        for r in mixture_resample(df, "source", "doc_id", {"a": 0.75}).collect()
+    }
+    assert low <= high  # monotone: tuning up never drops sampled rows
+    again = {
+        r.doc_id
+        for r in mixture_resample(
+            df.repartition(13), "source", "doc_id", {"a": 0.25}
+        ).collect()
+    }
+    assert again == low
+    none_a = mixture_resample(df, "source", "doc_id", {"a": 0.0}).collect()
+    assert all(r.source == "b" for r in none_a)  # rate 0 drops the source
+    assert len(none_a) == 200  # default rate 1.0 keeps all of b
+    with pytest.raises(ValueError):
+        mixture_resample(df, "source", "doc_id", {"a": 1.5})

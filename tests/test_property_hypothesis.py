@@ -120,3 +120,52 @@ def test_dedup_clusters_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "doc_a int, doc_b int")
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == _reference_components(edges)
+
+
+@settings(**SETTINGS)
+@given(
+    tokens=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=3),
+        min_size=1,
+        max_size=30,
+    ),
+    window=st.integers(min_value=1, max_value=6),
+    stride=st.integers(min_value=1, max_value=6),
+)
+def test_chunk_windows_cover_and_reconstruct(spark, tokens, window, stride):
+    """Chunk starts are exactly 0, stride, ... < n; each chunk is the
+    exact token slice; coverage is total iff stride <= window (stride
+    > window is sampling mode and skips inter-window tokens by
+    design); stride == window reconstructs the doc by plain
+    concatenation."""
+    from etl_notifier_pipeline_spark.extensions.text import chunk_token_windows
+
+    text = " ".join(tokens)
+    rows = sorted(
+        chunk_token_windows(
+            spark.createDataFrame([(1, text)], ["doc_id", "text"]),
+            window=window,
+            stride=stride,
+        ).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    n = len(tokens)
+    starts = [r.chunk_idx * stride for r in rows]
+    assert starts == list(range(0, n, stride))
+    for r in rows:
+        got = r.chunk_text.split(" ") if r.chunk_text else []
+        assert got == tokens[r.chunk_idx * stride : r.chunk_idx * stride + window]
+    covered = set()
+    for r in rows:
+        covered.update(range(r.chunk_idx * stride, r.chunk_idx * stride + r.chunk_tokens))
+    want = {
+        p
+        for s in range(0, n, stride)
+        for p in range(s, min(s + window, n))
+    }
+    assert covered == want
+    if stride <= window:
+        assert covered == set(range(n))  # overlap mode covers every token
+    if stride == window:
+        reconstructed = " ".join(r.chunk_text for r in rows if r.chunk_text)
+        assert reconstructed == text
