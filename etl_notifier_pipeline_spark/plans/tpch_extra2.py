@@ -593,3 +593,101 @@ def q58_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "q59_multi_distinct",
+    category="aggregation",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT CASE WHEN value >= 50 THEN user_id END)
+         AS n_heavy_users
+FROM events
+GROUP BY event_type
+""",
+)
+def q59_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates with different filters in ONE
+    aggregation — overall users vs heavy users (value >= 50) per event
+    type.
+
+    Scale shape: Spark plans N distinct aggregates as one Expand node
+    (each input row replicated per distinct group) + a two-phase
+    aggregate — one scan, one shuffle, NOT one job per distinct
+    column. The filtered distinct rides as countDistinct over a CASE
+    that nulls out non-qualifying rows (null never counts), the same
+    trick both engines share.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("value") >= 50, F.col("user_id"))
+        ).alias("n_heavy_users"),
+    )
+
+
+@register(
+    "q60_share_of_region",
+    category="aggregation",
+    oracle=f"""
+WITH nr AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM({_VOL_SQL}) AS rev
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev AS DOUBLE)
+         / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+         AS region_share
+FROM nr
+""",
+)
+def q60_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup: each supplier nation's share of its
+    region's revenue — the two-level share pattern (child agg +
+    parent window).
+
+    Scale shape: one fact scan with broadcast dim chain, one
+    nation-level aggregate (map-side combined), then the parent total
+    as a window over the |nations|-sized aggregate — never a second
+    scan or a join back. Both sums are exact decimals; the share is
+    one double division.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "s_suppkey",
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    nr = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("region", "nation")
+        .agg(F.sum(_vol()).alias("rev"))
+    )
+    return nr.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(Window.partitionBy("region")).cast("double")
+        ).alias("region_share"),
+    )

@@ -314,3 +314,21 @@ def test_scalar_max_and_correlated_avg_scan_fact_once(spark):
         ]
         assert len(scans) == 1, name
         assert "Window" in plan, name
+
+
+def test_multi_distinct_is_one_expand_job(spark):
+    """q59: two filtered DISTINCT aggregates plan as ONE Expand-based
+    aggregate over a single scan — not a job per distinct column."""
+    plan = plan_of(spark, "q59_multi_distinct")
+    assert "Expand" in plan
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scans) == 1
+
+
+def test_share_of_region_no_second_scan(spark):
+    """q60: the parent (region) total is a window over the nation
+    aggregate — one fact scan, no join-back."""
+    plan = plan_of(spark, "q60_share_of_region")
+    scans = [l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l]
+    assert len(scans) == 1
+    assert "Window" in plan
