@@ -165,31 +165,42 @@ WITH rev AS (
   SELECT l_partkey, SUM({_VOL_SQL}) AS part_rev
   FROM lineitem GROUP BY 1
 ),
-tot AS (SELECT SUM(part_rev) AS total_rev FROM rev)
+tot AS (
+  SELECT SUM(part_rev) AS total_rev, COUNT(*) AS n_parts FROM rev
+)
 SELECT r.l_partkey, CAST(r.part_rev AS DOUBLE) AS part_revenue
 FROM rev r, tot
-WHERE CAST(r.part_rev AS DOUBLE) > 0.0007 * CAST(tot.total_rev AS DOUBLE)
+WHERE CAST(r.part_rev AS DOUBLE)
+      > 1.4 * CAST(tot.total_rev AS DOUBLE) / tot.n_parts
 """,
 )
 def q51_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: parts whose revenue exceeds a fraction of
-    GLOBAL revenue — the group-vs-global-scalar HAVING pattern.
+    """TPC-H Q11 shape: parts whose revenue exceeds a multiple of the
+    MEAN part revenue — the group-vs-global-scalar HAVING pattern.
+    (Q11's absolute fraction-of-total threshold shrinks per-part as the
+    part count grows, emptying the result at higher SF; the 1.4x-mean
+    form is scale-free and keeps the shape.)
 
     Scale shape: per-part revenue aggregates once (map-side combine);
-    the global total is a second aggregate OVER THE AGGREGATE (part
-    count, not lineitem count — tiny) and rides back as a broadcast
-    1-row crossJoin, so the fraction filter needs no second corpus
-    scan and no collect. Both sums are exact decimals; the threshold
-    compare runs in double identically on both engines.
+    the global total+count is a second aggregate OVER THE AGGREGATE
+    (part count, not lineitem count — tiny) and rides back as a
+    broadcast 1-row crossJoin, so the threshold filter needs no second
+    corpus scan and no collect. Both sums are exact decimals; the
+    threshold compare runs in double identically on both engines.
     """
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(F.sum(_vol()).alias("part_rev"))
-    tot = rev.agg(F.sum("part_rev").alias("__total_rev"))
+    tot = rev.agg(
+        F.sum("part_rev").alias("__total_rev"),
+        F.count(F.lit(1)).alias("__n_parts"),
+    )
     return (
         rev.crossJoin(F.broadcast(tot))
         .filter(
             F.col("part_rev").cast("double")
-            > F.lit(0.0007) * F.col("__total_rev").cast("double")
+            > F.lit(1.4)
+            * F.col("__total_rev").cast("double")
+            / F.col("__n_parts")
         )
         .select(
             "l_partkey", F.col("part_rev").cast("double").alias("part_revenue")
