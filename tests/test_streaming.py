@@ -119,3 +119,61 @@ def test_store_time_travel(spark, tmp_store):
 
     with pytest.raises(FileNotFoundError, match="no version 99"):
         tmp_store.read("t", version=99)
+
+
+def test_pipeline_restart_from_checkpoint_exactly_once(spark, tmp_store, tmp_path):
+    """ST2 across a RESTART: a second query on the same checkpoint must
+    not reprocess messages the first run consumed, and a replayed
+    (duplicate) event id arriving after restart is dropped by the
+    ledger — the table's effect applies exactly once end-to-end."""
+    csv_root = tmp_path / "bucket"
+    csv_root.mkdir()
+    (csv_root / "people.csv").write_text("pid,name\n1,ann\n2,bob\n")
+    (csv_root / "people_v2.csv").write_text("pid,name\n2,BOB\n3,cyd\n")
+    pipe = ApprovalPipeline(
+        spark=spark, store=tmp_store, notifier=LogNotifier(),
+        keys={"people": ["pid"]}, csv_root=str(csv_root),
+    )
+    pipe.ledger.record_arrivals(
+        spark.createDataFrame(
+            [("people.csv", "e1", "b", "insert"),
+             ("people_v2.csv", "e2", "b", "update")],
+            ["file_name", "event_id", "bucket", "operation"],
+        )
+    )
+
+    def msg(event_id, file_name, operation):
+        payload = {
+            "event_id": event_id, "action": "approve", "file_name": file_name,
+            "table_name": "people", "operation": operation, "bucket": "b",
+            "file_version": "1", "provided_timestamp": None,
+            "approval_timestamp": "2026-01-01T00:00:00Z",
+            "remote_address": "1.2.3.4",
+        }
+        return json.dumps(
+            {"value": base64.b64encode(json.dumps(payload).encode()).decode()}
+        )
+
+    src = tmp_path / "msgs"
+    src.mkdir()
+    (src / "m1.json").write_text(msg("e1", "people.csv", "insert"))
+    raw = spark.readStream.schema("value string").json(str(src))
+    pipe.start(raw, str(tmp_path / "ckpt")).awaitTermination()
+    v_after_first = tmp_store.current_version("people")
+
+    # restart: new file with e2 AND a replay of e1
+    (src / "m2.json").write_text(msg("e2", "people_v2.csv", "update"))
+    (src / "m3.json").write_text(msg("e1", "people.csv", "insert"))
+    raw2 = spark.readStream.schema("value string").json(str(src))
+    pipe.start(raw2, str(tmp_path / "ckpt")).awaitTermination()
+
+    rows = sorted(tuple(r) for r in tmp_store.read("people").collect())
+    assert rows == [("1", "ann"), ("2", "BOB"), ("3", "cyd")]
+    statuses = {
+        r["event_id"]: r["status"]
+        for r in pipe.ledger.processed_files().collect()
+    }
+    assert statuses == {"e1": "approved", "e2": "approved"}
+    # the replayed e1 must not have re-applied the insert: version grew
+    # only by e2's single mutation
+    assert tmp_store.current_version("people") == v_after_first + 1
