@@ -71,19 +71,25 @@ def stratified_split(
 
 
 def shard_assignment(
-    df: DataFrame, key_col: str, n_shards: int = 64
+    df: DataFrame, key_col: str, n_shards: int = 64, salt: str = ":shard"
 ) -> DataFrame:
-    """Deterministic output-shard assignment: shard = md5-hash(key) %
-    n_shards — the write-layout step of a training-data pipeline
-    (stable across retries/partitioning, unlike rand() or
+    """Deterministic output-shard assignment: shard = md5-hash(key +
+    salt) % n_shards — the write-layout step of a training-data
+    pipeline (stable across retries/partitioning, unlike rand() or
     monotonically_increasing_id; adding docs never moves old ones).
+
+    ``salt`` decorrelates the shard lattice from the OTHER hash-keyed
+    decisions on the same key (split_bucket's train/test split,
+    mixture_resample) — without it every op would consult the same
+    ``H(key) % n`` value and compose as min(), not independently
+    (weighted_sample's ':ws' salt exists for the same reason).
 
     Scale shape: a pure projection (no shuffle); the subsequent
     ``.repartition(n_shards, "shard_id")`` or partitionBy write is
     where the one unavoidable exchange happens, carrying data exactly
     once.
     """
-    h = token_hash(F.col(key_col).cast("string"))
+    h = token_hash(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     return df.withColumn("shard_id", h % n_shards)
 
 
@@ -94,6 +100,7 @@ def mixture_resample(
     rates: dict[str, float],
     default_rate: float = 1.0,
     n_buckets: int = 10_000,
+    salt: str = ":mix",
 ) -> DataFrame:
     """Per-source mixture resampling: keep each row iff its
     deterministic hash bucket falls under its source's acceptance rate
@@ -107,16 +114,27 @@ def mixture_resample(
     never swaps them — so mixture tuning is an incremental re-read,
     not a reshuffle of what was already sampled.
 
+    ``salt`` decorrelates this pass from other hash-keyed decisions on
+    the same key (see shard_assignment) so chained sampling passes
+    compose with rate r1*r2, not min(r1, r2).
+
     Scale shape: pure projection + filter (the rate map compiles to a
-    CASE chain, broadcast-free); no shuffle at all.
+    CASE chain of INTEGER bucket thresholds — computed driver-side
+    with round(), so non-dyadic rates like 0.7 keep exactly
+    round(0.7*n_buckets) buckets instead of being bitten by double
+    truncation); no shuffle at all.
     """
     for s, r in rates.items():
         if not (0.0 <= r <= 1.0):
             raise ValueError(f"rate for {s!r} must be in [0,1], got {r}")
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
-    rate = F.lit(default_rate)
+    threshold = F.lit(int(round(default_rate * n_buckets)))
     for s, r in sorted(rates.items()):
-        rate = F.when(F.col(source_col) == s, F.lit(r)).otherwise(rate)
-    bucket = split_bucket(F.col(key_col), n_buckets)
-    return df.filter(bucket < (rate * n_buckets).cast("bigint"))
+        threshold = F.when(
+            F.col(source_col) == s, F.lit(int(round(r * n_buckets)))
+        ).otherwise(threshold)
+    bucket = split_bucket(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt)), n_buckets
+    )
+    return df.filter(bucket < threshold)

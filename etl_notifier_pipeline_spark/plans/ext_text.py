@@ -630,10 +630,10 @@ def x19_chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x20_shard_balance",
     category="sampling",
-    oracle="""
+    oracle=f"""
 WITH s AS (
-  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-           % 999999937 % 64 AS shard_id,
+  SELECT {DUCK_HASH.format(x="CAST(doc_id AS VARCHAR) || ':shard'")} % 64
+           AS shard_id,
          n_chars
   FROM documents
 )
@@ -663,19 +663,19 @@ def x20_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x21_source_mixture",
     category="sampling",
-    oracle="""
+    oracle=f"""
 WITH s AS (
   SELECT source, n_chars,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-           % 999999937 % 10000 AS b,
-         CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 0.25
-              WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5
-              ELSE 1.0 END AS rate
+         {DUCK_HASH.format(x="CAST(doc_id AS VARCHAR) || ':mix'")} % 10000
+           AS b,
+         CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2500
+              WHEN source IN ('src5','src6','src7','src8','src9') THEN 5000
+              ELSE 10000 END AS threshold
   FROM documents
 )
 SELECT source, COUNT(*) AS n_kept,
        CAST(SUM(n_chars) AS BIGINT) AS kept_chars
-FROM s WHERE b < CAST(rate * 10000 AS BIGINT)
+FROM s WHERE b < threshold
 GROUP BY source
 """,
 )
@@ -684,8 +684,8 @@ def x21_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 50%, keep the rest, and report surviving docs/chars per source
     — the corpus-mixture knob of a pretraining pipeline, as a
     deterministic zero-shuffle filter (see
-    extensions.sampling.mixture_resample; acceptance rates 0.25/0.5
-    are exact in binary so the bucket threshold is engine-identical).
+    extensions.sampling.mixture_resample; thresholds are driver-side
+    rounded integers, so the oracle mirrors them as integer literals).
     """
     from etl_notifier_pipeline_spark.extensions.sampling import mixture_resample
 

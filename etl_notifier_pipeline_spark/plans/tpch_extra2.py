@@ -23,20 +23,14 @@ from pyspark.sql import functions as F
 from etl_notifier_pipeline_spark.catalog import load_table
 from etl_notifier_pipeline_spark.plans.registry import register
 
-MONEY = "decimal(12,2)"
-RATE = "decimal(4,2)"
-
-_VOL_SQL = (
-    "CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
-    " * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))"
+# One definition of the exact-decimal volume expression for the whole
+# catalog — a precision change must hit every query or none.
+from etl_notifier_pipeline_spark.plans.tpch_extra import (  # noqa: F401
+    MONEY,
+    RATE,
+    _VOL_SQL,
+    _vol,
 )
-
-
-def _vol() -> F.Column:
-    return (
-        F.col("l_extendedprice").cast(MONEY)
-        * (F.lit(1) - F.col("l_discount").cast(RATE))
-    ).cast("decimal(18,4)")
 
 
 @register(

@@ -136,7 +136,11 @@ def split_corrupt(
     internal corrupt-record column on a raw file scan
     (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and its documented remedy is
     materializing the parse. The cache covers one arrival batch (a
-    file drop), never the corpus.
+    file drop), never the corpus — and it is registered on the
+    CALLER'S ``df`` (cache marks the shared plan), so after consuming
+    both sides call ``df.unpersist()`` to release the batch; a
+    long-running drop loop that skips this pins one batch per file in
+    executor storage until eviction.
     """
     df = df.cache()
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)

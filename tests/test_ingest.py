@@ -92,6 +92,7 @@ class TestJsonl:
         assert "this is not json" in dead_lines[0] or len(dead_lines) == 2
         # imposed schema: no inference scan, columns exactly as templated
         assert clean.columns == ["doc_id", "text"]
+        df.unpersist()  # release the batch cache (see split_corrupt docs)
 
     def test_untemplated_read_infers(self, spark, tmp_path):
         from etl_notifier_pipeline_spark.sources.ingest import read_jsonl

@@ -288,6 +288,12 @@ def test_no_row_python_in_any_registered_query(spark):
     PANDAS_OK = {"xm01_multimodal_features"}
     offenders = {}
     for name, sp in specs().items():
+        if sp.category == "streaming" and sp.oracle is None:
+            # side-effecting stream simulations: fn() RUNS a query to a
+            # memory sink, so the inspectable plan is the post-hoc sink
+            # scan, not the stream — their pandas-state internals are
+            # covered by dedicated streaming tests instead.
+            continue
         df = sp.fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().sparkPlan().toString()
         if "BatchEvalPython" in plan:
