@@ -1,0 +1,84 @@
+"""Incremental aggregate maintenance: fold a delta batch's partial
+aggregate into a stored summary without re-aggregating the corpus.
+
+At 100 TB the difference between ``agg(corpus ∪ delta)`` and
+``merge(stored_agg, agg(delta))`` is the whole job: the former re-reads
+everything on every arrival batch, the latter reads only the new bytes
+plus the (group-cardinality-sized) summary table. This is the
+materialized-view maintenance pattern restricted to DISTRIBUTIVE and
+ALGEBRAIC aggregates, where a merge function exists:
+
+- distributive: sum/count merge by SUM, min/max by MIN/MAX;
+- algebraic: avg = maintained (sum, count) pair, re-derived on read.
+
+Holistic aggregates (exact median, exact countDistinct) have no bounded
+merge state and are intentionally NOT expressible here — calling with
+one raises; keep those as full recomputes or approximate sketches
+(q28/q39's HLL/GK path).
+
+Reference parity: the reference pipeline re-derives nothing — every
+approved CSV re-applies into Postgres row-by-row and summary queries
+re-scan (`process-pipeline.py:193-196` applies increments; reads
+recompute). This operator is the Spark-side analogue for the summary
+side: append-only arrival batches keep dashboards O(delta).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# aggregate kind -> merge function over per-side partials
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts merge by summing
+    "max": F.max,
+    "min": F.min,
+}
+
+
+def agg_delta(
+    delta: DataFrame, keys: list[str], aggs: dict[str, tuple[str, F.Column]]
+) -> DataFrame:
+    """Aggregate one arrival batch into summary-shaped partials.
+
+    ``aggs`` maps output column -> (kind, aggregate expression), kind
+    in {sum, count, max, min}. The expression runs over the RAW delta
+    rows (e.g. ``F.sum(F.col("v").cast("decimal(12,2)"))``); decimal
+    inputs keep the merge exact and order-independent per the repo's
+    determinism contract.
+    """
+    bad = [k for k, (kind, _) in aggs.items() if kind not in _MERGE]
+    if bad:
+        raise ValueError(
+            f"non-mergeable aggregate kinds for {bad}; distributive/"
+            "algebraic only (holistic aggs need a full recompute)"
+        )
+    return delta.groupBy(*keys).agg(
+        *[expr.alias(name) for name, (_, expr) in aggs.items()]
+    )
+
+
+def merge_aggregates(
+    stored: DataFrame,
+    delta_agg: DataFrame,
+    keys: list[str],
+    kinds: dict[str, str],
+) -> DataFrame:
+    """Merge a delta's partial aggregate into the stored summary.
+
+    Both frames carry ``keys`` + the aggregate columns named in
+    ``kinds`` (output column -> kind). New groups appear, existing
+    groups fold — a unionByName + one small groupBy over summary-
+    cardinality rows (never the corpus). The result is the exact
+    aggregate of corpus ∪ delta for distributive kinds (proven by the
+    equivalence test).
+    """
+    bad = [k for k, kind in kinds.items() if kind not in _MERGE]
+    if bad:
+        raise ValueError(f"non-mergeable aggregate kinds for {bad}")
+    cols = [*keys, *kinds]
+    both = stored.select(*cols).unionByName(delta_agg.select(*cols))
+    return both.groupBy(*keys).agg(
+        *[_MERGE[kind](name).alias(name) for name, kind in kinds.items()]
+    )

@@ -101,3 +101,14 @@ class TestJsonl:
         p.write_text('{"a": 1}\n{"a": 2}\n')
         df = read_jsonl(spark, str(p))
         assert [r.a for r in df.orderBy("a").collect()] == [1, 2]
+
+    def test_empty_jsonl_raises(self, spark, tmp_path):
+        from etl_notifier_pipeline_spark.sources.ingest import (
+            EmptyInputError,
+            read_jsonl,
+        )
+
+        p = tmp_path / "empty.jsonl"
+        p.write_text("")
+        with pytest.raises(EmptyInputError):
+            read_jsonl(spark, str(p))

@@ -101,3 +101,56 @@ def test_scd2_upsert_close_and_insert(spark):
     # idempotency: re-applying the same batch changes nothing
     again = scd2_upsert(out, incoming, ["k"], "2027-01-01")
     assert again.count() == out.count()
+
+
+class TestIncrementalAggregates:
+    def test_merge_equals_full_recompute(self, spark):
+        """merge(agg(base), agg(delta)) == agg(base ∪ delta) for
+        sum/count/max/min — including brand-new groups, exact decimal
+        sums, and a second fold (associativity over batches)."""
+        from pyspark.sql import functions as F
+
+        from etl_notifier_pipeline_spark.operators.incremental import (
+            agg_delta,
+            merge_aggregates,
+        )
+
+        aggs = {
+            "total": ("sum", F.sum(F.col("v").cast("decimal(12,2)"))),
+            "n": ("count", F.count(F.lit(1))),
+            "mx": ("max", F.max("v")),
+            "mn": ("min", F.min("v")),
+        }
+        kinds = {k: kind for k, (kind, _) in aggs.items()}
+
+        base = spark.createDataFrame(
+            [("a", 1.5), ("a", 2.25), ("b", -3.0)], ["g", "v"]
+        )
+        d1 = spark.createDataFrame(
+            [("a", 10.0), ("c", 7.75)], ["g", "v"]  # c is a new group
+        )
+        d2 = spark.createDataFrame([("b", 100.0)], ["g", "v"])
+
+        stored = agg_delta(base, ["g"], aggs)
+        stored = merge_aggregates(stored, agg_delta(d1, ["g"], aggs), ["g"], kinds)
+        stored = merge_aggregates(stored, agg_delta(d2, ["g"], aggs), ["g"], kinds)
+
+        full = agg_delta(base.union(d1).union(d2), ["g"], aggs)
+        assert sorted(map(tuple, stored.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+    def test_holistic_aggregates_rejected(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_notifier_pipeline_spark.operators.incremental import (
+            agg_delta,
+            merge_aggregates,
+        )
+
+        with pytest.raises(ValueError, match="non-mergeable"):
+            agg_delta(
+                spark.range(1), ["id"], {"m": ("median", F.median("id"))}
+            )
+        with pytest.raises(ValueError, match="non-mergeable"):
+            merge_aggregates(spark.range(1), spark.range(1), ["id"], {"x": "avg"})
