@@ -138,3 +138,137 @@ def mixture_resample(
         F.concat(F.col(key_col).cast("string"), F.lit(salt)), n_buckets
     )
     return df.filter(bucket < threshold)
+
+
+def block_pack_spans(
+    df: DataFrame,
+    key_col: str,
+    n_tokens_col: str,
+    *,
+    block: int = 4096,
+    group_size: int = 1024,
+) -> DataFrame:
+    """Concatenate documents into one global token stream (in key
+    order) and cut the stream into fixed ``block``-token training
+    blocks — the GPT-style pretraining packing where documents cross
+    block boundaries. Emits one row per (doc, block) span:
+
+    - ``block_id``          which block the span lands in
+    - ``offset_in_block``   where the span starts inside the block
+    - ``doc_offset``        where the span starts inside the document
+    - ``tokens_in_block``   span length (every block sums to exactly
+      ``block`` tokens except the last)
+
+    This differs from greedy bin packing (``x11``): nothing is padded
+    and nothing is truncated — a document contributes spans to every
+    block it overlaps, so token conservation is exact.
+
+    Scale shape: the global prefix sum is computed WITHOUT a global
+    single-partition window (the classic scalability trap). Keys are
+    grouped into contiguous ranges (``group = key // group_size``);
+    per-group token totals aggregate map-side into a groups frame
+    |keys|/group_size rows long, the cross-group running offset is a
+    window over THAT tiny frame, and it broadcasts back; the per-row
+    running sum then runs as a parallel window PARTITIONED by group.
+    (At 100 B docs with group_size 64 Ki the groups frame is ~1.5 M
+    narrow rows; the same two-phase step nests recursively if that
+    ever became large.) Span explosion is a JVM-side sequence/slice
+    generator — no Python, and the only shuffles are the per-group
+    aggregate and the per-group window sort. Zero-token documents
+    contribute no span, matching concatenation semantics.
+    """
+    from pyspark.sql import Window as W
+
+    if block <= 0 or group_size <= 0:
+        raise ValueError("block and group_size must be positive")
+    key, n = F.col(key_col), F.col(n_tokens_col).cast("long")
+    base = df.select(key.alias("__key"), n.alias("__n")).filter(
+        F.col("__n") > 0
+    )
+    grouped = base.withColumn("__g", F.expr(f"__key div {group_size}"))
+    totals = grouped.groupBy("__g").agg(F.sum("__n").alias("__gt"))
+    offsets = totals.select(
+        "__g",
+        (
+            F.sum("__gt").over(
+                W.orderBy("__g").rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            - F.col("__gt")
+        ).alias("__goff"),
+    )
+    started = (
+        grouped.join(F.broadcast(offsets), "__g")
+        .withColumn(
+            "__cum",
+            F.sum("__n").over(
+                W.partitionBy("__g")
+                .orderBy("__key")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .select(
+            "__key",
+            "__n",
+            (F.col("__goff") + F.col("__cum") - F.col("__n")).alias("__start"),
+        )
+    )
+    # Non-negative starts: integer-division truncation == floor on both
+    # engines (DuckDB `//` truncates toward zero; values here are >= 0).
+    # `div` keeps the arithmetic in exact int64 — a double division
+    # would silently lose token positions past 2^53.
+    first_blk = F.expr(f"__start div {block}")
+    last_blk = F.expr(f"(__start + __n - 1) div {block}")
+    exploded = started.select(
+        "__key",
+        "__n",
+        "__start",
+        F.explode(F.sequence(first_blk, last_blk)).alias("block_id"),
+    )
+    blk_lo = F.col("block_id") * block
+    lo = F.greatest(F.col("__start"), blk_lo)
+    hi = F.least(F.col("__start") + F.col("__n"), blk_lo + block)
+    return exploded.select(
+        F.col("__key").alias(key_col),
+        F.col("block_id").cast("long").alias("block_id"),
+        (lo - blk_lo).cast("long").alias("offset_in_block"),
+        (lo - F.col("__start")).cast("long").alias("doc_offset"),
+        (hi - lo).cast("long").alias("tokens_in_block"),
+    )
+
+
+def per_source_cap(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    cap: int,
+    salt: str = ":cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per source/domain — the crawl-pipeline
+    guard against any single site dominating the corpus. Selection is
+    by salted-hash order (tie-broken on the key), NOT arrival order:
+    deterministic across retries and partitionings, unbiased within a
+    source, and re-runs on a grown corpus keep a stable (hash-lowest)
+    subset rather than whatever happened to arrive first. Adds
+    ``cap_rank`` (1-based position in the source's hash order).
+
+    Scale shape: a rank-predicate window. Spark plans ``row_number
+    <= k`` as WindowGroupLimit with a PARTIAL pass before the shuffle:
+    each input partition forwards only its own top-``cap`` rows per
+    source, so a hot domain with 10^9 pages ships O(cap x partitions)
+    rows, not 10^9 — per-domain skew is absorbed map-side, no salting
+    needed. The ``salt`` decorrelates this decision from the other
+    hash-keyed lattices on the same key (split/shard/mixture).
+    """
+    from pyspark.sql import Window as W
+
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    h = token_hash(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    rank = F.row_number().over(
+        W.partitionBy(source_col).orderBy(h.asc(), F.col(key_col).asc())
+    )
+    return (
+        df.withColumn("cap_rank", rank)
+        .filter(F.col("cap_rank") <= cap)
+        .withColumn("cap_rank", F.col("cap_rank").cast("long"))
+    )

@@ -293,3 +293,55 @@ def chunk_token_windows(
         F.size(sliced).cast("long").alias("chunk_tokens"),
         F.array_join(sliced, " ").alias("chunk_text"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 16,
+) -> DataFrame:
+    """Vocabulary-coverage scoring: induce the corpus top-``vocab_size``
+    token vocabulary (by term count, token-ascending tie-break — a
+    total order, so the vocabulary is deterministic), then score each
+    document by its out-of-vocabulary token fraction. High OOV rate
+    flags boilerplate/garbled/wrong-domain text against the corpus — a
+    standard pretraining quality filter, and the exact-arithmetic
+    stand-in for tokenizer-coverage checks (all counts integer, one
+    final double division).
+
+    Scale shape: the token frame is computed ONCE and persisted (two
+    consumers: vocabulary induction and per-doc scoring). Vocabulary =
+    one token-keyed count shuffle + TakeOrderedAndProject top-k; it is
+    vocab_size rows, so the scoring join BROADCASTS it (left join,
+    null = OOV) and per-doc counts aggregate map-side. No Python
+    anywhere.
+    """
+    tok = df.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).persist()
+    vocab = F.broadcast(
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), "tok")
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("__in_vocab"))
+    )
+    oov = F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+    return (
+        tok.join(vocab, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias(
+                "oov_rate"
+            ),
+        )
+    )

@@ -697,3 +697,120 @@ def x21_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").alias("kept_chars"),
     )
+
+
+@register(
+    "x22_block_pack_spans",
+    category="sampling",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n,
+         SUM(len(string_split(text, ' '))) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n, CAST(cum - n AS BIGINT) AS strt FROM s WHERE n > 0
+),
+e AS (
+  SELECT doc_id, n, strt,
+         unnest(range(strt // 4096, (strt + n - 1) // 4096 + 1)) AS blk
+  FROM b
+)
+SELECT doc_id,
+       CAST(blk AS BIGINT) AS block_id,
+       CAST(GREATEST(strt, blk * 4096) - blk * 4096 AS BIGINT)
+         AS offset_in_block,
+       CAST(GREATEST(strt, blk * 4096) - strt AS BIGINT) AS doc_offset,
+       CAST(LEAST(strt + n, (blk + 1) * 4096)
+            - GREATEST(strt, blk * 4096) AS BIGINT) AS tokens_in_block
+FROM e
+""",
+)
+def x22_block_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style fixed-block packing: the corpus token stream (docs
+    concatenated in doc_id order) cut into 4096-token blocks, one row
+    per (doc, block) span — documents cross block boundaries, token
+    conservation is exact (vs x11's greedy whole-doc bins).
+
+    The oracle states the spec as ONE global running-sum window (fine
+    at sf0.01); the engine computes the identical prefix sums with the
+    grouped two-phase form that survives 100 TB (see
+    extensions.sampling.block_pack_spans). group_size=128 forces the
+    multi-group path on the 500-doc fixture. All-integer output."""
+    from etl_notifier_pipeline_spark.extensions.sampling import (
+        block_pack_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", X.token_count("text").alias("n_tokens"))
+    return block_pack_spans(
+        docs, "doc_id", "n_tokens", block=4096, group_size=128
+    )
+
+
+@register(
+    "x23_oov_rate",
+    category="text_analysis",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ORDER BY c DESC, tok LIMIT 16
+  )
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY t.doc_id
+""",
+)
+def x23_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-16
+    induced vocabulary — the tokenizer-coverage / domain-mismatch
+    quality filter (see extensions.text.oov_rate for the scale shape:
+    persisted token frame, broadcast vocabulary, map-side partial
+    counts)."""
+    from etl_notifier_pipeline_spark.extensions.text import oov_rate
+
+    d = load_table(spark, sf_dir, "documents")
+    return oov_rate(d, "doc_id", "text", vocab_size=16)
+
+
+@register(
+    "x24_per_source_cap",
+    category="sampling",
+    oracle=f"""
+SELECT doc_id, source, cap_rank FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {DUCK_HASH.format(x="doc_id::VARCHAR || ':cap'")}, doc_id
+         ) AS cap_rank
+  FROM documents
+) WHERE cap_rank <= 15
+""",
+)
+def x24_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus cap: keep the 15 hash-lowest documents of each
+    source — deterministic anti-domination sampling (see
+    extensions.sampling.per_source_cap; WindowGroupLimit's partial
+    pass absorbs hot-domain skew map-side, asserted in
+    tests/test_plan_shapes.py)."""
+    from etl_notifier_pipeline_spark.extensions.sampling import (
+        per_source_cap,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return per_source_cap(d, "source", "doc_id", cap=15).select(
+        "doc_id", "source", "cap_rank"
+    )

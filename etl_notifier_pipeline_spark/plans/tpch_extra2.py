@@ -696,3 +696,65 @@ def q60_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("rev").over(Window.partitionBy("region")).cast("double")
         ).alias("region_share"),
     )
+
+
+@register(
+    "q61_large_volume_orders",
+    category="join",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_totalprice, CAST(b.sum_qty AS DOUBLE) AS sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+)
+def q61_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds 300, decorated with customer and order
+    attributes, top-100 by order value. Completes the catalog's sweep
+    of all 22 classic TPC-H plan shapes (Q1-Q22; see COVERAGE.md §2.3).
+
+    Scale shape: the HAVING aggregate reduces lineitem to qualifying
+    orderkeys BEFORE any join (map-side partial sum, then one narrow
+    shuffle keyed on orderkey); the orders join arrives already
+    order-co-partitioned from that shuffle, and customer joins the
+    tiny qualifying set (broadcast at test scale; at 100 TB the
+    qualifying set is ~0.1% of orders, so it is the BROADCAST side,
+    not customer). Global top-100 plans as TakeOrderedAndProject —
+    per-partition heaps, no global sort. Quantity sums in exact
+    DECIMAL; one final cast to double. Ref: SURVEY.md §2.3/§2.4
+    (HAVING + multi-join), reference delegates to Postgres
+    (process-pipeline.py:193-196 family).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(MONEY)).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        F.broadcast(big)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

@@ -383,3 +383,102 @@ def test_mixture_resample_monotone_and_stable(spark):
     assert len(none_a) == 200  # default rate 1.0 keeps all of b
     with pytest.raises(ValueError):
         mixture_resample(df, "source", "doc_id", {"a": 1.5})
+
+
+def test_block_pack_spans_conservation_and_tiling(spark):
+    from etl_notifier_pipeline_spark.extensions.sampling import (
+        block_pack_spans,
+    )
+
+    # Sparse keys, a zero-token doc, docs crossing several block
+    # boundaries; block=8 keeps the arithmetic hand-checkable.
+    docs = spark.createDataFrame(
+        [(0, 5), (1, 0), (2, 13), (3, 4), (7, 9), (100, 3)],
+        "doc_id long, n long",
+    )
+    out = block_pack_spans(docs, "doc_id", "n", block=8, group_size=4)
+    rows = {(r.doc_id, r.block_id): r for r in out.collect()}
+
+    # zero-token docs contribute no span
+    assert not any(k[0] == 1 for k in rows)
+    # per-doc token conservation + in-doc spans tile [0, n)
+    by_doc: dict[int, list] = {}
+    for r in rows.values():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    expect = {0: 5, 2: 13, 3: 4, 7: 9, 100: 3}
+    for doc, n in expect.items():
+        spans = sorted(by_doc[doc], key=lambda r: r.block_id)
+        assert sum(s.tokens_in_block for s in spans) == n
+        assert spans[0].doc_offset == 0
+        for a, b in zip(spans, spans[1:]):
+            assert b.doc_offset == a.doc_offset + a.tokens_in_block
+    # stream tiling: every block except the last holds exactly 8
+    # tokens, and spans inside a block are contiguous from offset 0
+    by_blk: dict[int, list] = {}
+    for r in rows.values():
+        by_blk.setdefault(r.block_id, []).append(r)
+    total = sum(expect.values())  # 34 -> blocks 0..4, last holds 2
+    assert set(by_blk) == {0, 1, 2, 3, 4}
+    for blk, spans in by_blk.items():
+        spans.sort(key=lambda r: r.offset_in_block)
+        assert spans[0].offset_in_block == 0
+        for a, b in zip(spans, spans[1:]):
+            assert b.offset_in_block == a.offset_in_block + a.tokens_in_block
+        got = sum(s.tokens_in_block for s in spans)
+        assert got == (8 if blk < 4 else total - 32)
+
+
+def test_block_pack_spans_group_size_invariant(spark):
+    from etl_notifier_pipeline_spark.extensions.sampling import (
+        block_pack_spans,
+    )
+
+    docs = spark.range(0, 200).selectExpr(
+        "id AS doc_id", "(id % 7) + 1 AS n"
+    )
+    small = block_pack_spans(docs, "doc_id", "n", block=16, group_size=3)
+    huge = block_pack_spans(docs, "doc_id", "n", block=16, group_size=10**6)
+    assert sorted(map(tuple, small.collect())) == sorted(
+        map(tuple, huge.collect())
+    )
+
+
+def test_per_source_cap_bound_and_partitioning_independence(spark):
+    from etl_notifier_pipeline_spark.extensions.sampling import (
+        per_source_cap,
+    )
+
+    df = spark.range(0, 300).selectExpr(
+        "id AS doc_id", "concat('s', id % 3) AS source"
+    )
+    kept = per_source_cap(df, "source", "doc_id", cap=10)
+    counts = {r.source: r.c for r in
+              kept.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"s0": 10, "s1": 10, "s2": 10}
+    # same selection regardless of input partitioning
+    again = per_source_cap(df.repartition(17), "source", "doc_id", cap=10)
+    assert sorted(map(tuple, kept.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    # hash order, not key order: selection is not simply the lowest ids
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids != list(range(30))
+
+
+def test_oov_rate_scores_garbage_high_and_vocab_zero(spark):
+    from etl_notifier_pipeline_spark.extensions.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta alpha"),
+            (2, "alpha beta gamma"),
+            (3, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in oov_rate(docs, vocab_size=2).collect()}
+    # vocab = {alpha, beta}: doc1 fully covered, doc3 fully OOV
+    assert out[1].n_oov == 0 and out[1].oov_rate == 0.0
+    assert out[3].n_oov == 3 and out[3].oov_rate == 1.0
+    assert out[2].n_oov == 1 and abs(out[2].oov_rate - 1 / 3) < 1e-12
+    assert all(r.n_oov <= r.n_tokens for r in out.values())

@@ -338,3 +338,41 @@ def test_share_of_region_no_second_scan(spark):
     scans = [l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l]
     assert len(scans) == 1
     assert "Window" in plan
+
+
+def test_per_source_cap_partial_group_limit(spark):
+    # WindowGroupLimit appears in BOTH partial (pre-shuffle) and final
+    # mode — the map-side pruning that absorbs hot-domain skew.
+    plan = plan_of(spark, "x24_per_source_cap")
+    assert plan.count("WindowGroupLimit") == 2
+    assert "Partial" in plan
+
+
+def test_block_pack_big_window_is_partitioned(spark):
+    # The per-row prefix-sum window must be PARTITIONED (by the key
+    # group); the only single-partition exchange feeds the tiny
+    # per-group offsets frame, which then broadcasts.
+    plan = plan_of(spark, "x22_block_pack_spans")
+    windows = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    partitioned = [l for l in windows if "windowspecdefinition(__g" in l]
+    assert partitioned, "big-frame window lost its partitioning"
+    assert plan.count("BroadcastHashJoin") == 1
+    # exact integer block arithmetic (no double division of positions)
+    assert "as double) / 4096" not in plan
+
+
+def test_oov_rate_broadcasts_vocab_and_reuses_token_frame(spark):
+    plan = plan_of(spark, "x23_oov_rate")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("InMemoryTableScan") == 2  # persisted token frame
+    assert "TakeOrderedAndProject" in plan  # deterministic top-k vocab
+
+
+def test_large_volume_orders_shape(spark):
+    # HAVING-reduced qualifying set broadcasts into the orders join;
+    # one shuffle (the orderkey aggregate); global top-100 is a heap.
+    plan = plan_of(spark, "q61_large_volume_orders")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "TakeOrderedAndProject" in plan
+    shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(shuffles) == 1
