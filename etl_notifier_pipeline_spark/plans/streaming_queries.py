@@ -274,3 +274,32 @@ def st08_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("minutes_after"),
         )
     )
+
+
+@register(
+    "st10_cascaded_rollup",
+    category="streaming",
+    oracle="""
+WITH m AS (
+  SELECT (epoch_us(ts) // 900000000) * 900000000 AS mb, event_type,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(10,2))) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(make_timestamp((mb // 3600000000) * 3600000000),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(v) AS DOUBLE) AS total_value,
+       COUNT(*) AS n_subwindows
+FROM m GROUP BY 1, 2
+""",
+)
+def st10_cascaded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascaded window rollup (15 min -> 1 hour), batch twin of the
+    Spark-3.4 chained-streaming-aggregation plan (SW.cascaded_rollup;
+    live two-stateful-operator form under a watermark in
+    tests/test_streaming.py). The oracle states the cascade as
+    two-level integer epoch bucketing; ``n_subwindows`` pins that the
+    coarse level aggregates fine WINDOWS, not raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    return SW.cascaded_rollup(ev)

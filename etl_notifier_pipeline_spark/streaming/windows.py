@@ -114,3 +114,51 @@ def run_stream_to_table(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def cascaded_rollup(
+    events: DataFrame,
+    fine: str = "15 minutes",
+    coarse: str = "1 hour",
+) -> DataFrame:
+    """Chained time-window aggregation (fine tumbling windows rolled up
+    into coarse ones) — the hypertable-style cascade that keeps the
+    expensive per-event aggregation at fine grain and derives coarse
+    grain from |fine-windows| rows, not the raw stream.
+
+    The second groupBy windows over ``F.window_time`` of the first
+    window — the Spark 3.4+ form (SPARK-40925) that is legal in a
+    SINGLE Structured Streaming query with two stateful operators
+    (watermark propagates through; live form exercised in
+    tests/test_streaming.py). In batch the same plan is two cheap
+    aggregations: the coarse one reads the fine aggregate, never the
+    events. ``n_subwindows`` (non-empty fine buckets per coarse
+    window) is the cascade's observable: a flat re-aggregation of the
+    raw stream cannot produce it.
+    """
+    m = events.groupBy(
+        F.window("ts", fine).alias("w_fine"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(VAL)).alias("v"),
+    )
+    return (
+        m.groupBy(
+            F.window(F.window_time("w_fine"), coarse).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("v").cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n_subwindows"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+            "n_subwindows",
+        )
+    )

@@ -177,3 +177,56 @@ def test_pipeline_restart_from_checkpoint_exactly_once(spark, tmp_store, tmp_pat
     # the replayed e1 must not have re-applied the insert: version grew
     # only by e2's single mutation
     assert tmp_store.current_version("people") == v_after_first + 1
+
+
+def test_chained_window_aggregation_live_stream(spark, tmp_path):
+    """Spark-3.4 multiple-stateful-operator support: ONE streaming
+    query with two chained windowed aggregations (15m -> 1h via
+    window(window_time(...))) in append mode under a watermark. A
+    far-future sentinel event advances the final watermark so every
+    real window finalizes; the emitted rows must equal the batch twin
+    (cascaded_rollup) over the real events."""
+    from etl_notifier_pipeline_spark.streaming.windows import cascaded_rollup
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [
+        {"ts": f"2024-01-01 {h:02d}:{m:02d}:00", "event_type": t, "value": v}
+        for h, m, t, v in [
+            (0, 1, "a", 10.0), (0, 16, "a", 5.0), (0, 44, "b", 2.5),
+            (1, 2, "a", 1.0), (1, 59, "b", 7.0), (3, 30, "a", 4.0),
+        ]
+    ]
+    sentinel = {"ts": "2030-01-01 00:00:00", "event_type": "zz", "value": 0.0}
+    (src / "a.json").write_text("\n".join(map(json.dumps, rows)))
+    (src / "b.json").write_text(json.dumps(sentinel))
+    stream = (
+        spark.readStream.schema("ts string, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        cascaded_rollup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_cascade_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(tuple, spark.table("t_cascade_stream")
+            .filter(F.col("event_type") != "zz").collect())
+    )
+    batch_events = spark.createDataFrame(
+        [(r["ts"], r["event_type"], r["value"]) for r in rows],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = sorted(map(tuple, cascaded_rollup(batch_events).collect()))
+    assert got == want
+    # cascade observable: hour 0 of 'a' spans two distinct 15m buckets
+    by_key = {(r[0], r[1]): r for r in got}
+    assert by_key[("2024-01-01 00:00:00", "a")][4] == 2
