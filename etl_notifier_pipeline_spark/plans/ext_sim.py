@@ -155,3 +155,62 @@ def s05_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, "id_a", "id_b").select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )
+
+
+@register(
+    "d08_semantic_keep_list",
+    category="dedup",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_NEAR_DUP_SQL}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (
+  SELECT u, u AS v FROM nodes
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+clusters AS (SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+SELECT e.vec_id,
+       COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+       (c.cluster_id IS NULL OR c.cluster_id = e.vec_id) AS keep
+FROM embeddings e LEFT JOIN clusters c ON c.vec_id = e.vec_id
+""",
+)
+def d08_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style keep list: near-duplicate embedding clusters
+    (the s05 connected components) reduced to ONE canonical
+    representative each (the min-id member = the cluster label
+    itself); singletons keep themselves. The downstream corpus filter
+    is ``WHERE keep`` — this closes the semantic-dedup loop from pair
+    generation through cluster closure to the final survivor set.
+
+    Scale shape: the pair graph + label propagation never touch the
+    full corpus (see dedup_clusters); the final decoration is one
+    LEFT join of the corpus against the |clustered-vectors| map,
+    broadcast when small, shuffle-on-key otherwise. keep needs no
+    per-cluster argmin pass: min-label propagation already makes the
+    representative's OWN id the cluster label.
+    """
+    from etl_notifier_pipeline_spark.extensions.dedup import dedup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.blocked_near_dup_pairs(emb, block_col="label", threshold=0.4)
+    clusters = dedup_clusters(pairs, "id_a", "id_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    return (
+        emb.select("vec_id")
+        .join(clusters, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+            (
+                F.col("cluster_id").isNull()
+                | (F.col("cluster_id") == F.col("vec_id"))
+            ).alias("keep"),
+        )
+    )

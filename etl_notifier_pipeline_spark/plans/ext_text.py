@@ -814,3 +814,64 @@ def x24_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_source_cap(d, "source", "doc_id", cap=15).select(
         "doc_id", "source", "cap_rank"
     )
+
+
+@register(
+    "x25_quality_gate",
+    category="text_analysis",
+    oracle="""
+SELECT doc_id, n_tokens, ttr_milli, stop_milli, score, score >= 640 AS keep
+FROM (
+  SELECT doc_id, n_tokens,
+         (1000 * n_distinct) // n_tokens AS ttr_milli,
+         (1000 * n_stop) // n_tokens AS stop_milli,
+         (1000 * n_distinct) // n_tokens
+           + 2 * ((1000 * n_stop) // n_tokens)
+           + LEAST(n_tokens, 200) AS score
+  FROM (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','of','and','to','in','is','it')))
+             AS n_stop
+    FROM documents
+  )
+)
+""",
+)
+def x25_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-style quality gate: a weighted linear score over
+    lexical-diversity, stopword-naturalness, and length features,
+    thresholded into a keep/drop decision — the shape of a fasttext-
+    style quality filter, restricted to INTEGER milli-unit arithmetic
+    ((1000*x) div n, integer weights, LEAST cap) so the score and the
+    gate are bit-exact cross-engine instead of drifting on float
+    transcendentals. Swapping in learned float weights changes only
+    the constants, not the plan.
+
+    Scale shape: pure per-row projection — zero shuffle, whole-stage
+    codegen, embarrassingly parallel; the token array is built once
+    per row and all three features read it."""
+    d = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+    feats = d.select(
+        "doc_id",
+        F.size(X.tokens("text")).alias("n_tokens"),
+        F.size(F.array_distinct(X.tokens("text"))).alias("n_distinct"),
+        F.size(
+            F.expr(f"filter(split(text, ' '), t -> t IN ({stop_list}))")
+        ).alias("n_stop"),
+    )
+    scored = feats.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("(1000 * n_distinct) div n_tokens").alias("ttr_milli"),
+        F.expr("(1000 * n_stop) div n_tokens").alias("stop_milli"),
+        F.expr(
+            "(1000 * n_distinct) div n_tokens"
+            " + 2 * ((1000 * n_stop) div n_tokens)"
+            " + least(n_tokens, 200)"
+        ).alias("score"),
+    )
+    return scored.withColumn("keep", F.col("score") >= 640)

@@ -303,3 +303,59 @@ def st10_cascaded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse level aggregates fine WINDOWS, not raw events."""
     ev = load_table(spark, sf_dir, "events")
     return SW.cascaded_rollup(ev)
+
+
+@register(
+    "st11_interval_join_outer",
+    category="streaming",
+    oracle="""
+SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+       s.user_id AS user_id,
+       (epoch_us(p.ts) - epoch_us(s.ts)) // 60000000 AS minutes_after
+FROM events s LEFT JOIN events p
+  ON s.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= s.ts
+ AND p.ts <= s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup'
+""",
+)
+def st11_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, batch twin: every
+    signup, with its within-1h purchases or NULL if none — the outer
+    form Structured Streaming supports under dual watermarks (the
+    unmatched-left row emits once the watermark passes the interval
+    end; st08 is the inner twin). The range predicate lives IN the
+    join condition — an outer join's filter cannot be applied
+    post-join without turning matched-but-out-of-range rows into
+    false matches instead of NULLs.
+
+    Scale shape: identical to st08 — the equi-key (user_id) carries
+    the shuffle, the interval bounds the per-key state; outer rows
+    add no extra pass (null-fill happens in the join operator)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = s.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    return joined.select(
+        "signup_id",
+        "purchase_id",
+        "user_id",
+        ((F.unix_micros("p_ts") - F.unix_micros("s_ts")) / F.lit(60000000))
+        .cast("long")
+        .alias("minutes_after"),
+    )

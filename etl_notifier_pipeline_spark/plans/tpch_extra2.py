@@ -758,3 +758,39 @@ def q61_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "q62_ordered_export",
+    category="sort",
+    oracle="""
+SELECT o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS total_spend,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY total_spend DESC, o_custkey
+""",
+)
+def q62_ordered_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally ORDERED export (no LIMIT): per-customer spend sorted by
+    value — the §2.6 shape the top-k queries never exercise. A full
+    global sort plans as an ``Exchange rangepartitioning`` (sampled
+    range boundaries, every partition a disjoint key range, partitions
+    sorted internally and ordered among themselves) — NOT a
+    single-partition sort and NOT a TakeOrdered heap; this is how a
+    100 TB ordered write ships (each range partition writes one sorted
+    shard). Plan pinned in tests/test_plan_shapes.py; the value check
+    is order-insensitive, the ordering contract is the plan itself."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(MONEY))
+            .cast("double")
+            .alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("total_spend").desc(), "o_custkey")
+    )

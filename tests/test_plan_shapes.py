@@ -376,3 +376,21 @@ def test_large_volume_orders_shape(spark):
     assert "TakeOrderedAndProject" in plan
     shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(shuffles) == 1
+
+
+def test_ordered_export_is_range_partitioned_sort(spark):
+    # a global ORDER BY must plan as a range-partition exchange (every
+    # partition a disjoint sorted key range) — not a single-partition
+    # sort, not a heap
+    plan = plan_of(spark, "q62_ordered_export")
+    assert "Exchange rangepartitioning" in plan
+    assert "TakeOrderedAndProject" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_outer_interval_join_keeps_range_in_condition(spark):
+    # the interval bounds must sit IN the join (post-join filtering
+    # would drop the NULL-extended rows); unmatched signups survive
+    plan = plan_of(spark, "st11_interval_join_outer")
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "LeftOuter" in plan
