@@ -3,9 +3,10 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 The headline set covers each operator family the engine claims: scan+
 agg (q01), star join (q05), window (q08), date rollup (q18), MERGE
-shape (m02), text tf (x02), minhash-LSH dedup (d04), connected-
-components dedup clusters (d06), cosine top-k (s01), IVF ANN (s04),
-sessionization (st03), and arbitrary-stateful running totals (st05).
+shape (m02), text tf (x02), two-phase global prefix-sum block packing
+(x22), minhash-LSH dedup (d04), connected-components dedup clusters
+(d06), cosine top-k (s01), IVF ANN (s04), sessionization (st03), and
+arbitrary-stateful running totals (st05).
 Results are materialized with the noop sink so timings measure
 compute, not driver transfer.
 
@@ -36,6 +37,7 @@ HEADLINE = [
     "q18_monthly_revenue",
     "m02_upsert",
     "x02_term_frequency",
+    "x22_block_pack_spans",
     "d04_minhash_lsh_pairs",
     "d06_dedup_clusters",
     "s01_cosine_topk",

@@ -582,3 +582,40 @@ def q39_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qs").getItem(2).alias("p99"),
         )
     )
+
+
+@register(
+    "q63_value_window_family",
+    category="window",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS cheapest,
+       CAST(LAST_VALUE(o_totalprice) OVER (
+         PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS DOUBLE) AS priciest,
+       CAST(NTH_VALUE(o_totalprice, 2) OVER (
+         PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS DOUBLE) AS second_cheapest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q63_value_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-window family (SURVEY §2.5 completion): first_value /
+    last_value / nth_value per status partition. last_value and
+    nth_value run over the FULL-frame window (the default
+    running-frame last_value is just the current row — the classic
+    window trap, stated explicitly in both engines); ordering is
+    tie-broken on the key so every function is deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    run = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    full = run.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.first_value("o_totalprice").over(run).alias("cheapest"),
+        F.last_value("o_totalprice").over(full).alias("priciest"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_cheapest"),
+    )

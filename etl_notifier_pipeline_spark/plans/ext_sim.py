@@ -214,3 +214,119 @@ def d08_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+@register(
+    "s07_cluster_cohesion",
+    category="similarity",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(list_transform(embedding, e -> e::DOUBLE)) AS e
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(round(e * 1000000) AS BIGINT)) AS DOUBLE)
+           / (COUNT(*) * 1000000) AS c
+  FROM ex GROUP BY label, pos
+),
+cnorm AS (
+  SELECT label,
+         SUM(CAST(round(c * c * 1000000000000.0) AS BIGINT)) AS cq
+  FROM cent GROUP BY label
+),
+pv AS (
+  SELECT ex.vec_id, ex.label,
+         SUM(CAST(round(ex.e * cent.c * 1000000000000.0) AS BIGINT)) AS dq,
+         SUM(CAST(round(ex.e * ex.e * 1000000000000.0) AS BIGINT)) AS vq
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+  GROUP BY ex.vec_id, ex.label
+),
+cosv AS (
+  SELECT pv.label,
+         (dq / 1000000000000.0)
+           / (sqrt(vq / 1000000000000.0) * sqrt(cq / 1000000000000.0))
+           AS cos
+  FROM pv JOIN cnorm ON pv.label = cnorm.label
+)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(round(cos * 1000000) AS BIGINT)) AS DOUBLE)
+         / (COUNT(*) * 1000000) AS cohesion
+FROM cosv GROUP BY label
+""",
+)
+def s07_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cohesion audit: per label, the mean cosine similarity of
+    member vectors to their label centroid — the drift/compactness
+    monitor an ANN index build runs after clustering (low cohesion =
+    the label is not a tight cluster). Completes the clustering
+    toolkit: s06 centroids, s05 closure, d08 keep list, s07 audit.
+
+    Determinism: every cross-row reduction is an INTEGER sum — centroid
+    elements from micro-quantized sums (s06's trick), dot products and
+    squared norms pico-quantized per element, the final mean from
+    micro-quantized cosines. Doubles only flow through per-row
+    deterministic ops (multiply, sqrt, divide) shared bit-for-bit by
+    both engines.
+
+    Scale shape: one explode pass; the (label, pos) centroid aggregate
+    is map-side combined and tiny (|labels| x dim), so the join back
+    to exploded elements BROADCASTS; the per-vector aggregate carries
+    (id, label, int64 x2) rows. 100 TB of embeddings never shuffles a
+    vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    PICO = F.lit(1_000_000_000_000.0)
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "__e"),
+    ).withColumn("e", F.col("__e").cast("double"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("e") * 1_000_000).cast("bigint")).alias("qs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            (F.col("qs").cast("double") / (F.col("n") * 1_000_000)).alias("c"),
+        )
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.sum(F.round(F.col("c") * F.col("c") * PICO).cast("bigint")).alias("cq")
+    )
+    pv = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.round(F.col("e") * F.col("c") * PICO).cast("bigint")
+            ).alias("dq"),
+            F.sum(
+                F.round(F.col("e") * F.col("e") * PICO).cast("bigint")
+            ).alias("vq"),
+        )
+    )
+    cos = (F.col("dq") / PICO) / (
+        F.sqrt(F.col("vq") / PICO) * F.sqrt(F.col("cq") / PICO)
+    )
+    return (
+        pv.join(F.broadcast(cnorm), "label")
+        .select("label", cos.alias("cos"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.round(F.col("cos") * 1_000_000).cast("bigint")).alias("sq"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            (F.col("sq").cast("double") / (F.col("n_vectors") * 1_000_000)).alias(
+                "cohesion"
+            ),
+        )
+    )
