@@ -169,3 +169,52 @@ def test_chunk_windows_cover_and_reconstruct(spark, tokens, window, stride):
     if stride == window:
         reconstructed = " ".join(r.chunk_text for r in rows if r.chunk_text)
         assert reconstructed == text
+
+
+pack_strategy = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(0, 40)),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**SETTINGS)
+@given(
+    docs=pack_strategy,
+    block=st.integers(2, 19),
+    group_size=st.integers(1, 64),
+)
+def test_block_pack_spans_laws(spark, docs, block, group_size):
+    """Laws of the fixed-block packer over random corpora:
+    conservation (per-doc span tokens == n), stream tiling (every
+    block full except the last), contiguity of offsets, and
+    decomposition-invariance (group_size never changes the result)."""
+    from etl_notifier_pipeline_spark.extensions.sampling import (
+        block_pack_spans,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, n long")
+    out = block_pack_spans(df, "doc_id", "n", block=block, group_size=group_size)
+    rows = out.collect()
+    expect = {k: n for k, n in docs if n > 0}
+    total = sum(expect.values())
+    # conservation per doc
+    per_doc: dict[int, int] = {}
+    for r in rows:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.tokens_in_block
+        assert 0 <= r.offset_in_block < block
+        assert 1 <= r.tokens_in_block <= block
+    assert per_doc == expect
+    # tiling: block b holds exactly `block` tokens for b < last
+    per_blk: dict[int, int] = {}
+    for r in rows:
+        per_blk[r.block_id] = per_blk.get(r.block_id, 0) + r.tokens_in_block
+    if total:
+        n_blocks = -(-total // block)
+        assert set(per_blk) == set(range(n_blocks))
+        for b, got in per_blk.items():
+            assert got == (block if b < n_blocks - 1 else total - block * (n_blocks - 1))
+    # decomposition invariance
+    ref = block_pack_spans(df, "doc_id", "n", block=block, group_size=10**6)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, ref.collect()))
