@@ -794,3 +794,42 @@ def q62_ordered_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total_spend").desc(), "o_custkey")
     )
+
+
+@register(
+    "q64_multiset_set_ops",
+    category="set_ops",
+    oracle="""
+SELECT 'surplus' AS side, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT ALL
+  SELECT user_id FROM events WHERE event_type = 'signup'
+)
+UNION ALL
+SELECT 'matched' AS side, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT ALL
+  SELECT user_id FROM events WHERE event_type = 'signup'
+)
+""",
+)
+def q64_multiset_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — §2.7's ALL forms, which the
+    distinct q12/q13 never exercise: EXCEPT ALL keeps multiplicity
+    difference (a user with 3 purchases and 1 signup contributes the
+    surplus TWICE), INTERSECT ALL keeps the multiplicity minimum.
+
+    Scale shape: Spark plans both as a count-aggregate + generator
+    replication (one shuffle on the value, no join) — the same
+    narrow-key discipline as the distinct forms; the UNION ALL is a
+    plan-level concatenation, no extra exchange of the inputs."""
+    ev = load_table(spark, sf_dir, "events")
+    purchase = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    signup = ev.filter(F.col("event_type") == "signup").select("user_id")
+    surplus = purchase.exceptAll(signup).select(
+        F.lit("surplus").alias("side"), "user_id"
+    )
+    matched = purchase.intersectAll(signup).select(
+        F.lit("matched").alias("side"), "user_id"
+    )
+    return surplus.unionByName(matched)
