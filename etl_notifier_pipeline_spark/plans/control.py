@@ -263,3 +263,63 @@ def m08_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_upsert(target, incoming, ["c_custkey"], "2026-01-01")
+
+
+@register(
+    "m09_incremental_agg_maintenance",
+    category="mutation",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value,
+       CAST(MAX(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) / COUNT(*)
+         AS avg_value
+FROM events GROUP BY event_type
+""",
+)
+def m09_incremental_agg_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Materialized-summary maintenance, value-checked against its
+    declarative spec: the events table arrives as three batches
+    (event_id mod 3 — simulating arrival files), each folded into the
+    running summary with agg_delta + merge_aggregates; the oracle is
+    the PLAIN aggregate over everything. Hash-equality proves the
+    incremental path is exactly the declarative aggregate — the
+    contract that lets a 100 TB dashboard read O(delta + groups) per
+    batch instead of re-scanning the corpus
+    (operators/incremental.py; reference parity:
+    process-pipeline.py:193-196 applies increments row-wise).
+
+    avg is ALGEBRAIC: maintained as (sum, count), derived on read —
+    never merged directly (avg of avgs is wrong under unequal batch
+    sizes)."""
+    from etl_notifier_pipeline_spark.operators.incremental import (
+        agg_delta,
+        merge_aggregates,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(10,2)")
+    aggs = {
+        "n_events": ("count", F.count(F.lit(1))),
+        "total_value": ("sum", F.sum(val)),
+        "max_value": ("max", F.max(val)),
+    }
+    kinds = {name: kind for name, (kind, _) in aggs.items()}
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    summary = agg_delta(batches[0], ["event_type"], aggs)
+    for b in batches[1:]:
+        summary = merge_aggregates(
+            summary, agg_delta(b, ["event_type"], aggs), ["event_type"], kinds
+        )
+    return summary.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+        (F.col("total_value").cast("double") / F.col("n_events")).alias(
+            "avg_value"
+        ),
+    )
