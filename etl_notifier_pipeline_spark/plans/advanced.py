@@ -619,3 +619,45 @@ def q63_value_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_value("o_totalprice").over(full).alias("priciest"),
         F.nth_value("o_totalprice", 2).over(full).alias("second_cheapest"),
     )
+
+
+@register(
+    "q65_locf_gap_fill",
+    category="window",
+    oracle="""
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       CASE WHEN event_type = 'purchase' THEN value END AS purchase_value,
+       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                  IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS carried_value
+FROM events
+""",
+)
+def q65_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap fill (IGNORE NULLS window
+    semantics — §2.5's last uncovered modifier): each event carries the
+    user's most recent purchase value forward; rows before the first
+    purchase stay NULL. The standard time-series imputation op, and
+    the building block of as-of snapshotting without a join.
+
+    Scale shape: one window over (user, time) — a single shuffle on
+    user_id, running frame, no self-join and no fact re-scan (the
+    join-based alternative, q23's as-of, shuffles twice). Values pass
+    through untouched (no reduction), so doubles are bit-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        purchase_val.alias("purchase_value"),
+        F.last(purchase_val, ignorenulls=True).over(w).alias("carried_value"),
+    )
