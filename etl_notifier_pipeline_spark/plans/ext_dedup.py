@@ -280,3 +280,59 @@ def d07_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors MinHash-LSH with 8-byte signatures instead of 16 minima."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_pairs(d, max_hamming=3)
+
+
+@register(
+    "x26_contrastive_pairs",
+    category="sampling",
+    oracle=f"""
+WITH pairs AS ({_LSH_PAIRS_SQL}),
+sym AS (
+  SELECT doc_a AS anchor, doc_b AS positive, jaccard FROM pairs
+  UNION ALL
+  SELECT doc_b AS anchor, doc_a AS positive, jaccard FROM pairs
+)
+SELECT anchor, positive, jaccard, pair_rank FROM (
+  SELECT anchor, positive, jaccard,
+         ROW_NUMBER() OVER (
+           PARTITION BY anchor ORDER BY jaccard DESC, positive
+         ) AS pair_rank
+  FROM sym
+) WHERE pair_rank <= 3
+""",
+)
+def x26_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-positive training-pair mining for contrastive/embedding
+    training: LSH-verified near-dup pairs symmetrized (every doc
+    anchors its own pair list) and capped at the 3 highest-similarity
+    positives per anchor — the pair-construction stage between dedup
+    infrastructure and a similarity-model dataloader.
+
+    Scale shape: rides entirely on the d04 pipeline (signature pass is
+    the only corpus read; candidates shuffle band keys); the
+    symmetrize is a plan-level UNION ALL of column swaps, and the
+    per-anchor cap is a rank window over the pair set with
+    WindowGroupLimit's partial pass pruning prolific anchors map-side.
+    Jaccard doubles pass through unreduced — bit-exact."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(d, threshold=0.5)
+    sym = pairs.select(
+        F.col("doc_a").alias("anchor"),
+        F.col("doc_b").alias("positive"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("anchor"),
+            F.col("doc_a").alias("positive"),
+            "jaccard",
+        )
+    )
+    w = W.partitionBy("anchor").orderBy(F.col("jaccard").desc(), "positive")
+    return (
+        sym.withColumn("pair_rank", F.row_number().over(w))
+        .filter(F.col("pair_rank") <= 3)
+        .withColumn("pair_rank", F.col("pair_rank").cast("long"))
+    )
