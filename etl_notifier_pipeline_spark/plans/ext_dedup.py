@@ -310,26 +310,33 @@ def x26_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: rides entirely on the d04 pipeline (signature pass is
     the only corpus read; candidates shuffle band keys); the
-    symmetrize is a plan-level UNION ALL of column swaps, and the
-    per-anchor cap is a rank window over the pair set with
-    WindowGroupLimit's partial pass pruning prolific anchors map-side.
-    Jaccard doubles pass through unreduced — bit-exact."""
+    symmetrize is a per-row explode of the two orientations — ONE
+    pipeline subtree, where a UNION ALL of column swaps would replan
+    (and recompute) the whole LSH pipeline per branch; the per-anchor
+    cap is a rank window over the pair set with WindowGroupLimit's
+    partial pass pruning prolific anchors map-side. Jaccard doubles
+    pass through unreduced — bit-exact."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_dedup(d, threshold=0.5)
     sym = pairs.select(
-        F.col("doc_a").alias("anchor"),
-        F.col("doc_b").alias("positive"),
-        "jaccard",
-    ).unionByName(
-        pairs.select(
-            F.col("doc_b").alias("anchor"),
-            F.col("doc_a").alias("positive"),
-            "jaccard",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("anchor"),
+                    F.col("doc_b").alias("positive"),
+                    F.col("jaccard").alias("jaccard"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("anchor"),
+                    F.col("doc_a").alias("positive"),
+                    F.col("jaccard").alias("jaccard"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.anchor", "p.positive", "p.jaccard")
     w = W.partitionBy("anchor").orderBy(F.col("jaccard").desc(), "positive")
     return (
         sym.withColumn("pair_rank", F.row_number().over(w))

@@ -272,11 +272,12 @@ def s07_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic ops (multiply, sqrt, divide) shared bit-for-bit by
     both engines.
 
-    Scale shape: one explode pass; the (label, pos) centroid aggregate
-    is map-side combined and tiny (|labels| x dim), so the join back
-    to exploded elements BROADCASTS; the per-vector aggregate carries
-    (id, label, int64 x2) rows. 100 TB of embeddings never shuffles a
-    vector."""
+    Scale shape: two corpus passes — one builds the (label, pos)
+    centroid aggregate (map-side combined, persisted: |labels| x dim
+    rows feed both the norm derivation and the join), one scores
+    members against the BROADCAST centroids; the per-vector aggregate
+    carries (id, label, int64 x2) rows. 100 TB of embeddings never
+    shuffles a vector."""
     emb = load_table(spark, sf_dir, "embeddings")
     PICO = F.lit(1_000_000_000_000.0)
     ex = emb.select(
@@ -284,6 +285,9 @@ def s07_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.posexplode("embedding").alias("pos", "__e"),
     ).withColumn("e", F.col("__e").cast("double"))
+    # persisted: |labels| x dim rows, consumed by cnorm AND the join —
+    # without it Spark re-derives the centroid aggregate (and re-scans
+    # the corpus) once per consumer
     cent = (
         ex.groupBy("label", "pos")
         .agg(
@@ -295,6 +299,7 @@ def s07_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos",
             (F.col("qs").cast("double") / (F.col("n") * 1_000_000)).alias("c"),
         )
+        .persist()
     )
     cnorm = cent.groupBy("label").agg(
         F.sum(F.round(F.col("c") * F.col("c") * PICO).cast("bigint")).alias("cq")
