@@ -833,3 +833,96 @@ def q64_multiset_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("matched").alias("side"), "user_id"
     )
     return surplus.unionByName(matched)
+
+
+@register(
+    "q66_multi_agg_pivot",
+    category="pivot",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CASE WHEN value <  50
+                THEN CAST(value AS DECIMAL(10,2)) END) AS DOUBLE)
+         AS low_total,
+       COUNT(CASE WHEN value <  50 THEN 1 END) AS low_n,
+       CAST(SUM(CASE WHEN value >= 50
+                THEN CAST(value AS DECIMAL(10,2)) END) AS DOUBLE)
+         AS high_total,
+       COUNT(CASE WHEN value >= 50 THEN 1 END) AS high_n
+FROM events
+GROUP BY event_type
+""",
+)
+def q66_multi_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per cell (q19 pivots one): value
+    band x {sum, count} per event type, via Spark's pivot multi-agg
+    form (cell columns suffixed per aggregate, renamed to the stable
+    contract names). The explicit pivot value list matters at scale —
+    an inferred list is an extra distinct job over the fact table.
+
+    Scale shape: identical to any pivot — ONE two-phase aggregate;
+    every (band, agg) cell is a conditional aggregate inside the same
+    Expand-free plan, never one pass per cell."""
+    ev = load_table(spark, sf_dir, "events")
+    band = F.when(F.col("value") < 50, F.lit("low")).otherwise(F.lit("high"))
+    piv = (
+        ev.withColumn("band", band)
+        .groupBy("event_type")
+        .pivot("band", ["low", "high"])
+        .agg(
+            F.sum(F.col("value").cast("decimal(10,2)"))
+            .cast("double")
+            .alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return piv.select(
+        "event_type",
+        F.col("low_total"),
+        F.col("low_n"),
+        F.col("high_total"),
+        F.col("high_n"),
+    )
+
+
+@register(
+    "q67_string_battery",
+    category="scalar",
+    oracle="""
+SELECT event_id,
+       lpad(event_type, 10, '.') AS padded_l,
+       rpad(event_type, 10, '.') AS padded_r,
+       reverse(event_type) AS reversed,
+       repeat(substr(event_type, 1, 2), 3) AS repeated,
+       translate(event_type, 'aeiou', '01234') AS translated,
+       split_part(event_type || '-' || CAST(event_id AS VARCHAR), '-', 2)
+         AS id_part,
+       ascii(substr(event_type, 1, 1)) AS first_cp,
+       strpos(event_type, 'e') AS e_pos
+FROM events
+WHERE event_id % 101 = 0
+""",
+)
+def q67_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery (§2.8 F-family widening beyond q16's
+    chain): pad/reverse/repeat/translate/split_part/ascii/instr — each
+    with byte-identical cross-engine semantics (1-based positions,
+    0 when absent). Pure projection on a pushed-down key filter."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 101 == 0
+    )
+    et = F.col("event_type")
+    return ev.select(
+        "event_id",
+        F.lpad(et, 10, ".").alias("padded_l"),
+        F.rpad(et, 10, ".").alias("padded_r"),
+        F.reverse(et).alias("reversed"),
+        F.repeat(F.substring(et, 1, 2), 3).alias("repeated"),
+        F.translate(et, "aeiou", "01234").alias("translated"),
+        F.split_part(
+            F.concat(et, F.lit("-"), F.col("event_id").cast("string")),
+            F.lit("-"),
+            F.lit(2),
+        ).alias("id_part"),
+        F.ascii(F.substring(et, 1, 1)).alias("first_cp"),
+        F.instr(et, "e").alias("e_pos"),
+    )
