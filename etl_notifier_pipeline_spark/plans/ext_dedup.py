@@ -343,3 +343,70 @@ def x26_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pair_rank") <= 3)
         .withColumn("pair_rank", F.col("pair_rank").cast("long"))
     )
+
+
+_MH_MATCHES = " + ".join(
+    f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+    for i in range(D.N_HASHES)
+)
+
+
+@register(
+    "d09_minhash_estimate_audit",
+    category="dedup",
+    oracle=f"""
+WITH pairs AS ({_LSH_PAIRS_SQL}),
+sig AS ({_SIG_SQL})
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       CAST({_MH_MATCHES} AS BIGINT) AS n_match,
+       CAST({_MH_MATCHES} AS DOUBLE) / {D.N_HASHES} AS est_jaccard,
+       abs(CAST({_MH_MATCHES} AS DOUBLE) / {D.N_HASHES} - p.jaccard)
+         AS abs_err
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+""",
+)
+def d09_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-vs-truth audit: for every LSH-verified near-dup pair,
+    the MinHash Jaccard ESTIMATE (fraction of the 16 signature minima
+    that agree — the unbiased estimator LSH banding is built on) next
+    to the exact Jaccard, with the absolute error. The tuning query
+    for (n_hashes, bands): it measures, on real corpus pairs, how
+    tight the signature family actually is.
+
+    Scale shape: rides on d04 (pairs) + d02 (signatures, one narrow
+    pass); the audit joins |pairs| rows against the signature frame on
+    doc id — at 100 TB the pair set is the small side and broadcasts.
+    The estimate is integer-agreement / 16: bit-exact."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(d, threshold=0.5)
+    sig = D.minhash_signature(d)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(D.N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(D.N_HASHES)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(D.N_HASHES)
+    )
+    est = n_match.cast("double") / D.N_HASHES
+    return (
+        F.broadcast(pairs)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            n_match.cast("bigint").alias("n_match"),
+            est.alias("est_jaccard"),
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
+    )
