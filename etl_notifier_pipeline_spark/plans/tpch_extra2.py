@@ -926,3 +926,53 @@ def q67_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii(F.substring(et, 1, 1)).alias("first_cp"),
         F.instr(et, "e").alias("e_pos"),
     )
+
+
+@register(
+    "q68_record_days",
+    category="window",
+    oracle="""
+WITH d AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         SUM(CAST(value AS DECIMAL(10,2))) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       CAST(v AS DOUBLE) AS day_value,
+       CAST(MAX(v) OVER w AS DOUBLE) AS cum_max,
+       v = MAX(v) OVER w AS is_record
+FROM d
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q68_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-setting-day detection: daily value per event type with
+    the running MAXIMUM and a new-record flag — the cumulative-extremum
+    analytic (q09 is the running-SUM sibling; TPC-DS Q51's
+    cumulative-comparison shape). The record flag compares exact
+    decimals, so it cannot flicker on float noise.
+
+    Scale shape: the window runs over the DAILY aggregate (|types| x
+    |days| rows), never raw events — aggregate first, analyze the
+    reduced frame; one fact shuffle + one tiny window sort."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    d = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(10,2)")).alias("v"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cm = F.max("v").over(w)
+    return d.select(
+        "event_type",
+        "day",
+        F.col("v").cast("double").alias("day_value"),
+        cm.cast("double").alias("cum_max"),
+        (F.col("v") == cm).alias("is_record"),
+    )
