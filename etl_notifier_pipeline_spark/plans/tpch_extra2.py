@@ -976,3 +976,100 @@ def q68_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         cm.cast("double").alias("cum_max"),
         (F.col("v") == cm).alias("is_record"),
     )
+
+
+@register(
+    "q69_interpolated_quartiles",
+    category="aggregation",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, CAST(value AS DECIMAL(10,2)) AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+),
+ks AS (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3),
+pos AS (
+  SELECT c.event_type, ks.k, c.cnt,
+         1 + ((c.cnt - 1) * ks.k) // 4 AS lo_pos,
+         ((c.cnt - 1) * ks.k) % 4 AS frac4
+  FROM (SELECT DISTINCT event_type, cnt FROM ranked) c CROSS JOIN ks
+),
+pick AS (
+  SELECT p.event_type, p.k, p.frac4,
+         MAX(CASE WHEN r.rn = p.lo_pos THEN r.v END) AS v_lo,
+         MAX(CASE WHEN r.rn = p.lo_pos + 1 THEN r.v END) AS v_hi
+  FROM pos p JOIN ranked r
+    ON r.event_type = p.event_type AND r.rn IN (p.lo_pos, p.lo_pos + 1)
+  GROUP BY p.event_type, p.k, p.frac4
+)
+SELECT event_type, k AS quartile,
+       CAST(v_lo AS DOUBLE)
+         + CAST(COALESCE(v_hi, v_lo) - v_lo AS DOUBLE) * (frac4 * 0.25)
+         AS q_value
+FROM pick
+""",
+)
+def q69_interpolated_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles (percentile_cont semantics: pos =
+    1 + (n-1)q, linear between the bracketing order statistics) —
+    generalizes q24's rank-and-pick beyond the median. Library
+    percentile()s interpolate with engine-specific double expression
+    shapes; here the fraction is ((n-1)k mod 4)/4 in {0, .25, .5,
+    .75} — exact binary doubles — and the bracketing values are exact
+    decimals, so the interpolation is bit-identical cross-engine.
+
+    Scale shape: one ranking window per type (the unavoidable sort),
+    then each quartile reads TWO rows; the quartile spec frame is a
+    3-row broadcast. q39 is the sketch path when the sort itself is
+    too expensive."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    ranked = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(10,2)").alias("v"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("cnt"),
+    )
+    ks = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
+    pos = (
+        ranked.select("event_type", "cnt")
+        .distinct()
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "event_type",
+            "k",
+            (F.lit(1) + F.expr("((cnt - 1) * k) div 4")).alias("lo_pos"),
+            (((F.col("cnt") - 1) * F.col("k")) % 4).alias("frac4"),
+        )
+    )
+    pick = (
+        pos.join(ranked, "event_type")
+        .filter(
+            (F.col("rn") == F.col("lo_pos"))
+            | (F.col("rn") == F.col("lo_pos") + 1)
+        )
+        .groupBy("event_type", "k", "frac4")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.col("lo_pos"), F.col("v"))
+            ).alias("v_lo"),
+            F.max(
+                F.when(F.col("rn") == F.col("lo_pos") + 1, F.col("v"))
+            ).alias("v_hi"),
+        )
+    )
+    v_hi = F.coalesce("v_hi", "v_lo")
+    return pick.select(
+        "event_type",
+        F.col("k").alias("quartile"),
+        (
+            F.col("v_lo").cast("double")
+            + (v_hi - F.col("v_lo")).cast("double")
+            * (F.col("frac4") * F.lit(0.25))
+        ).alias("q_value"),
+    )
