@@ -129,16 +129,31 @@ _R01_R02_SNAPSHOT: frozenset[str] = frozenset(
 
 DRIVER_CHECKED: frozenset[str] = _driver_green()
 
+# Oldest never-driver-checked queries (named in VERDICT r02) — they
+# have waited two sampling rounds, so they outrank newer unchecked
+# queries in the rotation below.
+_OLDEST_UNCHECKED: frozenset[str] = frozenset(
+    {
+        "d06_dedup_clusters", "d07_simhash_pairs", "q29_full_outer_join",
+        "q30_distinct_rows", "q31_rank_family", "q32_map_functions",
+        "s05_embedding_clusters", "st07_notification_render",
+        "st08_interval_join", "x06_edit_distance", "xm02_frame_schedule",
+    }
+)
+
 
 def _catalog_order() -> list[str]:
     """Registration order, rotated: never-driver-checked oracle-paired
-    queries first, then rows-only, then already-green queries."""
+    queries first (oldest-waiting before newly added), then rows-only,
+    then already-green queries."""
     names = list(_REGISTRY)
 
     def rank(n: str) -> int:
         if n in DRIVER_CHECKED:
+            return 3
+        if not _REGISTRY[n].oracle:
             return 2
-        return 0 if _REGISTRY[n].oracle else 1
+        return 0 if n in _OLDEST_UNCHECKED else 1
 
     return sorted(names, key=lambda n: (rank(n), names.index(n)))
 

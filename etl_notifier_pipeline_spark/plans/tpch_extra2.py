@@ -1073,3 +1073,226 @@ def q69_interpolated_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("frac4") * F.lit(0.25))
         ).alias("q_value"),
     )
+
+
+@register(
+    "q70_gaps_islands",
+    category="window",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d
+),
+g AS (SELECT user_id, day, day - CAST(rn AS INTEGER) AS grp FROM r)
+SELECT user_id,
+       strftime(MIN(day), '%Y-%m-%d') AS island_start,
+       strftime(MAX(day), '%Y-%m-%d') AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM g GROUP BY user_id, grp
+""",
+)
+def q70_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user (the classic sessionize-on-a-calendar shape; st03 is the
+    timestamp-gap sibling). Island key = day - row_number(): constant
+    within a consecutive run, strictly decreasing across gaps — a pure
+    window identity, no self-join and no iteration.
+
+    Scale shape: distinct (user, day) first (the only fact-table
+    shuffle, carrying 16 bytes/row), then one ranking window and one
+    aggregate over the REDUCED frame, both co-partitioned on user_id —
+    Spark plans a single exchange for all three steps."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    r = d.select(
+        "user_id",
+        "day",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("day"))
+        .alias("rn"),
+    )
+    g = r.select(
+        "user_id", "day", F.date_sub("day", F.col("rn")).alias("grp")
+    )
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("island_start"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("island_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("user_id", "island_start", "island_end", "n_days")
+    )
+
+
+@register(
+    "q71_ewma_daily",
+    category="aggregation",
+    oracle="""
+WITH d AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, list(v ORDER BY day) AS vs,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM d GROUP BY 1
+)
+SELECT event_type, n_days,
+       vs[-1] AS last_value,
+       list_reduce(vs, (s, x) -> 0.5 * x + 0.5 * s) AS ewma_final
+FROM g
+""",
+)
+def q71_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.5) over the
+    daily value series per event type — the recursive smoother
+    s_n = a*x_n + (1-a)*s_{n-1}, not expressible as a frame-bounded
+    window aggregate. Computed as an ordered sequential left-fold:
+    DuckDB ``list_reduce`` seeds with the first element, so the Spark
+    side folds ``aggregate(slice(vs, 2, n-1), vs[0], ...)`` — the same
+    double operation sequence, hence bit-identical (the s01 cosine-fold
+    contract). alpha = 0.5 halves exactly in binary, so each step
+    rounds once, identically, in both engines.
+
+    Scale shape: the fold runs over the DAILY aggregate per type
+    (|days| elements, bounded by calendar length, NOT corpus size) —
+    collect_list here is a bounded per-group series, the one shuffle is
+    the daily pre-aggregate with map-side partial sums."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(10,2)"))
+        .cast("double")
+        .alias("v")
+    )
+    g = d.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("day"), F.col("v")))
+            ),
+            lambda s: s["v"],
+        ).alias("vs"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    vs = F.col("vs")
+    return g.select(
+        "event_type",
+        "n_days",
+        F.element_at(vs, -1).alias("last_value"),
+        F.aggregate(
+            F.slice(vs, F.lit(2), F.size(vs) - 1),
+            F.element_at(vs, 1),
+            lambda s, x: F.lit(0.5) * x + F.lit(0.5) * s,
+        ).alias("ewma_final"),
+    )
+
+
+@register(
+    "q72_proration",
+    category="window",
+    oracle="""
+WITH lc AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS ext_c
+  FROM lineitem
+),
+oc AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS total_c
+  FROM orders
+),
+w AS (
+  SELECT l_orderkey, l_linenumber, ext_c, total_c,
+         CAST(SUM(ext_c) OVER (PARTITION BY l_orderkey) AS BIGINT) AS s
+  FROM lc JOIN oc ON l_orderkey = o_orderkey
+),
+b AS (
+  SELECT *, (total_c * ext_c) // s AS base, (total_c * ext_c) % s AS fr
+  FROM w
+),
+r AS (
+  SELECT *,
+         total_c - CAST(SUM(base) OVER (PARTITION BY l_orderkey) AS BIGINT)
+           AS rem,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY fr DESC, l_linenumber) AS rk
+  FROM b
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_cents
+FROM r
+""",
+)
+def q72_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proration: allocate each order's header total across its
+    line items proportionally to extended price, in integer cents, with
+    LARGEST-REMAINDER rounding — per order, SUM(alloc_cents) equals the
+    header total to the cent, guaranteed (base = floor share, then the
+    leftover r cents go to the r largest fractional parts, tie-broken
+    on line number). The billing/settlement allocation shape no float
+    arithmetic can do correctly.
+
+    All arithmetic is int64: money -> exact cents via decimal(12,2),
+    floor share = (total*ext) div S. The product is bounded by
+    per-ORDER magnitudes (total_c * ext_c < 2^63 for orders under ~$9.5
+    B x $10 M lines), independent of corpus size, so the shape holds at
+    100 TB. One shuffle co-partitions on l_orderkey; both windows and
+    the join reuse it."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lc = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("ext_c"),
+    )
+    oc = o.select(
+        F.col("o_orderkey"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("total_c"),
+    )
+    j = lc.join(oc, lc.l_orderkey == oc.o_orderkey).drop("o_orderkey")
+    po = W.partitionBy("l_orderkey")
+    w = j.withColumn("s", F.sum("ext_c").over(po))
+    b = w.select(
+        "l_orderkey",
+        "l_linenumber",
+        "total_c",
+        F.expr("(total_c * ext_c) div s").alias("base"),
+        ((F.col("total_c") * F.col("ext_c")) % F.col("s")).alias("fr"),
+    )
+    r = b.select(
+        "l_orderkey",
+        "l_linenumber",
+        "base",
+        (F.col("total_c") - F.sum("base").over(po)).alias("rem"),
+        F.row_number()
+        .over(po.orderBy(F.col("fr").desc(), "l_linenumber"))
+        .alias("rk"),
+    )
+    return r.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("rem"), F.lit(1)).otherwise(0)
+        ).alias("alloc_cents"),
+    )

@@ -226,3 +226,58 @@ def test_approx_quantiles_error_bound(spark):
             hi = bisect.bisect_right(vals, row[col])
             tol = max(2, n / 10000 * 2 + 1)
             assert lo - tol <= p * n <= hi - 1 + tol
+
+
+def test_proration_sums_to_header_total_exactly(spark):
+    """q72 invariant: per order, allocated cents sum EXACTLY to the
+    header total in cents — the largest-remainder guarantee."""
+    from etl_notifier_pipeline_spark.plans.tpch_extra2 import q72_proration
+
+    alloc = q72_proration(spark, SF_DIR)
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("total_c"),
+    )
+    per_order = alloc.groupBy("l_orderkey").agg(
+        F.sum("alloc_cents").alias("alloc_sum")
+    )
+    bad = per_order.join(o, "l_orderkey").filter(
+        F.col("alloc_sum") != F.col("total_c")
+    )
+    assert bad.count() == 0
+
+
+def test_ewma_matches_python_recursion(spark):
+    """q71 invariant: the Spark fold equals the literal recursive
+    definition s_n = 0.5*x_n + 0.5*s_{n-1} computed driver-side."""
+    from etl_notifier_pipeline_spark.plans.tpch_extra2 import q71_ewma_daily
+
+    out = {
+        r["event_type"]: r["ewma_final"]
+        for r in q71_ewma_daily(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(10,2)"))
+            .cast("double")
+            .alias("v")
+        )
+        .collect()
+    )
+    series: dict[str, list[tuple[str, float]]] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["v"]))
+    for et, pairs in series.items():
+        s = None
+        for _, v in sorted(pairs):
+            s = v if s is None else 0.5 * v + 0.5 * s
+        assert out[et] == s, et
