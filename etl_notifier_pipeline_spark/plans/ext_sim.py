@@ -335,3 +335,18 @@ def s07_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register("s08_pq_topk", category="similarity")
+def s08_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via product quantization + asymmetric distance
+    (m=8 subspaces x 16 codes, 2 distributed Lloyd steps, exact rerank
+    of the 4k best ADC candidates) — the memory-compression ANN path:
+    at 100 TB the float corpus becomes an 8-byte-per-vector code table
+    and the per-pair cost is 8 lookups + adds in whole-stage codegen.
+    Approximate by construction -> rows-only driver check; the
+    equivalence + recall property tests in tests/test_similarity.py
+    are the value gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.pq_topk(emb, queries, k=5)

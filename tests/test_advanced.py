@@ -281,3 +281,46 @@ def test_ewma_matches_python_recursion(spark):
         for _, v in sorted(pairs):
             s = v if s is None else 0.5 * v + 0.5 * s
         assert out[et] == s, et
+
+
+def test_pq_full_rerank_equals_bruteforce(spark):
+    """cand_mult large enough to keep every corpus vector makes the
+    exact rerank a brute-force pass — PQ must reproduce the baseline
+    top-k exactly (pins codes/LUT/ADC plumbing AND the rerank
+    arithmetic to the s01 fold contract)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    exact = {(r["query_id"], r["neighbor_id"], r["rank"])
+             for r in S.topk_cosine(emb, queries, k=5).collect()}
+    full = {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in S.pq_topk(emb, queries, k=5, cand_mult=100).collect()}
+    assert full == exact
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = S.topk_cosine(emb, queries, k=5)
+    approx = S.pq_topk(emb, queries, k=5)  # default cand_mult=4
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 8x16 codebooks on random 64-dim vectors: 20-candidate rerank
+    # should recover most true neighbors; must be far above chance.
+    assert recall >= 0.5, f"PQ recall {recall:.2f} too low"
+    assert all(q != n for q, n in a)
+
+
+def test_pq_codes_shape_and_range(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = S.pq_codebooks(emb, m=8, n_codes=16, n_iter=1)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    enc = S.pq_encode(emb, books)
+    row = enc.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("m_lo"),
+        F.max(F.size("codes")).alias("m_hi"),
+    ).collect()[0]
+    assert row["m_lo"] == row["m_hi"] == 8
+    assert 0 <= row["lo"] and row["hi"] <= 15
