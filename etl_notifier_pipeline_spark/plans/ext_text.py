@@ -875,3 +875,18 @@ def x25_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     )
     return scored.withColumn("keep", F.col("score") >= 640)
+
+
+@register("x27_bpe_merges", category="text_analysis")
+def x27_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING: learn the first 24 merge
+    rules from the documents corpus (extensions/bpe.py — word-histogram
+    reduction, then per-round pair counting + one-fold rewrites with
+    localCheckpoint lineage truncation). Iterative and
+    argmax-per-round -> not SQL-expressible; rows-only driver check,
+    value gate = exact merge-sequence match against a pure-Python
+    reference BPE in tests/test_bpe.py."""
+    from etl_notifier_pipeline_spark.extensions.bpe import learn_bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(d, n_merges=24)
