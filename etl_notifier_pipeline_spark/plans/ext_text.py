@@ -890,3 +890,61 @@ def x27_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return learn_bpe_merges(d, n_merges=24)
+
+
+@register(
+    "x28_unigram_lm_score",
+    category="text_analysis",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+n AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tf)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(tf.tf) AS BIGINT) AS tf_sum,
+       CAST(SUM(tf.tf) AS DOUBLE) / (n.total * COUNT(*))
+         AS mean_token_prob
+FROM tok t JOIN tf ON t.token = tf.token, n
+GROUP BY t.doc_id, n.total
+""",
+)
+def x28_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring (the perplexity-proxy quality
+    signal): train the unigram model on the corpus itself (token ->
+    global frequency), score each document by its MEAN TOKEN
+    PROBABILITY — low = rare/garbage-heavy doc, high = stereotypical.
+    The ratio form keeps it exact: mean p = sum(tf(t_i)) / (N * n_doc)
+    is integer arithmetic until ONE final double division (the x08
+    log-free trick), so cross-engine hashes match bit-for-bit where a
+    log-space perplexity would drift on transcendentals.
+
+    Scale shape: pass 1 builds the frequency table (explode ->
+    map-side-combined groupBy — the vocab is the working set, not the
+    corpus); N derives from the vocab table, no second corpus count;
+    pass 2 re-joins tokens to tf on the token key (AQE picks broadcast
+    when the vocab fits) and reduces per doc to two integers. The
+    1-row N rides along as a broadcast crossJoin."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    n = tf.agg(F.sum("tf").alias("total"))
+    return (
+        tok.join(tf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tf").alias("tf_sum"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tf_sum",
+            (
+                F.col("tf_sum").cast("double")
+                / (F.col("total") * F.col("n_tokens"))
+            ).alias("mean_token_prob"),
+        )
+    )

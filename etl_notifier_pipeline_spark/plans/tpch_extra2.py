@@ -1296,3 +1296,137 @@ def q72_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rk") <= F.col("rem"), F.lit(1)).otherwise(0)
         ).alias("alloc_cents"),
     )
+
+
+@register(
+    "q73_cohort_retention",
+    category="aggregation",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id,
+         MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+cohort_size AS (
+  SELECT cohort_day, COUNT(*) AS n_users
+  FROM first_seen GROUP BY cohort_day
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         CAST(date_trunc('day', e.ts) AS DATE) - f.cohort_day AS days_since
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(a.days_since AS INT) AS days_since,
+       COUNT(*) AS active_users,
+       s.n_users AS cohort_size,
+       CAST(COUNT(*) AS DOUBLE) / s.n_users AS retention
+FROM (SELECT cohort_day, days_since, user_id FROM activity) a
+JOIN cohort_size s ON a.cohort_day = s.cohort_day
+GROUP BY 1, 2, s.n_users
+""",
+)
+def q73_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity day,
+    tracked by distinct activity on each subsequent day — the
+    product-analytics staple (cohort x days-since grid with
+    retention = active/cohort-size). Day granularity because the
+    fixture window is one month; the month variant is the same plan
+    with a coarser date_trunc.
+
+    Determinism: day arithmetic is integer (datediff), retention is
+    one int/int double division. Scale shape: first_seen is one
+    user-keyed aggregate; activity dedups (user, day) BEFORE the
+    cohort rollup so the big shuffle carries one row per user-day,
+    not per event; cohort_size (|days| rows) broadcasts into the
+    final join."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = (
+        ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("cohort_day"))
+    )
+    cohort_size = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    activity = (
+        ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("int").alias("days_since"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "days_since")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(F.broadcast(cohort_size), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "days_since",
+            "active_users",
+            F.col("n_users").alias("cohort_size"),
+            (
+                F.col("active_users").cast("double") / F.col("n_users")
+            ).alias("retention"),
+        )
+    )
+
+
+@register(
+    "q74_event_sequence_match",
+    category="window",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         LEAD(event_type, 1) OVER w AS t1,
+         LEAD(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, COUNT(*) AS n_matches,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_match_ts
+FROM o
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+GROUP BY user_id
+""",
+)
+def q74_event_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequential pattern detection: count, per
+    user, the strictly CONSECUTIVE view -> click -> purchase triples in
+    event order — the sequence-mining shape (SQL-standard row pattern
+    matching) Spark has no native operator for, expressed as a
+    double-LEAD window + filter.
+
+    Scale shape: one shuffle co-partitions each user's events; both
+    LEADs and the aggregate reuse it (single exchange in the plan).
+    Tie-break (ts, event_id) makes the sequence — and therefore the
+    match set — deterministic under duplicate timestamps."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_type", "ts",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        o.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.date_format(
+                F.min("ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("first_match_ts"),
+        )
+    )
