@@ -1430,3 +1430,200 @@ def q74_event_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("first_match_ts"),
         )
     )
+
+
+@register(
+    "q75_linear_interpolation",
+    category="window",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS lo,
+         CAST(MAX(date_trunc('day', ts)) AS DATE) AS hi
+  FROM events
+),
+days AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+obs AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(14,2))
+              AS DOUBLE) AS v
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT u.user_id, d.day, o.v
+  FROM (SELECT DISTINCT user_id FROM obs) u
+  CROSS JOIN days d
+  LEFT JOIN obs o ON o.user_id = u.user_id AND o.day = d.day
+),
+ctx AS (
+  SELECT user_id, day, v,
+         LAST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         FIRST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM grid
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, v AS observed,
+       CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           pv + (nv - pv) * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+       END AS filled
+FROM ctx
+""",
+)
+def q75_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear time-series interpolation over a dense daily grid: each
+    user's daily purchase total, with interior gaps filled by the
+    straight line between the surrounding observations (edges stay
+    NULL) — the imputation sibling of q65's LOCF, and the op behind
+    resample().interpolate() in every timeseries stack.
+
+    Determinism: observations are decimal-summed (exact), day deltas
+    are integers; the fill is the same three double ops in the same
+    order on both engines — bit-exact. Scale shape: the grid is
+    |users| x |days| (bounded, NOT event-scaled); ONE shuffle on
+    user_id positions the grid for all four IGNORE-NULLS windows and
+    the left join rides the same key; the 1-row bounds and the day
+    spine are broadcast."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("lo"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    obs = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(10,2)"))
+            .cast("decimal(14,2)")
+            .cast("double")
+            .alias("v")
+        )
+    )
+    grid = (
+        obs.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(days))
+        .join(obs, ["user_id", "day"], "left")
+    )
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = grid.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(run).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(run).alias("pd"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    fill = F.when(F.col("v").isNotNull(), F.col("v")).when(
+        F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (
+            F.datediff("day", "pd").cast("double")
+            / F.datediff("nd", "pd").cast("double")
+        ),
+    )
+    return ctx.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").alias("observed"),
+        fill.alias("filled"),
+    )
+
+
+@register(
+    "q76_cooccurrence_lift",
+    category="aggregation",
+    oracle="""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+tc AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_ab
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       ta.n_t AS n_a, tb.n_t AS n_b,
+       CAST(p.n_ab * n.n_users AS DOUBLE) / (ta.n_t * tb.n_t) AS lift
+FROM pairs p
+JOIN tc ta ON ta.event_type = p.type_a
+JOIN tc tb ON tb.event_type = p.type_b, n
+""",
+)
+def q76_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence lift over event types: for every
+    unordered type pair, the ratio of observed co-occurrence (users
+    with both) to the independence expectation — lift > 1 means the
+    behaviors attract. The association-mining primitive (the pair
+    stage of A-Priori) on the user-item incidence.
+
+    Determinism: lift = (n_ab * n_users) / (n_a * n_b) — integer
+    products, ONE double division. Scale shape: the incidence dedup is
+    the only fact-table shuffle (carrying (user, type)); the pair
+    self-join co-partitions on user_id; per-type counts and the 1-row
+    user count broadcast into the tiny pair frame."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ut.select(F.countDistinct("user_id").alias("n_users"))
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta = tc.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    tb = tc.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a", "type_b", "n_ab", "n_a", "n_b",
+            (
+                (F.col("n_ab") * F.col("n_users")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

@@ -389,3 +389,66 @@ class TestCrashRecovery:
         # next overwrite claims v=2 cleanly (mode=overwrite wipes junk)
         tmp_store.overwrite("t", spark.createDataFrame([(2,)], ["x"]))
         assert [r["x"] for r in tmp_store.read("t").collect()] == [2]
+
+
+class TestPipelineWithBucketedStore:
+    def test_approval_update_rewrites_only_affected_buckets(
+        self, spark, tmp_path
+    ):
+        """EP3 end-to-end on the incremental backend: an approved
+        2-row update against an 80-row bucketed table must route
+        through apply_keyed_mutation and carry every unaffected
+        bucket's files forward from the previous version — the
+        O(affected-buckets) commit the full-rewrite TableStore can't
+        give. Results must be identical to the sequential semantics."""
+        from etl_notifier_pipeline_spark.storage import BucketedTableStore
+
+        bstore = BucketedTableStore(
+            spark, str(tmp_path / "bstore"),
+            keys={"people": ["pid"]}, n_buckets=8,
+        )
+        rows = [(str(i), f"p{i}") for i in range(80)]
+        bstore.overwrite(
+            "people", spark.createDataFrame(rows, ["pid", "name"])
+        )
+        v1 = bstore.current_version("people")
+        m1 = bstore._manifest("people", v1)
+
+        csv_root = tmp_path / "bucket"
+        csv_root.mkdir()
+        (csv_root / "u.csv").write_text("pid,name\n7,SEVEN\n41,FORTYONE\n")
+        pipe = ApprovalPipeline(
+            spark=spark, store=bstore, notifier=LogNotifier(),
+            keys={"people": ["pid"]}, csv_root=str(csv_root),
+        )
+        pipe.ledger.record_arrivals(spark.createDataFrame(
+            [("u.csv", "e1", "b", "update")],
+            ["file_name", "event_id", "bucket", "operation"],
+        ))
+        from tests.test_ledger_pipeline import batch, ev
+
+        pipe.run_batch(batch(
+            spark, ev("e1", "approve", "u.csv", "people", "update"),
+        ))
+
+        got = {r["pid"]: r["name"] for r in bstore.read("people").collect()}
+        want = {str(i): f"p{i}" for i in range(80)}
+        want["7"], want["41"] = "SEVEN", "FORTYONE"
+        assert got == want
+        v2 = bstore.current_version("people")
+        assert v2 == v1 + 1
+        m2 = bstore._manifest("people", v2)
+        fresh = {
+            k for k, dirs in m2["buckets"].items()
+            if any(d.startswith(f"v={v2}/") for d in dirs)
+        }
+        carried = {
+            k for k, dirs in m2["buckets"].items()
+            if dirs == m1["buckets"].get(k)
+        }
+        # 2 keys -> at most 2 buckets rewritten; the rest byte-identical
+        assert 1 <= len(fresh) <= 2
+        assert carried == set(m2["buckets"]) - fresh
+        assert len(carried) >= 6
+        status = pipe.ledger.processed_files().collect()[0]["status"]
+        assert status == "approved"
