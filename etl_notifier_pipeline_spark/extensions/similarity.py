@@ -234,6 +234,9 @@ def ivf_centroids(
     (cell, pos) shuffle of scalars, never of whole vectors. The
     centroid table itself is tiny (n_cells × dim) and lives driver-side
     like any broadcast dimension."""
+    import numpy as np
+    import pandas as pd
+
     seeds = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     )
@@ -242,24 +245,45 @@ def ivf_centroids(
         raise ValueError("ivf_centroids: corpus is empty")
     # A corpus smaller than n_cells degrades to one cell per vector.
     n_cells = len(cents)
+    dim = len(cents[0])
     for _ in range(n_iter):
-        # Two selects on purpose: a generator (posexplode) in the same
-        # projection as the struct-getField argmin strips the struct's
-        # field names during analysis (Spark re-creates it as col1/col2).
-        assigned = corpus.select(
-            ivf_assign(F.col(vec_col), cents).alias("cell"),
-            F.col(vec_col).alias("__v"),
-        ).select("cell", F.posexplode("__v").alias("pos", "x"))
+        # One Arrow-batched pass: numpy assigns each vector to its
+        # nearest centroid and emits per-partition PARTIAL sums
+        # (micro-quantized to int64 pre-shuffle — the s06 determinism
+        # trick), so the shuffle carries n_cells x dim scalar rows per
+        # partition, never vectors, and the result cannot vary with
+        # partition order (the posexplode+avg double sum could).
+        C = np.array(cents, dtype=np.float64)
+
+        def partial_sums(batches):
+            for pdf in batches:
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                cell = d2.argmin(axis=1)  # ties -> lowest cell
+                rows = []
+                for j in range(len(C)):
+                    mask = cell == j
+                    n = int(mask.sum())
+                    if not n:
+                        continue
+                    qs = np.round(X[mask] * 1_000_000).astype(np.int64).sum(axis=0)
+                    rows.extend((j, p, int(qs[p]), n) for p in range(X.shape[1]))
+                yield pd.DataFrame(rows, columns=["cell", "pos", "qsum", "n"])
+
         means = (
-            assigned.groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            corpus.select(vec_col)
+            .mapInPandas(partial_sums, "cell int, pos int, qsum long, n long")
+            .groupBy("cell", "pos")
+            .agg(F.sum("qsum").alias("qsum"), F.sum("n").alias("n"))
             .collect()
         )
         by_cell: dict[int, dict[int, float]] = {}
         for r in means:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = (
+                r["qsum"] / 1_000_000 / r["n"]
+            )
         cents = [
-            [by_cell[i][p] for p in range(len(cents[i]))] if i in by_cell else cents[i]
+            [by_cell[i][p] for p in range(dim)] if i in by_cell else cents[i]
             for i in range(n_cells)
         ]
     return cents
@@ -292,14 +316,37 @@ def ivf_topk(
     the list.
     Approximate by construction -> rows-only driver check + recall
     property test, no SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
     cents = ivf_centroids(
         corpus, n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_norm"),
-        ivf_assign(F.col(vec_col), cents).alias("cell"),
+    # Corpus-side assignment is the hot pass (every vector x every
+    # centroid): one Arrow-batched numpy argmin, not |cells| interpreted
+    # HOF folds per row (ivf_assign stays the Column form for plan-side
+    # uses like the query probes below, where rows are few).
+    C = np.array(cents, dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            # cumsum = the same sequential left-fold the JVM norm()
+            # runs, so c_norm is bit-identical to the brute-force path
+            nrm = np.sqrt((X * X).cumsum(axis=1)[:, -1])
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col],
+                    "c_vec": pdf[vec_col],
+                    "c_norm": nrm,
+                    "cell": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    c = corpus.select(id_col, vec_col).mapInPandas(
+        assign,
+        "neighbor_id long, c_vec array<float>, c_norm double, cell int",
     )
     probes = F.slice(
         F.array_sort(
