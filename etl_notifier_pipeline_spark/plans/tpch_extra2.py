@@ -25,6 +25,7 @@ from etl_notifier_pipeline_spark.plans.registry import register
 
 # One definition of the exact-decimal volume expression for the whole
 # catalog — a precision change must hit every query or none.
+from etl_notifier_pipeline_spark.extensions import text as X
 from etl_notifier_pipeline_spark.plans.tpch_extra import (  # noqa: F401
     MONEY,
     RATE,
@@ -1626,4 +1627,97 @@ def q76_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_a") * F.col("n_b"))
             ).alias("lift"),
         )
+    )
+
+
+@register("q77_hll_sketch_rollup", category="aggregation")
+def q77_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(event_type, day) HLL sketches of
+    distinct users, MERGED up to per-type totals — the pre-aggregation
+    pattern that makes 100 TB distinct counting incremental (store
+    day-level sketches ~1 KB each; any date range is a sketch union,
+    never a re-scan; Datasketges HLL via F.hll_sketch_agg/
+    hll_union_agg). Emits the day-merged estimate, the direct
+    single-pass estimate, and the exact count: HLL union is LOSSLESS
+    (per-register max is associative+commutative), so
+    merged == direct ALWAYS — asserted by merged_equals_direct and
+    pinned in tests; the estimate-vs-exact gap is the usual HLL error.
+
+    Sketch contents are data-set-determined (order-independent), so
+    output is stable — but the estimator is approximate by algorithm,
+    not SQL-reproducible -> rows-only driver check + property tests."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    rolled = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    return (
+        rolled.join(direct, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "merged_est",
+            "direct_est",
+            "exact",
+            (F.col("merged_est") == F.col("direct_est")).alias(
+                "merged_equals_direct"
+            ),
+        )
+    )
+
+
+@register(
+    "q78_hash_sample_estimate",
+    category="aggregation",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_sampled,
+       COUNT(*) * 16 AS est_n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+            * 16 AS DOUBLE) AS est_revenue
+FROM orders
+WHERE (('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT
+       % {X.HASH_MOD}) % 16 = 0
+GROUP BY o_orderpriority
+""",
+)
+def q78_hash_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-16 hash sampling with scale-up estimation:
+    the TABLESAMPLE twin every interactive 100 TB exploration runs
+    first, made REPRODUCIBLE by sampling on a key hash (the md5-prefix
+    portable hash, never rand()) so resamples, retries, and both
+    engines pick the identical row set — the x10/x15 determinism
+    doctrine applied to approximate aggregation.
+
+    Scale shape: the hash predicate is a pure per-row filter fused
+    into the scan (no shuffle added); downstream agg sees 1/16 of the
+    rows. Estimates: integer count x16, decimal sum x16 (exact), ONE
+    final double cast."""
+    from pyspark.sql import functions as F
+
+    from etl_notifier_pipeline_spark.extensions.text import token_hash
+
+    o = load_table(spark, sf_dir, "orders")
+    sampled = o.filter(
+        token_hash(F.col("o_orderkey").cast("string")) % 16 == 0
+    )
+    return sampled.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        (F.count(F.lit(1)) * 16).alias("est_n_orders"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            * 16
+        )
+        .cast("double")
+        .alias("est_revenue"),
     )

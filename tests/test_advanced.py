@@ -324,3 +324,37 @@ def test_pq_codes_shape_and_range(spark):
     ).collect()[0]
     assert row["m_lo"] == row["m_hi"] == 8
     assert 0 <= row["lo"] and row["hi"] <= 15
+
+
+def test_hll_rollup_merge_lossless_and_close_to_exact(spark):
+    """q77 invariants: day-sketch union == single-pass sketch (HLL
+    merge is lossless), and the estimate sits within the sketch's
+    error envelope of the exact distinct count."""
+    from etl_notifier_pipeline_spark.plans.tpch_extra2 import (
+        q77_hll_sketch_rollup,
+    )
+
+    rows = q77_hll_sketch_rollup(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["merged_equals_direct"], r
+        assert abs(r["merged_est"] - r["exact"]) <= max(3, 0.05 * r["exact"]), r
+
+
+def test_hash_sample_estimate_unbiased_shape(spark):
+    """q78 invariants: the sample is the deterministic hash subset
+    (re-running picks the same rows), and scaled estimates land within
+    a loose CI of the true totals at fixture scale."""
+    from etl_notifier_pipeline_spark.plans.tpch_extra2 import (
+        q78_hash_sample_estimate,
+    )
+
+    a = {tuple(r) for r in q78_hash_sample_estimate(spark, SF_DIR).collect()}
+    b = {tuple(r) for r in q78_hash_sample_estimate(spark, SF_DIR).collect()}
+    assert a == b
+    o = load_table(spark, SF_DIR, "orders")
+    true_n = o.count()
+    est_n = sum(r[2] for r in a)
+    # 1/16 Bernoulli-by-hash at n≈1500: ±40% envelope is generous but
+    # catches a broken predicate (0 rows or all rows) instantly.
+    assert 0.6 * true_n <= est_n <= 1.4 * true_n
