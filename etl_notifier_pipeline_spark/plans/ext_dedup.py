@@ -410,3 +410,18 @@ def d09_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - F.col("jaccard")).alias("abs_err"),
         )
     )
+
+
+@register("d10_pair_pagerank", category="dedup")
+def d10_pair_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the d04/d06 near-dup pair graph: 10 integer-
+    quantized PageRank rounds pick each cluster's most-connected member
+    (the canonical-survivor heuristic when lowest-id is too arbitrary).
+    Iterative numeric fixpoint -> rows-only driver check; the value
+    gate is tests/test_graph.py's EXACT match against a pure-Python
+    reference (possible because the recurrence is all-integer)."""
+    from etl_notifier_pipeline_spark.extensions.graph import pair_pagerank
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(d, threshold=0.5)
+    return pair_pagerank(pairs, "doc_a", "doc_b", n_iter=10)
