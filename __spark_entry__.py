@@ -52,6 +52,9 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # isAdjustedToUTC=false parquet otherwise reads TIMESTAMP_NTZ,
+        # which strict chrono builtins (unix_micros) reject.
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         # The fixture scales are small; a 200-partition default shuffle

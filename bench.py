@@ -48,6 +48,40 @@ HEADLINE = [
 
 N_RUNS = 3
 
+# DuckDB twins for headline queries whose registry entry is rows-only
+# (no ANSI oracle): the twin runs the SAME TASK the way an exact SQL
+# engine would, so ratio_vs_duckdb covers the whole headline set.
+# - s04 (IVF ANN top-5): exact KNN — identical query set/k to s01's
+#   oracle; the IVF index exists to BEAT this exact scan, so the exact
+#   scan is the honest comparable.
+# - st05 (stateful running totals): its drained final state per user
+#   is exactly the per-user count+sum aggregate.
+TWIN_SQL: dict[str, str] = {
+    "s04_ivf_topk": """
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         (list_reduce(list_transform(range(1, 65),
+            i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), (x, y) -> x + y)
+          / (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE), (x, y) -> x + y))
+           * sqrt(list_reduce(list_transform(range(1, 65),
+               i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), (x, y) -> x + y))))
+           AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id ORDER BY
+           (list_reduce(list_transform(range(1, 65),
+              i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), (x, y) -> x + y))
+           DESC, c.vec_id) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+) WHERE rank <= 5
+""",
+    "st05_stateful_running_totals": """
+SELECT user_id, COUNT(*) AS n_events, SUM(value) AS total_value
+FROM events GROUP BY user_id
+""",
+}
+
 
 def best_of(n: int, fn) -> float:
     best = float("inf")
@@ -59,9 +93,9 @@ def best_of(n: int, fn) -> float:
 
 
 def duckdb_twin_times(sf_dir: str, names: list[str]) -> dict[str, float | None]:
-    """Best-of-N DuckDB wall time per oracle-paired headline query,
-    same warm+measure protocol as the Spark side; None for queries
-    with no SQL oracle (s04, st05)."""
+    """Best-of-N DuckDB wall time per headline query (registry oracle,
+    else the TWIN_SQL comparable), same warm+measure protocol as the
+    Spark side."""
     import duckdb
 
     from etl_notifier_pipeline_spark.catalog import TABLES, table_path
@@ -74,7 +108,7 @@ def duckdb_twin_times(sf_dir: str, names: list[str]) -> dict[str, float | None]:
         )
     out: dict[str, float | None] = {}
     for name in names:
-        oracle = plans.get(name).oracle
+        oracle = plans.get(name).oracle or TWIN_SQL.get(name)
         if not oracle:
             out[name] = None
             continue

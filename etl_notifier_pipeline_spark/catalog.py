@@ -42,6 +42,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Parquet TIMESTAMP(NANOS) columns arrive as long (see session.py
     # nanosAsLong); normalize to microsecond timestamps like every
     # other engine reading the same file (DuckDB truncates ns -> us).
+    # Parquet TIMESTAMP with isAdjustedToUTC=false reads as
+    # TIMESTAMP_NTZ on Spark >= 3.4 when inferTimestampNTZ is on;
+    # normalize to TIMESTAMP (session tz is pinned UTC, so the cast is
+    # a wall-clock no-op) so strict chrono functions (unix_micros,
+    # window, watermarks) analyze on every runtime.
     for field in df.schema.fields:
         if (
             field.name == "ts"
@@ -49,6 +54,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             and name == "events"
         ):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -12,6 +12,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def ts_micros(col: Column | str) -> Column:
+    """Microseconds-since-epoch from any timestamp flavor.
+
+    ``unix_micros`` is strict: it rejects TIMESTAMP_NTZ (how Spark >= 3.4
+    reads isAdjustedToUTC=false parquet when NTZ inference is on). The
+    engine pins the session timezone to UTC, so NTZ -> TIMESTAMP is a
+    wall-clock no-op and one cast makes every chrono expression
+    runtime-portable.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast(T.TimestampType()))
+
+
 def file_stem(col: Column | str) -> Column:
     """F1 — strip last extension (``data-query.py:64``)."""
     return F.regexp_replace(F.col(col) if isinstance(col, str) else col, r"\.[^.]*$", "")

@@ -19,6 +19,7 @@ from etl_notifier_pipeline_spark.catalog import load_table, register_views
 from etl_notifier_pipeline_spark.extensions import multimodal as MM
 from etl_notifier_pipeline_spark.extensions import similarity as S
 from etl_notifier_pipeline_spark.operators.asof import asof_join
+from etl_notifier_pipeline_spark.functions.scalar import ts_micros
 from etl_notifier_pipeline_spark.plans.registry import register
 
 VAL = "decimal(10,2)"
@@ -183,7 +184,7 @@ def q26_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(ts_micros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
@@ -383,7 +384,6 @@ def st06_approval_pipeline_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     that SQL cannot model."""
     import tempfile
 
-    from etl_notifier_pipeline_spark.storage import TableStore
     from etl_notifier_pipeline_spark.streaming import ApprovalPipeline, LogNotifier
 
     tmp = tempfile.mkdtemp(prefix="st06_")
@@ -403,10 +403,13 @@ def st06_approval_pipeline_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd.to_csv(f"{csv_root}/cust_upd.csv", index=False)
     pdf.iloc[:5].to_csv(f"{csv_root}/cust_del.csv", index=False)
 
-    store = TableStore(spark, f"{tmp}/store")
+    # Default store: BucketedTableStore at store_root — the sim runs
+    # the same incremental keyed-mutation path a production pipeline
+    # would (O(affected buckets) per approved event).
     pipe = ApprovalPipeline(
-        spark=spark, store=store, notifier=LogNotifier(),
+        spark=spark, notifier=LogNotifier(),
         keys={"cust": ["ckey"]}, csv_root=csv_root,
+        store_root=f"{tmp}/store",
     )
     arrivals = spark.createDataFrame(
         [

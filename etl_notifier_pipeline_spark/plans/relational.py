@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etl_notifier_pipeline_spark.catalog import load_table
+from etl_notifier_pipeline_spark.functions.scalar import ts_micros
 from etl_notifier_pipeline_spark.plans.registry import register
 
 # Exact-decimal casts (fixture money/rate columns are 2-decimal clean).
@@ -467,7 +468,7 @@ def q20_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
         (
-            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            ts_micros("ts") - F.lag(ts_micros("ts")).over(w)
         ).alias("us_since_prev"),
     )
 

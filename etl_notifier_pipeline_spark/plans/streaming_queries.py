@@ -19,6 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etl_notifier_pipeline_spark.catalog import load_table
+from etl_notifier_pipeline_spark.functions.scalar import ts_micros
 from etl_notifier_pipeline_spark.plans.registry import register
 from etl_notifier_pipeline_spark.streaming import windows as SW
 
@@ -269,7 +270,7 @@ def st08_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "signup_id",
             "purchase_id",
             "user_id",
-            ((F.unix_micros("p_ts") - F.unix_micros("s_ts")) / F.lit(60000000))
+            ((ts_micros("p_ts") - ts_micros("s_ts")) / F.lit(60000000))
             .cast("long")
             .alias("minutes_after"),
         )
@@ -355,7 +356,7 @@ def st11_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signup_id",
         "purchase_id",
         "user_id",
-        ((F.unix_micros("p_ts") - F.unix_micros("s_ts")) / F.lit(60000000))
+        ((ts_micros("p_ts") - ts_micros("s_ts")) / F.lit(60000000))
         .cast("long")
         .alias("minutes_after"),
     )

@@ -54,6 +54,10 @@ def get_spark(
         # Parquet TIMESTAMP(NANOS) (the events fixture) has no Spark
         # type; read as long and convert in catalog.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # isAdjustedToUTC=false parquet timestamps otherwise surface as
+        # TIMESTAMP_NTZ, which strict chrono builtins reject; with the
+        # session tz pinned UTC the instant semantics are identical.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -137,12 +137,25 @@ def render_result_notifications(outcomes: DataFrame) -> DataFrame:
 @dataclass
 class ApprovalPipeline:
     spark: SparkSession
-    store: TableStore
     notifier: Notifier
     keys: dict[str, list[str]]  # table -> primary-key columns (replaces S6 catalog)
     csv_root: str  # where "bucket" files live locally
+    # Default backend is the incremental BucketedTableStore (built at
+    # ``store_root``, or a temp dir if unset): keyed mutations rewrite
+    # O(affected buckets), not O(table) — the 100 TB-survivable default.
+    # Pass ``store=`` explicitly (e.g. a plain full-rewrite TableStore)
+    # to opt out.
+    store: TableStore | None = None
+    store_root: str | None = None
 
     def __post_init__(self) -> None:
+        if self.store is None:
+            import tempfile
+
+            from etl_notifier_pipeline_spark.storage import BucketedTableStore
+
+            root = self.store_root or tempfile.mkdtemp(prefix="pipeline_store_")
+            self.store = BucketedTableStore(self.spark, root, keys=self.keys)
         self.ledger = Ledger(self.spark, self.store)
         self.dead_letters: list[dict] = []
 

@@ -172,3 +172,41 @@ class TestPipelineOnBucketedBackend:
         assert sorted(r["pid"] for r in store.read("people").collect()) == ["2", "3"]
         statuses = {r["event_id"]: r["status"] for r in pipe.ledger.processed_files().collect()}
         assert statuses == {"e1": "approved", "e2": "approved", "e3": "approved"}
+
+    def test_default_store_is_bucketed_and_incremental(self, spark, tmp_path):
+        """Constructing ApprovalPipeline WITHOUT a store must yield a
+        BucketedTableStore at store_root (r04: incremental is the
+        default; plain TableStore is the explicit opt-out), and a keyed
+        update through the pipeline path must rewrite only the affected
+        buckets."""
+        csv_root = tmp_path / "bucket"
+        csv_root.mkdir()
+        (csv_root / "people.csv").write_text(
+            "pid,name\n" + "".join(f"{i},p{i}\n" for i in range(32))
+        )
+        (csv_root / "people_v2.csv").write_text("pid,name\n7,LUCKY\n")
+        pipe = ApprovalPipeline(
+            spark=spark, notifier=LogNotifier(),
+            keys={"people": ["pid"]}, csv_root=str(csv_root),
+            store_root=str(tmp_path / "store"),
+        )
+        assert isinstance(pipe.store, BucketedTableStore)
+        from tests.test_ledger_pipeline import batch, ev
+
+        pipe.ledger.record_arrivals(spark.createDataFrame(
+            [("people.csv", "e1", "b", "insert"),
+             ("people_v2.csv", "e2", "b", "update")],
+            ["file_name", "event_id", "bucket", "operation"],
+        ))
+        pipe.run_batch(batch(spark, ev("e1", "approve", "people.csv", "people", "insert")))
+        v1 = pipe.store.current_version("people")
+        m1 = pipe.store._manifest("people", v1)
+        pipe.run_batch(batch(spark, ev("e2", "approve", "people_v2.csv", "people", "update")))
+        v2 = pipe.store.current_version("people")
+        m2 = pipe.store._manifest("people", v2)
+        # exactly one bucket gained a new data dir; every other bucket's
+        # manifest entry was carried forward untouched
+        changed = [b for b in m2["buckets"] if m2["buckets"][b] != m1["buckets"].get(b)]
+        assert len(changed) == 1, changed
+        rows = {r["pid"]: r["name"] for r in pipe.store.read("people").collect()}
+        assert rows["7"] == "LUCKY" and len(rows) == 32

@@ -285,7 +285,14 @@ def test_no_row_python_in_any_registered_query(spark):
     into a hot path fails here, not at 100 TB."""
     from etl_notifier_pipeline_spark.plans import specs
 
-    PANDAS_OK = {"xm01_multimodal_features"}
+    PANDAS_OK = {
+        "xm01_multimodal_features",
+        # Arrow-batched by design: IVF cell assignment and PQ encode are
+        # numpy matmuls over the embedding column (extensions/similarity.py);
+        # the surrounding join/rerank stays JVM-side.
+        "s04_ivf_topk",
+        "s08_pq_topk",
+    }
     offenders = {}
     for name, sp in specs().items():
         if sp.category == "streaming" and sp.oracle is None:

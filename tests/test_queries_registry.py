@@ -58,3 +58,86 @@ def test_driver_green_rotation_counts_only_passes(tmp_path, monkeypatch):
     # live value: real CORRECTNESS files exist, so the set is file-fed
     # and every r02-green query is in it
     assert "q01_pricing_summary" in R.DRIVER_CHECKED
+
+
+# ---------------------------------------------------------------------------
+# Runtime portability: TIMESTAMP_NTZ events parquet (VERDICT r03 item 6)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ntz_sf_dir(tmp_path_factory):
+    """An sf0.001 clone whose events.parquet is explicitly written with
+    isAdjustedToUTC=false (tz-naive) microsecond timestamps — the shape
+    that Spark >= 3.4 reads as TIMESTAMP_NTZ when NTZ inference is on,
+    which broke q20/q26/st08/st11 in round 3."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = SF_DIR
+    dst = tmp_path_factory.mktemp("ntz_sf")
+    for name in os.listdir(src):
+        if name == "events.parquet":
+            tbl = pq.read_table(os.path.join(src, name))
+            # pyarrow writes tz-naive timestamp[us] as isAdjustedToUTC=false
+            assert tbl.schema.field("ts").type.tz is None
+            pq.write_table(tbl, str(dst / name))
+        else:
+            os.symlink(os.path.join(src, name), str(dst / name))
+    return str(dst)
+
+
+def _events_touching_queries():
+    import inspect
+
+    out = []
+    for name, spec in sorted(plans.specs().items()):
+        try:
+            src = inspect.getsource(spec.fn)
+        except OSError:
+            src = ""
+        if "events" in src:
+            out.append(name)
+    return out
+
+
+def test_ntz_events_every_touching_query_analyzes(spark, ntz_sf_dir):
+    """Every events-touching registered query must at least ANALYZE
+    against an NTZ-annotated events table (analysis is where the r03
+    breakage surfaced: strict chrono builtins reject TIMESTAMP_NTZ)."""
+    names = _events_touching_queries()
+    assert len(names) >= 20, names
+    for name in names:
+        df = plans.get(name).fn(spark, ntz_sf_dir)
+        assert df.schema is not None, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q20_lag_lead",
+        "q26_range_frame",
+        "st08_interval_join",
+        "st11_interval_join_outer",
+    ],
+)
+def test_ntz_events_chrono_queries_execute_even_with_ntz_inference(
+    spark, ntz_sf_dir, name
+):
+    """With NTZ inference forced ON (the next Spark upgrade's default),
+    catalog.load_table must still hand plans a TIMESTAMP column and the
+    four chrono-heavy queries must run end-to-end."""
+    from etl_notifier_pipeline_spark.catalog import load_table
+
+    key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "true")
+        ev = load_table(spark, ntz_sf_dir, "events")
+        assert dict(ev.dtypes)["ts"] == "timestamp", ev.dtypes
+        df = plans.get(name).fn(spark, ntz_sf_dir)
+        assert df.count() > 0
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)

@@ -69,7 +69,9 @@ def table_hash(columns: list[str], rows: list[tuple]) -> tuple[int, str, list[st
     return len(rows), h, sorted(columns)
 
 
-def run(sf_dir: str, only: list[str] | None = None) -> int:
+def run(
+    sf_dir: str, only: list[str] | None = None, json_out: str | None = None
+) -> int:
     import duckdb
 
     from etl_notifier_pipeline_spark import plans
@@ -84,6 +86,7 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
         )
 
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name, spec in plans.specs().items():
         if only and name not in only:
             continue
@@ -95,10 +98,12 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
             scols = list(spdf.columns)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "fail", "err": f"spark: {e}"[:400]}
             n_fail += 1
             continue
         if spec.oracle is None:
             n_rows_only += 1
+            results[name] = {"status": "rows-only", "rows": len(srows)}
             print(f"rows-only {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
             continue
         try:
@@ -107,6 +112,7 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
             orows = pandas_rows(opdf)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            results[name] = {"status": "fail", "err": f"oracle: {e}"[:400]}
             n_fail += 1
             continue
         sn, sh, sc = table_hash(scols, srows)
@@ -114,9 +120,14 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
         ok = (sn, sh, sc) == (on, oh, oc)
         if ok:
             n_pass += 1
+            results[name] = {"status": "pass", "rows": sn}
             print(f"PASS {name}: {sn} rows  ({time.time()-t0:.1f}s)")
         else:
             n_fail += 1
+            results[name] = {
+                "status": "fail",
+                "err": f"spark=({sn} rows, {sh[:10]}) oracle=({on} rows, {oh[:10]})",
+            }
             print(f"FAIL {name}: spark=({sn} rows, cols={sc}, {sh[:10]}) "
                   f"oracle=({on} rows, cols={oc}, {oh[:10]})")
             if sn and on and sc == oc and sn == on:
@@ -127,11 +138,33 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
                 for d in list(oset - sset)[:3]:
                     print(f"   oracle-only: {d!r}")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "pass": n_pass,
+                    "fail": n_fail,
+                    "rows_only": n_rows_only,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a] or None
-    sys.exit(run(sf, only))
+    sys.exit(run(sf, only, json_out))
