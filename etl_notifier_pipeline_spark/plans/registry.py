@@ -127,7 +127,14 @@ _R01_R02_SNAPSHOT: frozenset[str] = frozenset(
     }
 )
 
-DRIVER_CHECKED: frozenset[str] = _driver_green()
+# Queries whose driver-green rows predate the Spark-4 runtime change
+# (r01/r02 rows under the old analyzer; broken by TIMESTAMP_NTZ until
+# the r04 catalog fix): treat as UNCHECKED so they re-enter the sample
+# and earn a fresh row under the current runtime. Remove once a
+# CORRECTNESS_r04+ file carries a green row for them.
+_STALE_GREEN: frozenset[str] = frozenset({"q20_lag_lead", "q26_range_frame"})
+
+DRIVER_CHECKED: frozenset[str] = _driver_green() - _STALE_GREEN
 
 # Never-driver-checked queries by age: _OLDEST_UNCHECKED (named in
 # VERDICT r02) have waited two sampling rounds; _R2_UNCHECKED were
@@ -182,7 +189,7 @@ def _catalog_order() -> list[str]:
             return 4
         if not _REGISTRY[n].oracle:
             return 3
-        if n in _OLDEST_UNCHECKED:
+        if n in _OLDEST_UNCHECKED or n in _STALE_GREEN:
             return 0
         return 1 if n in _R2_UNCHECKED else 2
 

@@ -177,11 +177,17 @@ class BucketedTableStore:
         root: str,
         keys: dict[str, list[str]] | None = None,
         n_buckets: int = 64,
+        retain_versions: int = 2,
     ) -> None:
         self.spark = spark
         self.root = root
         self.keys = dict(keys or {})
         self.n_buckets = n_buckets
+        # How many trailing versions survive vacuum: the time-travel
+        # horizon. Every retained version is readable via
+        # ``read(table, version=n)`` (snapshot isolation: a version dir
+        # is immutable once the pointer moves past it).
+        self.retain_versions = max(1, retain_versions)
         os.makedirs(root, exist_ok=True)
 
     # -- layout helpers ------------------------------------------------------
@@ -251,15 +257,22 @@ class BucketedTableStore:
         with open(tmp, "w") as f:
             f.write(vrel)
         os.replace(tmp, self._pointer(table))
-        self._vacuum(table, keep=2)
+        self._vacuum(table, keep=self.retain_versions)
         return v
 
     # -- TableStore surface --------------------------------------------------
 
-    def _read_paths(self, table: str, bucket_ids: set[int] | None) -> DataFrame:
-        v = self.current_version(table)
+    def _read_paths(
+        self, table: str, bucket_ids: set[int] | None, version: int | None = None
+    ) -> DataFrame:
+        v = version if version is not None else self.current_version(table)
         if v is None:
             raise FileNotFoundError(f"no such table: {table}")
+        if version is not None and version not in self.versions(table):
+            raise FileNotFoundError(
+                f"{table!r} version {version} not retained "
+                f"(retained: {self.versions(table)})"
+            )
         m = self._manifest(table, v)
         paths = [os.path.join(self._dir(table), m["schema"])]
         for k, dirs in m["buckets"].items():
@@ -267,8 +280,37 @@ class BucketedTableStore:
                 paths.extend(os.path.join(self._dir(table), d) for d in dirs)
         return self.spark.read.parquet(*paths)
 
-    def read(self, table: str) -> DataFrame:
-        return self._read_paths(table, None)
+    def versions(self, table: str) -> list[int]:
+        """Retained (time-travel-readable) versions, oldest first. A
+        version is readable while its dir survives vacuum — the last
+        ``retain_versions`` commits (Delta/Iceberg snapshot listing)."""
+        if not os.path.isdir(self._dir(table)):
+            return []
+        out = []
+        for name in os.listdir(self._dir(table)):
+            if not (
+                name.startswith("v=")
+                and os.path.exists(
+                    os.path.join(self._dir(table), name, "_manifest.json")
+                )
+            ):
+                continue
+            # a version is readable only if its full file closure
+            # survived vacuum (an old dir can outlive its closure when
+            # a newer manifest carries forward just some of its data)
+            v = int(name.removeprefix("v="))
+            m = self._manifest(table, v)
+            refs = [m["schema"]] + [d for dirs in m["buckets"].values() for d in dirs]
+            if all(os.path.exists(os.path.join(self._dir(table), d)) for d in refs):
+                out.append(v)
+        return sorted(out)
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Current snapshot, or a retained historical ``version``
+        (time travel). Version dirs are immutable after the pointer
+        swap, so a reader holding version N sees a consistent snapshot
+        regardless of concurrent mutations (snapshot isolation)."""
+        return self._read_paths(table, None, version)
 
     def overwrite(self, table: str, df: DataFrame) -> int:
         return self._write_version(table, df, carry=None, affected=None)
@@ -314,7 +356,7 @@ class BucketedTableStore:
         with open(tmp, "w") as f:
             f.write(vrel)
         os.replace(tmp, self._pointer(table))
-        self._vacuum(table, keep=2)
+        self._vacuum(table, keep=self.retain_versions)
         return new_v
 
     # -- the incremental path ------------------------------------------------

@@ -210,3 +210,40 @@ class TestPipelineOnBucketedBackend:
         assert len(changed) == 1, changed
         rows = {r["pid"]: r["name"] for r in pipe.store.read("people").collect()}
         assert rows["7"] == "LUCKY" and len(rows) == 32
+
+
+class TestTimeTravel:
+    def test_read_retained_version_and_snapshot_isolation(self, spark, tmp_path):
+        """read(table, version=n) returns the table AS OF commit n for
+        every retained version; a DataFrame captured before a mutation
+        keeps resolving the old immutable snapshot (snapshot
+        isolation), and vacuumed versions raise."""
+        store = BucketedTableStore(
+            spark, str(tmp_path / "tt"), keys={"t": ["k"]},
+            n_buckets=4, retain_versions=2,
+        )
+        mk = lambda rows: spark.createDataFrame(rows, ["k", "v"]).withColumn(
+            "__file_order", F.monotonically_increasing_id()
+        )
+        store.apply_keyed_mutation("t", mk([(1, "a"), (2, "b")]), ["k"], ["__file_order"], "insert")
+        snapshot = store.read("t")  # pre-mutation handle
+        v1 = store.current_version("t")
+        store.apply_keyed_mutation("t", mk([(2, "B2")]), ["k"], ["__file_order"], "update")
+        v2 = store.current_version("t")
+        assert store.versions("t") == [v1, v2]
+        # time travel: as-of v1 vs current
+        assert sorted(tuple(r) for r in store.read("t", version=v1).collect()) == [
+            ("1", "a"), ("2", "b")] or sorted(
+            tuple(r) for r in store.read("t", version=v1).collect()) == [(1, "a"), (2, "b")]
+        assert dict(store.read("t", version=v2).collect()) == dict(store.read("t").collect())
+        # snapshot isolation: the pre-mutation DataFrame still reads v1
+        assert dict((r["k"], r["v"]) for r in snapshot.collect()) == {1: "a", 2: "b"}
+        # keyed mutations carry unaffected buckets forward, so old
+        # version dirs stay alive (and readable) while referenced;
+        # full rewrites drop all references and vacuum reclaims them
+        store.overwrite("t", mk([(9, "z")]).drop("__file_order"))
+        store.overwrite("t", mk([(9, "z2")]).drop("__file_order"))
+        store.overwrite("t", mk([(9, "z3")]).drop("__file_order"))
+        assert v1 not in store.versions("t")
+        with pytest.raises(FileNotFoundError, match="not retained"):
+            store.read("t", version=v1)
