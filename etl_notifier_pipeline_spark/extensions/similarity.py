@@ -669,3 +669,43 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# -- Semantic dedup (cluster-blocked near-dup keep-one) --------------------
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.9,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped embedding dedup: cluster the corpus with the IVF
+    coarse quantizer, find near-duplicate pairs ONLY within a cluster
+    cell, and greedily keep the lowest id of every near-dup pair.
+    Returns the surviving rows as (id, cell).
+
+    Survivor rule: a vector is dropped iff some lower-id vector in its
+    cell is within ``threshold`` cosine — so no surviving pair in the
+    same cell is near-duplicate (every such pair's higher id was
+    dropped), and the result is deterministic (no dependence on
+    partition order; the quantizer's centroids are seeded + integer-
+    accumulated).
+
+    Scale shape: pair space is sum(|cell|^2), never n^2 — the cell id
+    is the blocking key ``blocked_near_dup_pairs`` joins on; cross-cell
+    near-dups are the accepted approximation (recall rises with fewer
+    cells, cost falls with more — the SemDeDup trade).
+    """
+    cents = ivf_centroids(corpus, n_cells)
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), ivf_assign(F.col(vec_col), cents).alias("cell")
+    )
+    pairs = blocked_near_dup_pairs(
+        assigned, block_col="cell", threshold=threshold,
+        id_col=id_col, vec_col=vec_col,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(dropped, id_col, "left_anti").select(id_col, "cell")

@@ -345,3 +345,99 @@ def oov_rate(
             ),
         )
     )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """Substring-level duplication audit (the RefinedWeb/SlimPajama
+    measure exact dedup misses): stride-sampled character shingles of
+    ``width`` chars, hashed; a shingle is duplicated when it occurs in
+    more than one document; per doc, the fraction of its shingle
+    positions that are cross-doc duplicated.
+
+    Scale shape: the shingle frame is ~len/stride rows per doc carrying
+    only (doc_id, 8-byte hash). One hash-keyed shuffle computes
+    cross-doc frequency; the frequency join lands on the SAME hash
+    partitioning (no extra exchange under AQE); per-doc rollup is the
+    only other shuffle. n^2 never appears — duplication is detected by
+    grouping, not pairing (cf. reference has no dedup at all;
+    capability mandated by BASELINE.json north star).
+    """
+    text = F.col(text_col)
+    shingles = (
+        df.filter(F.length(text) >= width)
+        .select(
+            F.col(doc_id_col).alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length(text) - (width - 1), F.lit(stride)
+                )
+            ).alias("pos"),
+            text.alias("__t"),
+        )
+        .select(
+            "doc_id",
+            token_hash(F.col("__t").substr(F.col("pos"), F.lit(width))).alias("h"),
+        )
+    )
+    freq = shingles.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (
+        shingles.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(dup).cast("long").alias("n_dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            (
+                F.col("n_dup_shingles").cast("double") / F.col("n_shingles")
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def token_novelty(
+    df: DataFrame, doc_id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary-growth audit: per document, the fraction of its
+    DISTINCT tokens whose first corpus occurrence (min doc_id) is this
+    document — the curve that tells a data curator when additional
+    shards stop contributing new vocabulary.
+
+    Scale shape: distinct (doc, token) pairs -> one token-keyed shuffle
+    for first-seen, join lands co-partitioned on token, per-doc rollup.
+    Token strings shuffle once; everything after is (hashable, long).
+    """
+    tok = df.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).distinct()
+    first = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        tok.join(first, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum(novel).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_tokens",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_distinct_tokens")).alias(
+                "novelty"
+            ),
+        )
+    )

@@ -445,7 +445,7 @@ def st06_approval_pipeline_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     statuses = pipe.ledger.processed_files().groupBy("status").agg(
         F.count(F.lit(1)).alias("n")
     )
-    surviving = store.read("cust").count()
+    surviving = pipe.store.read("cust").count()
     return statuses.withColumn("surviving_rows", F.lit(surviving))
 
 
@@ -664,3 +664,14 @@ def q65_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchase_val.alias("purchase_value"),
         F.last(purchase_val, ignorenulls=True).over(w).alias("carried_value"),
     )
+
+
+@register("s09_semantic_dedup", category="similarity", oracle=None)
+def s09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped embedding dedup: IVF-cell blocking, intra-cell
+    cosine near-dup pairs, greedy lowest-id survivor. Rows-only (the
+    quantizer is not SQL-expressible); the no-surviving-near-dup-pair
+    and degenerate-one-cell-equals-exact invariants are property
+    tests in tests/test_advanced.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, n_cells=8, threshold=0.9)

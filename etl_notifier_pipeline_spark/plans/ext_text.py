@@ -948,3 +948,60 @@ def x28_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_token_prob"),
         )
     )
+
+
+@register(
+    "x29_substring_dup_fraction",
+    category="dedup",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         {DUCK_HASH.format(x="substr(text, CAST(i AS INTEGER), 40)")} AS h
+  FROM documents, unnest(range(1, len(text) - 38, 20)) AS t(i)
+  WHERE len(text) >= 40
+), d AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY h
+)
+SELECT sh.doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_shingles,
+       CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_fraction
+FROM sh JOIN d USING (h)
+GROUP BY sh.doc_id
+""",
+)
+def x29_substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication fraction per document (40-char
+    shingles, stride 20): the boilerplate/quotation duplication measure
+    document-level exact dedup (d01) misses. Cross-doc duplication is
+    detected by hash GROUPING (one shuffle), never pairwise."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.substring_dup_stats(d, width=40, stride=20)
+
+
+@register(
+    "x30_token_novelty",
+    category="text_analysis",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), first AS (
+  SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY tok
+)
+SELECT tok.doc_id, COUNT(*) AS n_distinct_tokens,
+       CAST(SUM(CASE WHEN first_doc = tok.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN first_doc = tok.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty
+FROM tok JOIN first USING (tok)
+GROUP BY tok.doc_id
+""",
+)
+def x30_token_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary novelty: fraction of a doc's distinct
+    tokens first seen (min doc_id) in that doc — the vocabulary-growth
+    primitive for deciding when more shards stop adding signal."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.token_novelty(d)

@@ -360,3 +360,67 @@ def st11_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("minutes_after"),
     )
+
+
+@register(
+    "st12_stream_interval_join_live",
+    category="streaming",
+    oracle="""
+SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+       s.user_id AS user_id,
+       (epoch_us(p.ts) - epoch_us(s.ts)) // 60000000 AS minutes_after
+FROM events s JOIN events p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.ts
+ AND p.ts <= s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+""",
+)
+def st12_stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st08's interval join run as a REAL stream-stream join: two
+    readStream legs over the events fixture, dual 2-hour watermarks,
+    append-mode drain via Trigger.AvailableNow — value-checked against
+    the same SQL oracle as the batch twin (one availableNow batch, so
+    no row can be watermark-dropped; late-drop behavior is pinned in
+    tests/test_stream_join.py). At scale the equi-key carries the
+    join shuffle and the watermark bounds per-key state to the 1-hour
+    interval plus slack."""
+    from etl_notifier_pipeline_spark.streaming.windows import (
+        run_stream_to_table,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "signup_id",
+        "purchase_id",
+        F.col("s_user").alias("user_id"),
+        ((ts_micros("p_ts") - ts_micros("s_ts")) / F.lit(60000000))
+        .cast("long")
+        .alias("minutes_after"),
+    )
+    name = f"st12_out_{uuid.uuid4().hex[:8]}"
+    return run_stream_to_table(joined, spark, name, output_mode="append")

@@ -39,6 +39,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.readStream.schema(raw_schema).parquet(stage)
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        # isAdjustedToUTC=false parquet under NTZ inference; session tz
+        # is pinned UTC so the cast is a wall-clock no-op (watermarks
+        # and F.window need TIMESTAMP on every runtime).
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

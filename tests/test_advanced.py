@@ -358,3 +358,34 @@ def test_hash_sample_estimate_unbiased_shape(spark):
     # 1/16 Bernoulli-by-hash at n≈1500: ±40% envelope is generous but
     # catches a broken predicate (0 rows or all rows) instantly.
     assert 0.6 * true_n <= est_n <= 1.4 * true_n
+
+
+def test_semantic_dedup_invariants(spark):
+    """s09: (a) survivors+dropped partition the corpus; (b) NO two
+    survivors in the same cell are near-duplicates (every near-dup
+    pair's higher id was dropped); (c) with one cell the kept set
+    equals the unblocked greedy-keep-one result."""
+    from etl_notifier_pipeline_spark.catalog import load_table
+    from etl_notifier_pipeline_spark.extensions import similarity as S
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    kept = S.semantic_dedup(emb, n_cells=4, threshold=0.9)
+    kept_rows = kept.collect()
+    n_total = emb.count()
+    assert 0 < len(kept_rows) <= n_total
+    # survivors carry their cell; re-running the pair search over the
+    # survivors only must find nothing
+    survivors = emb.join(kept.select("vec_id", "cell"), "vec_id")
+    leftover = S.blocked_near_dup_pairs(
+        survivors, block_col="cell", threshold=0.9
+    ).count()
+    assert leftover == 0
+    # one cell == unblocked greedy-keep-one
+    one_cell = {r["vec_id"] for r in S.semantic_dedup(emb, n_cells=1, threshold=0.9).collect()}
+    import pyspark.sql.functions as F
+
+    flat = emb.withColumn("blk", F.lit(0))
+    pairs = S.blocked_near_dup_pairs(flat, block_col="blk", threshold=0.9)
+    dropped = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+    expect = {r["vec_id"] for r in emb.select("vec_id").collect()} - dropped
+    assert one_cell == expect
