@@ -360,14 +360,18 @@ def substring_dup_stats(
     more than one document; per doc, the fraction of its shingle
     positions that are cross-doc duplicated.
 
-    Scale shape: the shingle frame is ~len/stride rows per doc carrying
-    only (doc_id, 8-byte hash). One hash-keyed shuffle computes
-    cross-doc frequency; the frequency join lands on the SAME hash
-    partitioning (no extra exchange under AQE); per-doc rollup is the
-    only other shuffle. n^2 never appears — duplication is detected by
-    grouping, not pairing (cf. reference has no dedup at all;
+    Scale shape: ONE scan of the corpus (the text column and the
+    substring/md5 compute never run twice — a self-join frequency
+    lookup would rescan). The shingle frame carries only (doc_id,
+    8-byte hash); a (h, doc_id) pre-aggregation gives per-doc
+    occurrence counts, a count-over-h window gives cross-doc frequency
+    on the already-h-clustered rows, and the per-doc rollup is the
+    final narrow shuffle. n^2 never appears — duplication is detected
+    by grouping, not pairing (cf. reference has no dedup at all;
     capability mandated by BASELINE.json north star).
     """
+    from pyspark.sql import Window as W
+
     text = F.col(text_col)
     shingles = (
         df.filter(F.length(text) >= width)
@@ -385,16 +389,15 @@ def substring_dup_stats(
             token_hash(F.col("__t").substr(F.col("pos"), F.lit(width))).alias("h"),
         )
     )
-    freq = shingles.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("nd")
-    )
-    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    counts = shingles.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("k"))
+    nd = F.count(F.lit(1)).over(W.partitionBy("h"))  # distinct docs per hash
+    dup_k = F.when(F.col("nd") > 1, F.col("k")).otherwise(F.lit(0))
     return (
-        shingles.join(freq, "h")
+        counts.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(dup).cast("long").alias("n_dup_shingles"),
+            F.sum("k").cast("long").alias("n_shingles"),
+            F.sum(dup_k).cast("long").alias("n_dup_shingles"),
         )
         .select(
             "doc_id",
@@ -415,18 +418,22 @@ def token_novelty(
     document — the curve that tells a data curator when additional
     shards stop contributing new vocabulary.
 
-    Scale shape: distinct (doc, token) pairs -> one token-keyed shuffle
-    for first-seen, join lands co-partitioned on token, per-doc rollup.
-    Token strings shuffle once; everything after is (hashable, long).
+    Scale shape: ONE scan (a groupBy-then-join-back would tokenize the
+    corpus twice); distinct (doc, token) pairs, then first-seen as a
+    min-over-token window on the already-token-clustered rows, then the
+    per-doc rollup. Token strings shuffle once; everything after is
+    (hashable, long).
     """
+    from pyspark.sql import Window as W
+
     tok = df.select(
         F.col(doc_id_col).alias("doc_id"),
         F.explode(tokens(text_col)).alias("tok"),
     ).distinct()
-    first = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    first = F.min("doc_id").over(W.partitionBy("tok"))
     novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     return (
-        tok.join(first, "tok")
+        tok.withColumn("first_doc", first)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_distinct_tokens"),
