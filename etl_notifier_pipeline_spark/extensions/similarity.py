@@ -709,3 +709,45 @@ def semantic_dedup(
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return assigned.join(dropped, id_col, "left_anti").select(id_col, "cell")
+
+
+def radius_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.8,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All corpus neighbors within a cosine radius of each query — the
+    unbounded-k companion of ``topk_cosine`` (retrieval filters, recall
+    sweeps, duplicate audits ask "everything above t", not "top k").
+
+    Plan: identical scale shape to top-k — broadcast(queries) ⨯ one
+    corpus scan, threshold applied before anything shuffles; the result
+    is the only data that leaves the scan stage (no ranking window at
+    all, so a selective threshold makes this CHEAPER than top-k).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

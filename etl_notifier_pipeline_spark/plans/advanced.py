@@ -675,3 +675,30 @@ def s09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests in tests/test_advanced.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semantic_dedup(emb, n_cells=8, threshold=0.9)
+
+
+@register("xm03_media_near_dup", category="multimodal", oracle=None)
+def xm03_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal -> similarity composition: opaque media bytes ->
+    Arrow-batched deterministic feature extraction (extensions.
+    multimodal) -> exact cosine top-3 media neighbors for 8 probe
+    items — the near-duplicate-media audit (think frame/image dedup
+    before training). Rows-only: the codec half has no SQL twin; the
+    duplicate-content => cos_sim == 1.0 invariant is a property test.
+
+    Scale shape: feature extraction is one Arrow pass over byte-budget
+    partitions; the similarity stage broadcasts the 8 probes and scans
+    the feature frame once (same audited plan as s01)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    feats = MM.extract_features(media, deterministic_fake=True)
+    probes = feats.filter(F.col("media_id") < 8)
+    return S.topk_cosine(
+        feats, probes, k=3, id_col="media_id", vec_col="features"
+    )

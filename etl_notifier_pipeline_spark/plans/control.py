@@ -323,3 +323,47 @@ def m09_incremental_agg_maintenance(
             "avg_value"
         ),
     )
+
+
+@register(
+    "m10_time_travel_read",
+    category="mutation",
+    oracle="""
+SELECT CAST(c_custkey AS BIGINT) AS ckey, c_name AS name,
+       c_mktsegment AS seg
+FROM customer
+WHERE c_custkey <= 40
+""",
+)
+def m10_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot read AS OF a prior commit (BucketedTableStore time
+    travel): commit 1 loads 40 customers, commit 2 upserts a mutated
+    segment over half of them — reading version 1 must return the
+    PRE-mutation table exactly (the oracle reproduces commit 1's
+    contents from the fixture). The Delta/Iceberg `VERSION AS OF`
+    capability on the engine's own storage backend; version dirs are
+    immutable after the pointer swap, so the historical read costs one
+    manifest lookup, never a log replay."""
+    import tempfile
+
+    from etl_notifier_pipeline_spark.storage import BucketedTableStore
+
+    store = BucketedTableStore(
+        spark, tempfile.mkdtemp(prefix="m10_"), keys={"cust": ["ckey"]},
+        n_buckets=8,
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 40
+    ).select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    v1 = store.overwrite("cust", cust)
+    mutated = cust.filter(F.col("ckey") <= 20).withColumn(
+        "seg", F.lit("MUTATED")
+    ).withColumn("__file_order", F.monotonically_increasing_id())
+    store.apply_keyed_mutation(
+        "cust", mutated, ["ckey"], ["__file_order"], "update"
+    )
+    return store.read("cust", version=v1)

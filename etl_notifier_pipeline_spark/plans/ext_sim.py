@@ -350,3 +350,23 @@ def s08_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return S.pq_topk(emb, queries, k=5)
+
+
+@register(
+    "s10_radius_search",
+    category="similarity",
+    oracle=f"""
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       {_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim
+FROM embeddings q, embeddings c
+WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+  AND {_COS.format(a='q.embedding', b='c.embedding')} >= 0.4
+""",
+)
+def s10_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine radius search (all neighbors >= 0.4) for 8 query
+    vectors: the unbounded-k retrieval primitive — threshold applied
+    inside the scan stage, no ranking window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.radius_search(emb, queries, threshold=0.4)

@@ -389,3 +389,22 @@ def test_semantic_dedup_invariants(spark):
     dropped = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
     expect = {r["vec_id"] for r in emb.select("vec_id").collect()} - dropped
     assert one_cell == expect
+
+
+def test_media_near_dup_finds_duplicate_content(spark):
+    """xm03 composition invariant: two media rows with byte-identical
+    content have identical deterministic features, so each ranks the
+    other at cos_sim == 1.0."""
+    import pyspark.sql.functions as F
+
+    from etl_notifier_pipeline_spark.extensions import multimodal as MM
+    from etl_notifier_pipeline_spark.extensions import similarity as S
+
+    rows = [(1, "image", b"same-bytes"), (2, "image", b"same-bytes"),
+            (3, "audio", b"other-bytes"), (4, "audio", b"third")]
+    media = spark.createDataFrame(rows, "media_id long, modality string, content binary")
+    feats = MM.extract_features(media, deterministic_fake=True)
+    top = S.topk_cosine(feats, feats, k=1, id_col="media_id", vec_col="features")
+    best = {r["query_id"]: (r["neighbor_id"], r["cos_sim"]) for r in top.collect()}
+    assert best[1][0] == 2 and abs(best[1][1] - 1.0) < 1e-12
+    assert best[2][0] == 1 and abs(best[2][1] - 1.0) < 1e-12
