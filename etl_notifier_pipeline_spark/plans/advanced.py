@@ -498,12 +498,24 @@ def xm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("st05_stateful_running_totals", category="streaming", oracle=None)
+@register(
+    "st05_stateful_running_totals",
+    category="streaming",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
 def st05_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running totals maintained in explicit state across
-    micro-batches. Rows-only (final state after draining the stream);
-    cross-batch accumulation asserted in tests/test_advanced.py."""
+    micro-batches. VALUE-checked: state accumulates integer cents
+    (order-independent, exact), so the drained final state is
+    bit-equal to the decimal-sum SQL oracle regardless of batch
+    splits; cross-batch accumulation asserted in
+    tests/test_advanced.py."""
     import uuid
 
     from etl_notifier_pipeline_spark.streaming.stateful import running_user_totals

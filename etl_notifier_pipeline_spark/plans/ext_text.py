@@ -1005,3 +1005,49 @@ def x30_token_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive for deciding when more shards stop adding signal."""
     d = load_table(spark, sf_dir, "documents")
     return X.token_novelty(d)
+
+
+@register(
+    "x31_jsonl_roundtrip",
+    category="text_analysis",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id % 5 = 0
+GROUP BY lang
+""",
+)
+def x31_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 extended to JSONL (the interchange format LLM-data
+    pipelines actually ship): a documents slice is written as
+    newline-delimited JSON, re-read through the template-schema
+    PERMISSIVE path (sources.ingest.read_jsonl — no inference scan, no
+    dead letters expected), and aggregated; the oracle computes the
+    same aggregate from the parquet directly, so a value mismatch
+    catches any loss in the serialize->parse cycle. Distributed on
+    both legs: write and read are N-way file splits."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from etl_notifier_pipeline_spark.sources.ingest import read_jsonl, split_corrupt
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    out = tempfile.mkdtemp(prefix="x31_") + "/docs_jsonl"
+    d.write.mode("overwrite").json(out)
+    template = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    parsed = read_jsonl(spark, out, template=template)
+    clean, dead = split_corrupt(parsed)
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -28,35 +28,44 @@ OUTPUT_SCHEMA = T.StructType(
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        # exact integer cents: float accumulation order varies with
+        # batch splits, integer addition cannot — this is what makes
+        # the drained final state bit-equal to the SQL decimal oracle
+        T.StructField("total_cents", T.LongType()),
     ]
 )
 
 
 def _accumulate(
     prev: tuple, pdfs: Iterator[pd.DataFrame]
-) -> tuple[int, float]:
+) -> tuple[int, int]:
     """Shared accumulation for both stateful APIs — one place for the
-    count/sum semantics so the twins cannot drift."""
-    n, total = prev
+    count/sum semantics so the twins cannot drift. Values are summed
+    as integer cents (the fixture's values are 2-decimal money, like
+    the reference's), so state is order-independent and exact."""
+    n, total_cents = prev
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    return n, total
+        total_cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    return n, total_cents
 
 
-def _emit(key: tuple, n: int, total: float) -> pd.DataFrame:
+def _emit(key: tuple, n: int, total_cents: int) -> pd.DataFrame:
     return pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total_cents / 100.0],
+        }
     )
 
 
 def _update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, total = _accumulate(state.get if state.exists else (0, 0.0), pdfs)
-    state.update((n, total))
-    yield _emit(key, n, total)
+    n, total_cents = _accumulate(state.get if state.exists else (0, 0), pdfs)
+    state.update((n, total_cents))
+    yield _emit(key, n, total_cents)
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
@@ -94,14 +103,14 @@ try:  # the API is Spark 4+; gate so Spark 3 deployments still import
 
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._totals = handle.getValueState(
-                "totals", "n_events BIGINT, total_value DOUBLE", self._ttl_ms
+                "totals", "n_events BIGINT, total_cents BIGINT", self._ttl_ms
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            prev = self._totals.get() if self._totals.exists() else (0, 0.0)
-            n, total = _accumulate(tuple(prev), rows)
-            self._totals.update((n, total))
-            yield _emit(key, n, total)
+            prev = self._totals.get() if self._totals.exists() else (0, 0)
+            n, total_cents = _accumulate(tuple(prev), rows)
+            self._totals.update((n, total_cents))
+            yield _emit(key, n, total_cents)
 
         def close(self) -> None:
             pass
