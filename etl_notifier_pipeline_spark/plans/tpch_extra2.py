@@ -1721,3 +1721,63 @@ def q78_hash_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("est_revenue"),
     )
+
+
+@register(
+    "q79_zscore_outliers",
+    category="aggregation",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(10,2))
+                       * CAST(value AS DECIMAL(10,2)) AS DECIMAL(24,4)))
+              AS DOUBLE) AS ss
+  FROM events
+  GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CAST(CAST(e.value AS DECIMAL(10,2)) AS DOUBLE) AS value,
+       (CAST(CAST(e.value AS DECIMAL(10,2)) AS DOUBLE) - s / n)
+         / sqrt((ss - s * s / n) / (n - 1)) AS z
+FROM events e JOIN stats USING (event_type)
+WHERE abs((CAST(CAST(e.value AS DECIMAL(10,2)) AS DOUBLE) - s / n)
+          / sqrt((ss - s * s / n) / (n - 1))) > 2.5
+""",
+)
+def q79_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging (|z| > 2.5 within
+    event_type) — the distribution-based data-quality gate. The
+    moments are EXACT (decimal sum and sum-of-squares; value^2 has 4
+    decimals so DECIMAL(24,4) sums are lossless); mean/std/z then use
+    the identical IEEE double expression tree on both engines, so even
+    the z values hash-match bit-for-bit.
+
+    Scale shape: one narrow groupBy for the moment table (|types|
+    rows), broadcast back over a single fact scan; no window, no sort.
+    """
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    v2 = F.col("value").cast("decimal(10,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("s"),
+        F.sum((v2 * v2).cast("decimal(24,4)")).cast("double").alias("ss"),
+    )
+    vd = v2.cast("double")
+    z = (vd - F.col("s") / F.col("n")) / F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            vd.alias("value"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 2.5)
+    )
