@@ -700,9 +700,13 @@ def semantic_dedup(
     cells, cost falls with more — the SemDeDup trade).
     """
     cents = ivf_centroids(corpus, n_cells)
+    # Persisted: three consumers (both self-join legs of the pair
+    # search + the survivor anti-join) would otherwise rescan the
+    # corpus and recompute the cell assignment each — the d04
+    # persisted-shingle-frame rule applied to embeddings.
     assigned = corpus.select(
         F.col(id_col), F.col(vec_col), ivf_assign(F.col(vec_col), cents).alias("cell")
-    )
+    ).persist()
     pairs = blocked_near_dup_pairs(
         assigned, block_col="cell", threshold=threshold,
         id_col=id_col, vec_col=vec_col,

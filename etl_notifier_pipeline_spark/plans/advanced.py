@@ -709,7 +709,10 @@ def xm03_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("modality"),
         F.encode("text", "utf-8").alias("content"),
     )
-    feats = MM.extract_features(media, deterministic_fake=True)
+    # Persisted: the corpus leg and the broadcast probe leg would both
+    # re-run the pandas decode otherwise (a filter cannot push below
+    # mapInPandas) — decode once, reuse for both sides.
+    feats = MM.extract_features(media, deterministic_fake=True).persist()
     probes = feats.filter(F.col("media_id") < 8)
     return S.topk_cosine(
         feats, probes, k=3, id_col="media_id", vec_col="features"

@@ -1754,8 +1754,11 @@ def q79_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical IEEE double expression tree on both engines, so even
     the z values hash-match bit-for-bit.
 
-    Scale shape: one narrow groupBy for the moment table (|types|
-    rows), broadcast back over a single fact scan; no window, no sort.
+    Scale shape: two passes over a 2-3 column projection of the fact
+    (one narrow groupBy builds the |types|-row moment table, which
+    broadcasts into the second scan) — the deliberate alternative to a
+    single-pass window, which would shuffle the ENTIRE fact by a
+    low-cardinality key; no window, no sort.
     """
     from pyspark.sql import functions as F
 
