@@ -412,14 +412,55 @@ def d09_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("d10_pair_pagerank", category="dedup")
+# d10's oracle runs the ENTIRE iterative algorithm in SQL: the d04 LSH
+# pair pipeline nested as a CTE, then 10 PageRank rounds as a recursive
+# CTE carrying an iteration counter. Possible only because the
+# recurrence is all-integer (micro-unit ranks; `div` == `//` for
+# positive operands), so DuckDB reproduces the distributed fixpoint
+# bit-for-bit — same doctrine as d06's recursive-closure oracle.
+_PR_SCALE = 1_000_000  # graph.SCALE
+_PR_ITER = 10
+_D10_SQL = f"""
+WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node_id FROM edges),
+pr AS (
+  SELECT 0 AS i, node_id,
+         CAST({_PR_SCALE} // (SELECT COUNT(*) FROM nodes) AS BIGINT)
+           AS rank_micro
+  FROM nodes
+  UNION ALL
+  SELECT agg.i + 1, agg.node_id,
+         CAST({15 * _PR_SCALE // 100} // (SELECT COUNT(*) FROM nodes)
+              + agg.s * 85 // 100 AS BIGINT)
+  FROM (
+    SELECT p.i AS i, e.dst AS node_id, SUM(p.rank_micro // d.outdeg) AS s
+    FROM pr p JOIN edges e ON p.node_id = e.src JOIN deg d ON d.src = e.src
+    WHERE p.i < {_PR_ITER}
+    GROUP BY p.i, e.dst
+  ) agg
+)
+SELECT node_id, rank_micro,
+       CAST(rank_micro AS DOUBLE) / {_PR_SCALE} AS rank
+FROM pr WHERE i = {_PR_ITER}
+"""
+
+
+@register("d10_pair_pagerank", category="dedup", oracle=_D10_SQL)
 def d10_pair_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centrality over the d04/d06 near-dup pair graph: 10 integer-
     quantized PageRank rounds pick each cluster's most-connected member
     (the canonical-survivor heuristic when lowest-id is too arbitrary).
-    Iterative numeric fixpoint -> rows-only driver check; the value
-    gate is tests/test_graph.py's EXACT match against a pure-Python
-    reference (possible because the recurrence is all-integer)."""
+    VALUE-checked end-to-end: the all-integer recurrence lets the
+    oracle replay the whole fixpoint as a recursive SQL CTE (plus the
+    exact pure-Python match in tests/test_graph.py). Every node of the
+    symmetrized pair graph has an in-edge, so the inner contribution
+    join never drops a node."""
     from etl_notifier_pipeline_spark.extensions.graph import pair_pagerank
 
     d = load_table(spark, sf_dir, "documents")
