@@ -424,3 +424,80 @@ def st12_stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFram
     )
     name = f"st12_out_{uuid.uuid4().hex[:8]}"
     return run_stream_to_table(joined, spark, name, output_mode="append")
+
+
+@register(
+    "st13_streaming_summary_maintenance",
+    category="streaming",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) / COUNT(*)
+         AS avg_value
+FROM events GROUP BY event_type
+""",
+)
+def st13_streaming_summary_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """m09's materialized-summary maintenance run as a REAL stream:
+    the events table is staged as four arrival files, a foreachBatch
+    loop folds each micro-batch's partial aggregate into the stored
+    summary (agg_delta + merge_aggregates over a versioned TableStore
+    — O(delta + groups) per batch, summary-sized overwrites), and the
+    drained summary must hash-equal the PLAIN aggregate oracle. This
+    is the streaming-dashboard contract: four genuine micro-batches
+    (maxFilesPerTrigger=1), cross-batch state in storage rather than
+    in the stream engine."""
+    import tempfile
+
+    from etl_notifier_pipeline_spark.operators.incremental import (
+        agg_delta,
+        merge_aggregates,
+    )
+    from etl_notifier_pipeline_spark.storage import TableStore
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="st13_")
+    src = f"{tmp}/src"
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = TableStore(spark, f"{tmp}/store")
+    val = F.col("value").cast("decimal(10,2)")
+    aggs = {
+        "n_events": ("count", F.count(F.lit(1))),
+        "total_value": ("sum", F.sum(val)),
+    }
+    kinds = {name: kind for name, (kind, _) in aggs.items()}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = agg_delta(batch_df, ["event_type"], aggs)
+        if store.exists("summary"):
+            delta = merge_aggregates(
+                store.read("summary"), delta, ["event_type"], kinds
+            )
+        store.overwrite("summary", delta)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return store.read("summary").select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        (F.col("total_value").cast("double") / F.col("n_events")).alias(
+            "avg_value"
+        ),
+    )
