@@ -83,24 +83,23 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingle array (1-based element_at keeps the
-    expression portable to DuckDB's 1-based lists).
+    """Word n-gram shingle array.
 
-    Docs shorter than ``n`` tokens yield an EMPTY array: Spark's
-    ``sequence(1, 0)`` counts DOWN ([1, 0] — then element_at walks out
-    of bounds), unlike DuckDB's empty ``range(1, 0)``, so the guard is
-    load-bearing for both correctness and oracle parity."""
+    Built from ``n`` aligned slices of the token array combined with
+    ``zip_with`` — NOT ``transform(sequence(...), i ->
+    element_at(toks, i+j))``: a lambda that captures the tokenizer
+    output as an outer expression re-evaluates the split PER ELEMENT
+    (O(tokens^2) per row, interpreted); slices evaluate it ``n`` times
+    per row total. Docs shorter than ``n`` tokens yield an EMPTY array
+    (slice length clamped at 0), matching DuckDB's empty
+    ``range(1, 0)`` for oracle parity."""
     toks = tokens(col)
-    count = F.size(toks) - (n - 1)
-    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, k + 1, count) for k in range(n)]
+    g = parts[0]
+    for p in parts[1:]:
+        g = F.zip_with(g, p, lambda a, b: F.concat_ws(" ", a, b))
+    return g
 
 
 def hashed_shingle_sets(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:

@@ -165,21 +165,28 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n-grams."""
     from etl_notifier_pipeline_spark.extensions.dedup import shingles
 
+    # HOF expressions (transform/concat_ws) run INTERPRETED — naive
+    # per-output-column reuse would rebuild each n-gram array up to 5x
+    # per row. The gram COUNT is pure token arithmetic (|g_n| =
+    # max(|toks| - n + 1, 0)), so the array is materialized only
+    # inside the two array_distinct calls.
     g2, g3 = shingles(text_col, 2), shingles(text_col, 3)
+    n_tok = F.size(tokens(text_col))
+    n2 = F.greatest(n_tok - 1, F.lit(0))
+    n3 = F.greatest(n_tok - 2, F.lit(0))
+    d2 = F.size(F.array_distinct(g2))
+    d3 = F.size(F.array_distinct(g3))
 
-    def dup_frac(g):
-        n = F.size(g)
-        return F.when(
-            n > 0, (n - F.size(F.array_distinct(g))).cast("double") / n
-        )
+    def dup_frac(n, d):
+        return F.when(n > 0, (n - d).cast("double") / n)
 
     return df.select(
         "doc_id",
-        F.size(g2).alias("n_2grams"),
-        dup_frac(g2).alias("dup_2gram_frac"),
-        F.size(g3).alias("n_3grams"),
-        dup_frac(g3).alias("dup_3gram_frac"),
-        F.coalesce(dup_frac(g2) > 0.2, F.lit(False)).alias("repetitive"),
+        n2.alias("n_2grams"),
+        dup_frac(n2, d2).alias("dup_2gram_frac"),
+        n3.alias("n_3grams"),
+        dup_frac(n3, d3).alias("dup_3gram_frac"),
+        F.coalesce(dup_frac(n2, d2) > 0.2, F.lit(False)).alias("repetitive"),
     )
 
 
