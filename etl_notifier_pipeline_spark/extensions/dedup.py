@@ -338,6 +338,10 @@ def simhash_pairs(
     band_width = bits // n_bands
     mask = (1 << band_width) - 1
     sig = simhash(df, text_col)
+    # Persisted: the self-join's two legs are the SAME banded frame,
+    # but Spark's exchange reuse does not fire across the non-equi
+    # join shape — without the persist the whole signature pass
+    # (explode + 32-vote aggregation over every token) runs twice.
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -354,7 +358,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_val").persist()
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(
