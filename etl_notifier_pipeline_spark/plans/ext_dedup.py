@@ -466,3 +466,49 @@ def d10_pair_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_dedup(d, threshold=0.5)
     return pair_pagerank(pairs, "doc_a", "doc_b", n_iter=10)
+
+
+@register(
+    "d11_dedup_apply",
+    category="dedup",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (
+  SELECT u, u AS v FROM nodes
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+clusters AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+""",
+)
+def d11_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL step, value-checked end-to-end:
+    detect near-dup clusters (d04 LSH pairs -> d06 connected
+    components) and emit the surviving corpus — cluster canonicals
+    (min doc_id) plus every unclustered document. What a user actually
+    ships to training.
+
+    Scale shape: the cluster frame is pair-graph-sized (never corpus-
+    sized), so the survivor filter is one broadcast-able left anti
+    join of 'non-canonical members' against the corpus scan — the
+    corpus moves through exactly once."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(d, threshold=0.5)
+    clusters = D.dedup_clusters(pairs)
+    dropped = clusters.filter(
+        F.col("cluster_id") != F.col("doc_id")
+    ).select("doc_id")
+    return d.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
