@@ -1051,3 +1051,107 @@ def x31_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# Count-min sketch: depth x width integer cell grid. Everything is
+# md5-derived integer hashing + integer sums, so the SKETCH ITSELF is
+# reproducible in SQL — the approximate estimator gets a bit-exact
+# oracle (same doctrine as d10's integer PageRank).
+_CM_D, _CM_W = 4, 64
+
+
+@register(
+    "x32_count_min_heavy_hitters",
+    category="aggregation",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cm AS (
+  SELECT 0 AS r, ((('0x'||substr(md5('0|' || tok),1,15))::BIGINT % 999999937)) % 64 AS cell, COUNT(*) AS c FROM tok GROUP BY 1, 2
+  UNION ALL
+  SELECT 1 AS r, ((('0x'||substr(md5('1|' || tok),1,15))::BIGINT % 999999937)) % 64 AS cell, COUNT(*) AS c FROM tok GROUP BY 1, 2
+  UNION ALL
+  SELECT 2 AS r, ((('0x'||substr(md5('2|' || tok),1,15))::BIGINT % 999999937)) % 64 AS cell, COUNT(*) AS c FROM tok GROUP BY 1, 2
+  UNION ALL
+  SELECT 3 AS r, ((('0x'||substr(md5('3|' || tok),1,15))::BIGINT % 999999937)) % 64 AS cell, COUNT(*) AS c FROM tok GROUP BY 1, 2
+),
+probes AS (
+  SELECT tok, COUNT(*) AS exact_count FROM tok GROUP BY tok
+  ORDER BY exact_count DESC, tok LIMIT 10
+),
+est AS (
+  SELECT p.tok AS token, p.exact_count,
+       (SELECT c FROM cm WHERE cm.r = 0 AND cm.cell = ((('0x'||substr(md5('0|' || p.tok),1,15))::BIGINT % 999999937)) % 64) AS e0,
+       (SELECT c FROM cm WHERE cm.r = 1 AND cm.cell = ((('0x'||substr(md5('1|' || p.tok),1,15))::BIGINT % 999999937)) % 64) AS e1,
+       (SELECT c FROM cm WHERE cm.r = 2 AND cm.cell = ((('0x'||substr(md5('2|' || p.tok),1,15))::BIGINT % 999999937)) % 64) AS e2,
+       (SELECT c FROM cm WHERE cm.r = 3 AND cm.cell = ((('0x'||substr(md5('3|' || p.tok),1,15))::BIGINT % 999999937)) % 64) AS e3
+  FROM probes p
+)
+SELECT token, exact_count,
+       least(e0, e1, e2, e3) AS cm_estimate
+FROM est
+""",
+)
+def x32_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, probed at the
+    exact top-10 tokens: the mergeable-sketch answer to "how often
+    does X appear in 100 TB" without a full-cardinality count. The
+    sketch is a 4 x 64 integer grid (one narrow shuffle of
+    (row, cell) pairs); estimates = min over rows; the CM guarantee
+    estimate >= exact holds by construction and both sides of the
+    driver check compute identical cells, so even the overestimates
+    hash-match.
+
+    Scale shape: sketch build is ONE token pass + a 256-cell
+    aggregation (mergeable across shards/days like q77's HLL); the
+    probe join broadcasts 10 rows against 256.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(X.tokens("text")).alias("tok")).persist()
+    cells = (
+        tok.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            (
+                                X.token_hash(
+                                    F.concat(F.lit(f"{r}|"), F.col("tok"))
+                                )
+                                % _CM_W
+                            ).alias("cell"),
+                        )
+                        for r in range(_CM_D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.r", "c.cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "tok")
+        .limit(10)
+        .select(F.col("tok").alias("token"), "exact_count")
+    )
+    est = probes
+    for r in range(_CM_D):
+        leg = cells.filter(F.col("r") == r).select(
+            F.col("cell").alias(f"cell{r}"), F.col("c").alias(f"e{r}")
+        )
+        est = est.join(
+            F.broadcast(leg),
+            (
+                X.token_hash(F.concat(F.lit(f"{r}|"), F.col("token"))) % _CM_W
+            )
+            == F.col(f"cell{r}"),
+        )
+    return est.select(
+        "token",
+        "exact_count",
+        F.least(*[F.col(f"e{r}") for r in range(_CM_D)]).alias("cm_estimate"),
+    )

@@ -408,3 +408,30 @@ def test_media_near_dup_finds_duplicate_content(spark):
     best = {r["query_id"]: (r["neighbor_id"], r["cos_sim"]) for r in top.collect()}
     assert best[1][0] == 2 and abs(best[1][1] - 1.0) < 1e-12
     assert best[2][0] == 1 and abs(best[2][1] - 1.0) < 1e-12
+
+
+def test_count_min_guarantees(spark):
+    """x32 CM invariants: estimate >= exact always (the one-sided CM
+    error), and at fixture scale the top-token overestimate stays
+    within eps*N of truth (eps ~ e/W)."""
+    from etl_notifier_pipeline_spark.plans.ext_text import (
+        x32_count_min_heavy_hitters,
+    )
+
+    rows = x32_count_min_heavy_hitters(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    import math
+
+    from etl_notifier_pipeline_spark.catalog import load_table
+    from etl_notifier_pipeline_spark.extensions import text as X
+    import pyspark.sql.functions as F
+
+    n_tokens = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.sum(X.token_count("text")).alias("n"))
+        .collect()[0]["n"]
+    )
+    eps_bound = math.e / 64 * n_tokens
+    for r in rows:
+        assert r["cm_estimate"] >= r["exact_count"], r
+        assert r["cm_estimate"] - r["exact_count"] <= eps_bound, r
