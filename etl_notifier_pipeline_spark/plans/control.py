@@ -367,3 +367,42 @@ def m10_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cust", mutated, ["ckey"], ["__file_order"], "update"
     )
     return store.read("cust", version=v1)
+
+
+@register(
+    "m11_schema_evolution",
+    category="mutation",
+    oracle="""
+SELECT CAST(c_custkey AS BIGINT) AS ckey, c_name AS name,
+       CAST(NULL AS VARCHAR) AS seg
+FROM customer WHERE c_custkey <= 30
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT), c_name, c_mktsegment
+FROM customer WHERE c_custkey > 30 AND c_custkey <= 60
+""",
+)
+def m11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style mergeSchema append on the engine's own store: v1
+    commits (ckey, name); the next batch appends WITH a new ``seg``
+    column under merge_schema=True; reading back must surface the
+    widened schema with NULL backfill on pre-evolution rows — exactly
+    the oracle's UNION. The manifest carries an evolution flag so only
+    evolved tables pay the parquet footer-merge read; appends stay
+    O(new bytes)."""
+    import tempfile
+
+    from etl_notifier_pipeline_spark.storage import TableStore
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="m11_"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    store.overwrite("cust", cust.filter(F.col("ckey") <= 30).drop("seg"))
+    store.append(
+        "cust",
+        cust.filter((F.col("ckey") > 30) & (F.col("ckey") <= 60)),
+        merge_schema=True,
+    )
+    return store.read("cust").select("ckey", "name", "seg")

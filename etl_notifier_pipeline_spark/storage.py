@@ -53,13 +53,21 @@ class TableStore:
         return os.path.join(self._dir(table), f"v={v}")
 
     def _manifest(self, table: str, v: int) -> list[str]:
-        """Version dirs whose files version ``v`` references. A version
-        with no manifest file (pre-manifest layout) is self-contained."""
+        """Version dirs whose files version ``v`` references (``#``
+        lines are flags, not dirs). A version with no manifest file
+        (pre-manifest layout) is self-contained."""
         p = os.path.join(self._dir(table), f"v={v}", "_manifest.txt")
         if os.path.exists(p):
             with open(p) as f:
-                return f.read().split()
+                return [x for x in f.read().split() if not x.startswith("#")]
         return [f"v={v}"]
+
+    def _manifest_flags(self, table: str, v: int) -> set[str]:
+        p = os.path.join(self._dir(table), f"v={v}", "_manifest.txt")
+        if os.path.exists(p):
+            with open(p) as f:
+                return {x for x in f.read().split() if x.startswith("#")}
+        return set()
 
     def read(self, table: str, version: int | None = None) -> DataFrame:
         """Read the current version, or — time travel — any version
@@ -75,7 +83,12 @@ class TableStore:
                 f"{table} has no version {v} on disk (vacuumed or never written)"
             )
         dirs = [os.path.join(self._dir(table), d) for d in self._manifest(table, v)]
-        return self.spark.read.parquet(*dirs)
+        reader = self.spark.read
+        if "#mergeSchema" in self._manifest_flags(table, v):
+            # Only schema-evolved versions pay the footer-merge scan;
+            # un-evolved tables keep the single-footer fast path.
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*dirs)
 
     def _commit(self, table: str, v: int, manifest: list[str]) -> None:
         """Write the manifest into the version dir (underscore-prefixed,
@@ -98,30 +111,40 @@ class TableStore:
         self._commit(table, v, [f"v={v}"])
         return v
 
-    def append(self, table: str, df: DataFrame) -> int:
+    def append(self, table: str, df: DataFrame, merge_schema: bool = False) -> int:
         """File-level append: write ONLY the new rows' files into the
         next version dir; the new manifest references the prior
         version's files plus the new dir. Appending N rows to an M-row
         table writes O(N) bytes, not O(M+N) — at 100 TB ledger scale
         append-as-rewrite was the control plane's biggest cost (r01).
         The pointer swap keeps the same all-or-nothing property; on
-        Delta/Iceberg this maps to a plain transactional append."""
+        Delta/Iceberg this maps to a plain transactional append.
+
+        ``merge_schema=True`` is Delta's ``mergeSchema`` append: the
+        incoming batch may ADD columns (older rows read back NULL
+        there) or omit existing ones (new rows read back NULL); the
+        version carries a manifest flag so only evolved tables pay the
+        parquet footer-merge read. Without it, column drift fails fast
+        (multi-dir parquet reads would otherwise resolve columns
+        permissively and yield silent NULLs)."""
         cur = self.current_version(table)
         if cur is None:
             return self.overwrite(table, df)
-        # Fail fast on column drift (the old read-union-overwrite path
-        # got this from unionByName; multi-dir parquet reads would
-        # instead resolve columns permissively and yield silent NULLs).
         existing = set(self.read(table).columns)
-        if set(df.columns) != existing:
+        evolved = set(df.columns) != existing
+        if evolved and not merge_schema:
             raise ValueError(
                 f"append to {table!r}: columns {sorted(set(df.columns))} "
-                f"do not match table columns {sorted(existing)}"
+                f"do not match table columns {sorted(existing)} "
+                "(pass merge_schema=True to evolve)"
             )
         v = cur + 1
         target = os.path.join(self._dir(table), f"v={v}")
         df.write.mode("overwrite").parquet(target)
-        self._commit(table, v, [*self._manifest(table, cur), f"v={v}"])
+        manifest = [*self._manifest(table, cur), f"v={v}"]
+        if evolved or "#mergeSchema" in self._manifest_flags(table, cur):
+            manifest = ["#mergeSchema", *manifest]
+        self._commit(table, v, manifest)
         return v
 
     def _vacuum(self, table: str, keep: int) -> None:

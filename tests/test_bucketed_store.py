@@ -247,3 +247,23 @@ class TestTimeTravel:
         assert v1 not in store.versions("t")
         with pytest.raises(FileNotFoundError, match="not retained"):
             store.read("t", version=v1)
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_append_and_fail_fast_default(self, spark, tmp_path):
+        from etl_notifier_pipeline_spark.storage import TableStore
+
+        store = TableStore(spark, str(tmp_path / "se"))
+        store.overwrite("t", spark.createDataFrame([(1, "a")], ["k", "v"]))
+        # default: drift fails fast
+        wide = spark.createDataFrame([(2, "b", "x")], ["k", "v", "extra"])
+        with pytest.raises(ValueError, match="merge_schema"):
+            store.append("t", wide)
+        store.append("t", wide, merge_schema=True)
+        rows = {r["k"]: (r["v"], r["extra"]) for r in store.read("t").collect()}
+        assert rows == {1: ("a", None), 2: ("b", "x")}
+        # narrow append after evolution: new rows NULL in the wide col
+        store.append("t", spark.createDataFrame([(3, "c")], ["k", "v"]),
+                     merge_schema=True)
+        rows = {r["k"]: (r["v"], r["extra"]) for r in store.read("t").collect()}
+        assert rows[3] == ("c", None) and len(rows) == 3
