@@ -272,3 +272,61 @@ def per_source_cap(
         .filter(F.col("cap_rank") <= cap)
         .withColumn("cap_rank", F.col("cap_rank").cast("long"))
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    *,
+    alpha_sqrt: bool = True,
+    keep_fraction_num: int = 1,
+    keep_fraction_den: int = 2,
+    resolution: int = 256,
+    salt: str = ":temp",
+) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual-balancing
+    resample: p_s proportional to n_s^alpha, alpha=0.5): derive each
+    source's keep-weight from the corpus itself, then keep rows by the
+    deterministic hash lattice. target_total = corpus * num/den.
+
+    Determinism: the only cross-source float reduction (the n^alpha
+    normalizer) is a SEQUENTIAL fold over the source list sorted by
+    name — the cosine-fold doctrine — so the weight table is bit-equal
+    on any partitioning and in the SQL oracle; everything after is the
+    integer hash-threshold compare of ``weighted_sample``.
+
+    Scale shape: the weight table is |sources| rows (broadcast); the
+    corpus passes once through a row-local filter. Changing alpha or
+    the target only moves thresholds — prior keep decisions for
+    unaffected rows never flip (monotone, like x21)."""
+    if not alpha_sqrt:
+        raise ValueError("only alpha=0.5 (sqrt) is wired; extend as needed")
+    src = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    z_df = src.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(source_col), F.col("__n")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["__n"].cast("double")),
+        ).alias("__z"),
+        F.sum("__n").alias("__total"),
+    )
+    wt = F.floor(
+        F.lit(float(resolution))
+        * (
+            F.lit(keep_fraction_num / keep_fraction_den)
+            * F.col("__total").cast("double")
+        )
+        * (F.sqrt(F.col("__n").cast("double")) / F.col("__z"))
+        / F.col("__n").cast("double")
+    ).cast("long")
+    weights = (
+        src.join(F.broadcast(z_df))
+        .select(source_col, F.col("__n").alias("n_source"), wt.alias("wt"))
+    )
+    out = df.join(F.broadcast(weights), source_col)
+    return weighted_sample(
+        out, key_col, F.col("wt"), resolution=resolution, salt=salt
+    )

@@ -1155,3 +1155,51 @@ def x32_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_count",
         F.least(*[F.col(f"e{r}") for r in range(_CM_D)]).alias("cm_estimate"),
     )
+
+
+
+@register(
+    "x33_temperature_mixture",
+    category="sampling",
+    oracle=f"""
+WITH src AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+z AS (
+  SELECT list_reduce(
+           list_prepend(0.0,
+             list_transform(
+               list_sort(list({{'source': source, 'n': n}})),
+               r -> sqrt(CAST(r.n AS DOUBLE)))),
+           (x, y) -> x + y) AS z,
+         SUM(n) AS total
+  FROM src
+),
+w AS (
+  SELECT src.source, src.n AS n_source,
+         CAST(floor(256.0 * (0.5 * CAST(z.total AS DOUBLE))
+              * (sqrt(CAST(src.n AS DOUBLE)) / z.z)
+              / CAST(src.n AS DOUBLE)) AS BIGINT) AS wt
+  FROM src CROSS JOIN z
+)
+SELECT d.source, COUNT(*) AS n_kept, MIN(w.wt) AS wt
+FROM documents d JOIN w ON d.source = w.source
+WHERE {DUCK_HASH.format(x="CAST(d.doc_id AS VARCHAR) || ':temp'")} % 256
+      < least(256, w.wt)
+GROUP BY d.source
+""",
+)
+def x33_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (p_s ~ sqrt(n_s), the
+    multilingual-balancing resample) targeting half the corpus: the
+    per-source keep-weights derive from the data itself; the one
+    cross-source float reduction is a SEQUENTIAL fold over the sorted
+    source list, so the weight table — and therefore every keep
+    decision — is bit-equal cross-engine and cross-partitioning.
+    Reported as surviving docs + the applied weight per source."""
+    from etl_notifier_pipeline_spark.extensions.sampling import temperature_mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = temperature_mixture(d, "source", "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("wt").alias("wt"),
+    )
