@@ -755,3 +755,62 @@ def radius_search(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def prefix_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefix_dim: int = 16,
+    cand_mult: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style two-stage ANN: rank candidates by cosine over
+    the first ``prefix_dim`` dimensions (cheap — a quarter of the
+    fold), keep ``k * cand_mult`` per query, then exact full-dim
+    rerank. With MRL-trained embeddings the prefix preserves ordering
+    well; here it is the deterministic two-stage shape (both stages
+    are exact arithmetic over fixed slices, so the whole operator is
+    SQL-oracle-checkable, unlike LSH/IVF whose quality depends on
+    index randomness).
+
+    Scale shape: same broadcast-queries x one-corpus-scan plan as
+    topk_cosine; the full-dim fold runs only on k*cand_mult rows per
+    query instead of the corpus."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("q_pre"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("c_pre"),
+    )
+    pre_cos = dot(F.col("q_pre"), F.col("c_pre")) / (
+        norm(F.col("q_pre")) * norm(F.col("c_pre"))
+    )
+    w_pre = W.partitionBy("query_id").orderBy(
+        F.col("pre_sim").desc(), F.col("neighbor_id")
+    )
+    cands = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec", pre_cos.alias("pre_sim"))
+        .withColumn("pre_rank", F.row_number().over(w_pre))
+        .filter(F.col("pre_rank") <= k * cand_mult)
+    )
+    full_cos = dot(F.col("q_vec"), F.col("c_vec")) / (
+        norm(F.col("q_vec")) * norm(F.col("c_vec"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.select("query_id", "neighbor_id", full_cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

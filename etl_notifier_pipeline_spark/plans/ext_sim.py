@@ -370,3 +370,54 @@ def s10_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return S.radius_search(emb, queries, threshold=0.4)
+
+
+# 16-dim prefix twins of _DOT/_NORM (same fold-order doctrine).
+_PDOT = (
+    "list_reduce(list_transform(range(1, 17), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+_PNORM = (
+    "sqrt(list_reduce(list_transform(range(1, 17), "
+    "i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE), (x, y) -> x + y))"
+)
+_PCOS = f"({_PDOT} / ({_PNORM.format(a='{a}')} * {_PNORM.format(a='{b}')}))"
+
+
+@register(
+    "s11_prefix_rerank_topk",
+    category="similarity",
+    oracle=f"""
+WITH cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_PCOS.format(a='q.embedding', b='c.embedding')} DESC,
+                      c.vec_id) AS pre_rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+  ) WHERE pre_rank <= 20
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY cand.query_id
+           ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                    cand.neighbor_id) AS rank
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id
+) WHERE rank <= 5
+""",
+)
+def s11_prefix_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style two-stage ANN: candidates ranked by cosine
+    over the FIRST 16 dims (a quarter of the fold cost), top-20 kept
+    per query, exact 64-dim rerank to top-5. Unlike LSH/IVF the whole
+    operator is exact arithmetic over fixed slices, so the
+    approximate-search SHAPE gets a full value oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.prefix_rerank_topk(emb, queries, k=5, prefix_dim=16, cand_mult=4)

@@ -1203,3 +1203,81 @@ def x33_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.min("wt").alias("wt"),
     )
+
+
+@register(
+    "x34_bigram_conditionals",
+    category="text_analysis",
+    oracle="""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+),
+bi AS (
+  SELECT z[1] AS prev, z[2] AS next, COUNT(*) AS c_pair
+  FROM (
+    SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z FROM toks
+    WHERE len(t) >= 2
+  )
+  GROUP BY 1, 2
+),
+pv AS (
+  SELECT prev, CAST(SUM(c_pair) AS BIGINT) AS c_prev FROM bi GROUP BY prev
+),
+top_prev AS (
+  SELECT prev FROM pv ORDER BY c_prev DESC, prev LIMIT 5
+)
+SELECT prev, next, c_pair, c_prev,
+       CAST(c_pair AS DOUBLE) / c_prev AS p, rank
+FROM (
+  SELECT bi.prev, bi.next, bi.c_pair, pv.c_prev,
+         ROW_NUMBER() OVER (
+           PARTITION BY bi.prev ORDER BY bi.c_pair DESC, bi.next) AS rank
+  FROM bi JOIN pv USING (prev) JOIN top_prev USING (prev)
+) WHERE rank <= 3
+""",
+)
+def x34_bigram_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional next-token table — the n-gram-LM primitive
+    (data-quality probes, repetition detection, cheap perplexity
+    proxies all start here): P(next | prev) as an exact integer ratio
+    (one double division), top-3 continuations for the 5 most frequent
+    left tokens.
+
+    Scale shape: the bigram frame reuses the slice+zip_with shingle
+    builder (one tokenize per row), aggregates (prev, next) in one
+    shuffle; the prev-marginal is a second narrow agg over the
+    ALREADY-aggregated bigram frame (never the corpus); top-5 prev is
+    a 5-row broadcast."""
+    from pyspark.sql import Window as PW
+
+    from etl_notifier_pipeline_spark.extensions.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    big = (
+        d.select(F.explode(shingles("text", 2)).alias("g"))
+        .select(
+            F.split("g", " ").getItem(0).alias("prev"),
+            F.split("g", " ").getItem(1).alias("next"),
+        )
+        .groupBy("prev", "next")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+    )
+    pv = big.groupBy("prev").agg(F.sum("c_pair").alias("c_prev"))
+    top_prev = (
+        pv.orderBy(F.col("c_prev").desc(), "prev").limit(5).select("prev")
+    )
+    w = PW.partitionBy("prev").orderBy(F.col("c_pair").desc(), "next")
+    return (
+        big.join(pv, "prev")
+        .join(F.broadcast(top_prev), "prev")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "prev",
+            "next",
+            "c_pair",
+            "c_prev",
+            (F.col("c_pair").cast("double") / F.col("c_prev")).alias("p"),
+            "rank",
+        )
+    )

@@ -141,3 +141,40 @@ def test_ntz_events_chrono_queries_execute_even_with_ntz_inference(
     finally:
         if old is not None:
             spark.conf.set(key, old)
+
+
+def test_results_independent_of_shuffle_partitioning(spark):
+    """Determinism contract, directly: a representative slice of
+    oracle-paired queries (decimal aggs, double folds, hash lattices,
+    window ranks, float z-scores) must produce IDENTICAL values under
+    a different spark.sql.shuffle.partitions — the driver's session
+    may size shuffles differently than ours."""
+    import hashlib
+
+    names = [
+        "q01_pricing_summary",
+        "q79_zscore_outliers",
+        "s01_cosine_topk",
+        "x13_repetition_ratio",
+        "x33_temperature_mixture",
+        "d04_minhash_lsh_pairs",
+    ]
+
+    def value_hash(df):
+        cols = sorted(df.columns)
+        rows = sorted(
+            "\x1f".join(repr(r[c]) for c in cols) for r in df.collect()
+        )
+        return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        hashes = {}
+        for parts in ("7", old):
+            spark.conf.set(key, parts)
+            for name in names:
+                h = value_hash(plans.get(name).fn(spark, SF_DIR))
+                assert hashes.setdefault(name, h) == h, (name, parts)
+    finally:
+        spark.conf.set(key, old)
