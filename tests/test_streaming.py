@@ -230,3 +230,58 @@ def test_chained_window_aggregation_live_stream(spark, tmp_path):
     # cascade observable: hour 0 of 'a' spans two distinct 15m buckets
     by_key = {(r[0], r[1]): r for r in got}
     assert by_key[("2024-01-01 00:00:00", "a")][4] == 2
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Spark 3.5+ dropDuplicatesWithinWatermark: duplicate event ids
+    arriving within the watermark window dedup even when their
+    TIMESTAMPS differ (the at-least-once-transport case plain
+    dropDuplicates on (id, ts) misses); ids recurring after the state
+    horizon are legitimately re-emitted."""
+    import json
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # batch 1: id 1 twice with different ts (transport retry), id 2
+    (src / "a.json").write_text("\n".join(map(json.dumps, [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00"},
+        {"event_id": 1, "ts": "2024-01-01 00:00:03"},
+        {"event_id": 2, "ts": "2024-01-01 00:00:05"},
+    ])))
+    # run 2 (same checkpoint): a watermark-advancing event that evicts
+    # id 1's state (watermark persists across restarts), then run 3:
+    # id 1 far beyond the 10s horizon -> legitimately re-emitted
+    def drain():
+        stream = (
+            spark.readStream.schema("event_id long, ts string")
+            .json(str(src))
+            .withColumn("ts", F.to_timestamp("ts"))
+            .withWatermark("ts", "10 seconds")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    (src / "b.json").write_text(json.dumps(
+        {"event_id": 99, "ts": "2024-01-01 00:30:00"}))
+    drain()
+    (src / "c.json").write_text(json.dumps(
+        {"event_id": 1, "ts": "2024-01-01 01:00:00"}))
+    drain()
+    got = sorted(
+        (r["event_id"], str(r["ts"]))
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    # id 1's retry within the window dropped; its hour-later recurrence
+    # (after state eviction) re-emitted
+    assert [g[0] for g in got] == [1, 1, 2, 99]
+    assert got[0][1].startswith("2024-01-01 00:00:00")
+    assert got[1][1].startswith("2024-01-01 01:00:00")
