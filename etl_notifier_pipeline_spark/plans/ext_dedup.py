@@ -512,3 +512,64 @@ def d11_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(dropped), "doc_id", "left_anti").select(
         "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+@register(
+    "x35_dedup_impact_report",
+    category="dedup",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (
+  SELECT u, u AS v FROM nodes
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+clusters AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+sized AS (
+  SELECT c.cluster_id, COUNT(*) AS cluster_size,
+         CAST(SUM(CASE WHEN c.doc_id <> c.cluster_id THEN d.n_chars
+                       ELSE 0 END) AS BIGINT) AS chars_removed
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+  GROUP BY c.cluster_id
+)
+SELECT cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_removed,
+       CAST(SUM(chars_removed) AS BIGINT) AS chars_removed
+FROM sized
+GROUP BY cluster_size
+""",
+)
+def x35_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup run report a data team reviews before shipping:
+    cluster-size histogram with docs and characters that d11's apply
+    step removes at each size. Pair-graph-sized frames throughout; the
+    only corpus touch is the n_chars decoration join."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(d, threshold=0.5)
+    clusters = D.dedup_clusters(pairs)
+    sized = (
+        clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") != F.col("cluster_id"), F.col("n_chars")
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("chars_removed"),
+        )
+    )
+    return sized.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("docs_removed"),
+        F.sum("chars_removed").cast("long").alias("chars_removed"),
+    )

@@ -1784,3 +1784,71 @@ def q79_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.abs(F.col("z")) > 2.5)
     )
+
+
+@register(
+    "q80_pareto_abc",
+    category="window",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS r
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT SUM(r) AS total FROM rev),
+c AS (
+  SELECT l_partkey, r,
+         SUM(r) OVER (ORDER BY r DESC, l_partkey
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM rev
+)
+SELECT l_partkey,
+       CAST(r AS DOUBLE) AS revenue,
+       CAST(r AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+       CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8 THEN 'A'
+            WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c CROSS JOIN t
+""",
+)
+def q80_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC revenue classification per part: exact decimal
+    revenue, ordered cumulative share (decimal running sum — exact, so
+    the A/B/C boundary cannot flip with partitioning), one double
+    division per emitted column.
+
+    Scale shape: the fact aggregates FIRST (partial map-side combine),
+    so the ordered window runs over the |parts|-sized summary frame,
+    never the fact; if |parts| itself outgrows one partition the x22
+    two-phase grouped prefix sum nests here unchanged."""
+    from pyspark.sql import Window as PW
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    r = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum(r).alias("r"))
+    w = PW.orderBy(F.col("r").desc(), "l_partkey").rowsBetween(
+        PW.unboundedPreceding, PW.currentRow
+    )
+    total = rev.agg(F.sum("r").alias("total"))
+    c = rev.withColumn("cum", F.sum("r").over(w)).crossJoin(
+        F.broadcast(total)
+    )
+    cum_share = F.col("cum").cast("double") / F.col("total").cast("double")
+    return c.select(
+        "l_partkey",
+        F.col("r").cast("double").alias("revenue"),
+        (F.col("r").cast("double") / F.col("total").cast("double")).alias(
+            "share"
+        ),
+        cum_share.alias("cum_share"),
+        F.when(cum_share <= 0.8, F.lit("A"))
+        .when(cum_share <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
