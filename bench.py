@@ -27,7 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from etl_notifier_pipeline_spark import plans  # noqa: E402
+from etl_notifier_pipeline_spark import caching, plans  # noqa: E402
 from etl_notifier_pipeline_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -70,7 +70,11 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
          ROW_NUMBER() OVER (
            PARTITION BY q.vec_id ORDER BY
            (list_reduce(list_transform(range(1, 65),
-              i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), (x, y) -> x + y))
+              i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), (x, y) -> x + y))))
            DESC, c.vec_id) AS rank
   FROM embeddings q, embeddings c
   WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
@@ -135,6 +139,7 @@ def main() -> None:
 
         run()  # warm
         timings[name] = best_of(N_RUNS, run)
+        caching.release_all()  # bound cache growth across the sweep
     duck = duckdb_twin_times(sf_dir, HEADLINE)
     spark_paired = sum(t for n, t in timings.items() if duck.get(n) is not None)
     duck_total = sum(t for t in duck.values() if t is not None)

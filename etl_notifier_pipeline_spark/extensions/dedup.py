@@ -24,6 +24,7 @@ LSH candidate sets — stays DuckDB-oracle-checkable bit-for-bit.
 
 from __future__ import annotations
 
+from etl_notifier_pipeline_spark.caching import tracked_persist
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -280,7 +281,7 @@ def minhash_lsh_dedup(
     once. (On a cluster the persist maps to a checkpoint/staging table
     of (doc_id, int64[]) — tiny next to the corpus.)"""
     family = minhash_family(n_hashes, seed)
-    hs = hashed_shingle_sets(df, text_col, n).persist()
+    hs = tracked_persist(hashed_shingle_sets(df, text_col, n))
     cand = lsh_candidate_pairs(minhash_signature_from_sets(hs, family), n_bands)
     return pair_jaccard(hs, cand).filter(F.col("jaccard") >= threshold)
 
@@ -358,7 +359,8 @@ def simhash_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", "b.band_idx", "b.band_val").persist()
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+    bands = tracked_persist(bands)
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(

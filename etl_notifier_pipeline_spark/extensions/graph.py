@@ -105,6 +105,10 @@ def pair_pagerank(
             .localCheckpoint(eager=True)
         )
 
+    # ranks are eagerly localCheckpointed, so the edge cache is dead
+    # weight the moment the loop exits — release it here rather than
+    # leaking one edge-sized cache per PageRank call in a sweep.
+    edges.unpersist()
     return ranks.select(
         "node_id",
         "rank_micro",

@@ -17,6 +17,7 @@ across engines and top-k (tie-broken by id) is oracle-checkable.
 
 from __future__ import annotations
 
+from etl_notifier_pipeline_spark.caching import tracked_persist
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -704,9 +705,9 @@ def semantic_dedup(
     # search + the survivor anti-join) would otherwise rescan the
     # corpus and recompute the cell assignment each — the d04
     # persisted-shingle-frame rule applied to embeddings.
-    assigned = corpus.select(
+    assigned = tracked_persist(corpus.select(
         F.col(id_col), F.col(vec_col), ivf_assign(F.col(vec_col), cents).alias("cell")
-    ).persist()
+    ))
     pairs = blocked_near_dup_pairs(
         assigned, block_col="cell", threshold=threshold,
         id_col=id_col, vec_col=vec_col,

@@ -14,6 +14,7 @@ shuffle on the token.
 
 from __future__ import annotations
 
+from etl_notifier_pipeline_spark.caching import tracked_persist
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -324,10 +325,10 @@ def oov_rate(
     null = OOV) and per-doc counts aggregate map-side. No Python
     anywhere.
     """
-    tok = df.select(
+    tok = tracked_persist(df.select(
         F.col(doc_id_col).alias("doc_id"),
         F.explode(tokens(text_col)).alias("tok"),
-    ).persist()
+    ))
     vocab = F.broadcast(
         tok.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("__c"))

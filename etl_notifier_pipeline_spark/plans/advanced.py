@@ -11,6 +11,7 @@ tests (recall bounds, error bounds) instead of equality.
 
 from __future__ import annotations
 
+from etl_notifier_pipeline_spark.caching import tracked_persist
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -712,7 +713,7 @@ def xm03_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: the corpus leg and the broadcast probe leg would both
     # re-run the pandas decode otherwise (a filter cannot push below
     # mapInPandas) — decode once, reuse for both sides.
-    feats = MM.extract_features(media, deterministic_fake=True).persist()
+    feats = tracked_persist(MM.extract_features(media, deterministic_fake=True))
     probes = feats.filter(F.col("media_id") < 8)
     return S.topk_cosine(
         feats, probes, k=3, id_col="media_id", vec_col="features"

@@ -7,6 +7,7 @@ cosine scores are bit-equal and the top-k sets match exactly.
 
 from __future__ import annotations
 
+from etl_notifier_pipeline_spark.caching import tracked_persist
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -299,8 +300,8 @@ def s07_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos",
             (F.col("qs").cast("double") / (F.col("n") * 1_000_000)).alias("c"),
         )
-        .persist()
     )
+    cent = tracked_persist(cent)
     cnorm = cent.groupBy("label").agg(
         F.sum(F.round(F.col("c") * F.col("c") * PICO).cast("bigint")).alias("cq")
     )

@@ -7,6 +7,7 @@ even the fingerprinting operator has a true value-level oracle.
 
 from __future__ import annotations
 
+from etl_notifier_pipeline_spark.caching import tracked_persist
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -1047,6 +1048,16 @@ def x31_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = read_jsonl(spark, out, template=template)
     clean, dead = split_corrupt(parsed)
+    # The dead-letter channel exists to make parse regressions
+    # OBSERVABLE — check it, don't discard it (r4 ADVICE): a corrupt
+    # row here means the serialize->parse cycle lost data, and that
+    # must fail loudly, not surface as a puzzling aggregate mismatch.
+    n_dead = dead.count()
+    if n_dead:
+        raise ValueError(
+            f"x31 roundtrip produced {n_dead} dead-letter rows; "
+            "JSONL serialize->parse is lossy"
+        )
     return clean.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -1108,7 +1119,7 @@ def x32_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe join broadcasts 10 rows against 256.
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(F.explode(X.tokens("text")).alias("tok")).persist()
+    tok = tracked_persist(d.select(F.explode(X.tokens("text")).alias("tok")))
     cells = (
         tok.select(
             F.explode(

@@ -449,7 +449,14 @@ def st13_streaming_summary_maintenance(
     drained summary must hash-equal the PLAIN aggregate oracle. This
     is the streaming-dashboard contract: four genuine micro-batches
     (maxFilesPerTrigger=1), cross-batch state in storage rather than
-    in the stream engine."""
+    in the stream engine.
+
+    foreachBatch is at-least-once: on recovery Spark may re-deliver
+    the last micro-batch with the SAME batch_id. The fold is made
+    idempotent the way Delta's txn-id pattern does it — the
+    last-applied batch_id is stored alongside the summary and a
+    batch whose id is <= the recorded one is skipped instead of
+    double-counted."""
     import tempfile
 
     from etl_notifier_pipeline_spark.operators.incremental import (
@@ -479,12 +486,22 @@ def st13_streaming_summary_maintenance(
     kinds = {name: kind for name, (kind, _) in aggs.items()}
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if store.exists("summary_txn"):
+            last = store.read("summary_txn").head()[0]
+            if batch_id <= last:
+                return  # replayed micro-batch: already folded
         delta = agg_delta(batch_df, ["event_type"], aggs)
         if store.exists("summary"):
             delta = merge_aggregates(
                 store.read("summary"), delta, ["event_type"], kinds
             )
         store.overwrite("summary", delta)
+        store.overwrite(
+            "summary_txn",
+            spark.createDataFrame(
+                [(int(batch_id),)], "last_batch_id long"
+            ),
+        )
 
     q = (
         stream.writeStream.foreachBatch(fold)

@@ -1742,7 +1742,8 @@ SELECT e.event_id, e.event_type,
        (CAST(CAST(e.value AS DECIMAL(10,2)) AS DOUBLE) - s / n)
          / sqrt((ss - s * s / n) / (n - 1)) AS z
 FROM events e JOIN stats USING (event_type)
-WHERE abs((CAST(CAST(e.value AS DECIMAL(10,2)) AS DOUBLE) - s / n)
+WHERE n > 1
+  AND abs((CAST(CAST(e.value AS DECIMAL(10,2)) AS DOUBLE) - s / n)
           / sqrt((ss - s * s / n) / (n - 1))) > 2.5
 """,
 )
@@ -1752,7 +1753,12 @@ def q79_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments are EXACT (decimal sum and sum-of-squares; value^2 has 4
     decimals so DECIMAL(24,4) sums are lossless); mean/std/z then use
     the identical IEEE double expression tree on both engines, so even
-    the z values hash-match bit-for-bit.
+    the z values hash-match bit-for-bit. Single-member groups are
+    excluded EXPLICITLY (n > 1 on both engines): the sample-variance
+    term divides by n-1, and without the guard Spark maps the 0/0 to
+    NULL while DuckDB yields NaN/inf — both happened to fall outside
+    |z| > 2.5, but the match must not rest on that coincidence
+    (r4 ADVICE).
 
     Scale shape: two passes over a 2-3 column projection of the fact
     (one narrow groupBy builds the |types|-row moment table, which
@@ -1776,6 +1782,7 @@ def q79_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.join(F.broadcast(stats), "event_type")
+        .filter(F.col("n") > 1)
         .select(
             "event_id",
             "event_type",

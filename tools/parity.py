@@ -74,7 +74,7 @@ def run(
 ) -> int:
     import duckdb
 
-    from etl_notifier_pipeline_spark import plans
+    from etl_notifier_pipeline_spark import caching, plans
     from etl_notifier_pipeline_spark.catalog import TABLES, table_path
     from etl_notifier_pipeline_spark.session import get_spark
 
@@ -96,7 +96,9 @@ def run(
             spdf = sdf.toPandas()
             srows = pandas_rows(spdf)
             scols = list(spdf.columns)
+            caching.release_all()  # bound cache growth across the sweep
         except Exception as e:
+            caching.release_all()
             print(f"FAIL {name}: spark error: {e}")
             results[name] = {"status": "fail", "err": f"spark: {e}"[:400]}
             n_fail += 1
