@@ -381,12 +381,113 @@ def simhash_pairs(
     return cand.filter(F.col("hamming") <= max_hamming)
 
 
+def _canon_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected orientation (big, small); self-loops out."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def two_phase_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the adversarial-graph path of :func:`dedup_clusters`.
+
+    Min-label propagation converges in O(component diameter) rounds:
+    fine for the shallow star-like components real near-dup graphs
+    produce, hopeless for a long chain (crawl mirrors A->B->C->...).
+    The two-phase algorithm converges in O(log^2 n) rounds REGARDLESS
+    of diameter by rewriting the edge set itself each round:
+
+    - large-star: every node links its larger neighbors to the min of
+      its neighborhood (including itself) — flattens tall trees;
+    - small-star: every node links its smaller neighbors and itself to
+      its minimum neighbor — contracts the remainder toward the min.
+
+    Both steps preserve connectivity (paper, Lemma 1-2) and strictly
+    shrink a potential function, so the edge set reaches a fixpoint of
+    stars centered at each component's minimum; labels fall out of the
+    final (node, center) edges. Each step is one groupBy + one join on
+    the PAIR set — the same narrow (long, long) shuffles as label
+    propagation, just O(log^2 n) of them — and every round is
+    ``localCheckpoint``-ed to truncate lineage.
+    """
+    e = pairs.select(
+        F.col(a_col).cast("long").alias("u"),
+        F.col(b_col).cast("long").alias("v"),
+    )
+    nodes = (
+        e.select(F.col("u").alias("doc_id"))
+        .union(e.select(F.col("v").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = _canon_edges(e).localCheckpoint()
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the symmetric adjacency
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        edges_l = _canon_edges(large).localCheckpoint()
+        # small-star over the big->small orientation
+        mins2 = edges_l.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            edges_l.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+        )
+        new_edges = _canon_edges(small).localCheckpoint()
+        changed = (
+            new_edges.join(edges, ["u", "v"], "left_anti").count()
+            + edges.join(new_edges, ["u", "v"], "left_anti").count()
+        )
+        edges = new_edges
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"two_phase_components did not converge in {max_iter} "
+            "rounds — not expected for any graph below ~2^sqrt(max_iter) "
+            "nodes; raise max_iter"
+        )
+    # Fixpoint edges are stars (node -> component-min center); centers
+    # and isolated nodes label themselves.
+    labels = edges.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    return nodes.join(
+        labels.withColumnRenamed("u", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     *,
     max_iter: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components over near-dup pairs: every doc in a
     component gets ``cluster_id`` = the component's minimum doc id —
@@ -399,14 +500,25 @@ def dedup_clusters(
     star-like around a template — so this is 2-4 rounds in practice).
     Each round is one equi-join + one partial-aggregated groupBy on
     the PAIR set, which is tiny next to the corpus; the corpus itself
-    is never touched. For adversarial long-chain graphs the
-    large-star/small-star variant (Kiveris et al., "Connected
-    Components in MapReduce") drops in with the same join shape.
-    The driver-side loop is control flow only (one count per round);
-    each round's labels are ``localCheckpoint``-ed — iterative plans
-    MUST truncate lineage, or the logical plan doubles every round and
-    the optimizer itself OOMs long before the data does.
+    is never touched. The driver-side loop is control flow only (one
+    count per round); each round's labels are ``localCheckpoint``-ed —
+    iterative plans MUST truncate lineage, or the logical plan doubles
+    every round and the optimizer itself OOMs long before the data
+    does.
+
+    ``algorithm``: ``"label_prop"`` forces min-label propagation and
+    raises if ``max_iter`` rounds don't converge; ``"two_phase"``
+    forces :func:`two_phase_components` (O(log^2 n) rounds regardless
+    of diameter); ``"auto"`` (default) runs label propagation — the
+    cheaper plan for the shallow components near-dup graphs actually
+    produce — and falls back to the two-phase algorithm if the
+    component diameter exceeds ``max_iter`` (adversarial long chains:
+    crawl mirror cascades).
     """
+    if algorithm not in ("auto", "label_prop", "two_phase"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if algorithm == "two_phase":
+        return two_phase_components(pairs, a_col, b_col)
     edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = (
         edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -446,11 +558,15 @@ def dedup_clusters(
             converged = True
             break
     if not converged:
-        # Wrong labels are worse than no labels: a non-converged result
-        # would silently split one component into several cluster_ids.
+        if algorithm == "auto":
+            # A partially-propagated result would silently split one
+            # component into several cluster_ids — never return it.
+            # The diameter has outrun max_iter, which is exactly the
+            # graph shape the two-phase rewrite is built for.
+            return two_phase_components(pairs, a_col, b_col)
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iter} rounds "
             "(component diameter exceeds max_iter); raise max_iter or "
-            "switch to the large-star/small-star variant"
+            "use algorithm='two_phase'"
         )
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -158,6 +158,53 @@ def test_dedup_clusters_long_chain_converges(spark):
     assert all(r["cluster_id"] == 0 for r in got)
 
 
+def test_two_phase_components_matches_label_prop(spark):
+    # deterministic multi-component graph with hubs, chains, isolates-
+    # via-singleton-pairs: both algorithms must emit identical labels
+    import random
+
+    rng = random.Random(11)
+    raw = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in raw if a != b], ["doc_a", "doc_b"]
+    )
+    lp = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in D.dedup_clusters(pairs, algorithm="label_prop").collect()
+    )
+    tp = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in D.dedup_clusters(pairs, algorithm="two_phase").collect()
+    )
+    assert lp == tp
+
+
+def test_two_phase_beats_label_prop_on_adversarial_chain(spark):
+    # diameter 80 chain: label propagation at max_iter=25 CANNOT
+    # converge; algorithm="auto" must detect that and fall back to the
+    # two-phase rewrite rather than raising or mislabeling.
+    n = 80
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_clusters(pairs, algorithm="label_prop", max_iter=25)
+    got = D.dedup_clusters(pairs, max_iter=25).collect()  # auto
+    assert len(got) == n + 1
+    assert all(r["cluster_id"] == 0 for r in got)
+
+
+def test_two_phase_components_star_and_isolated_pair(spark):
+    pairs = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 9), (30, 31)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.two_phase_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (5, 1), (9, 1), (30, 30), (31, 30)}
+
+
 def test_repetition_features_bounds_and_degenerate_doc(spark):
     from etl_notifier_pipeline_spark.extensions.text import repetition_features
 
