@@ -1859,3 +1859,60 @@ def q80_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+@register(
+    "q81_hll_error_bound",
+    category="aggregation",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
+       COUNT(DISTINCT user_id) AS exact,
+       TRUE AS merged_equals_direct,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+""",
+)
+def q81_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q77's HLL rollup with its error contract IN the result, which
+    makes the approximate estimator ORACLE-PAIRED (the r4 verdict's
+    q77 gap): the DuckDB oracle computes the exact distinct counts and
+    literal TRUE for both contract booleans, so the driver's value-hash
+    compare fails iff (a) the day-merged sketch union diverges from the
+    single-pass sketch (HLL union must be lossless — per-register max
+    is associative), or (b) the estimate leaves the error envelope
+    |est - exact| <= max(5, 5% * exact). 5% is >3 sigma for the
+    default lgConfigK=12 sketch (RSE = 1.04/sqrt(4096) ~ 1.6%), so a
+    pass is a real accuracy statement, not a tautology; the raw
+    estimates stay visible in the rows-only q77.
+
+    Scale shape: identical to q77 — day-level sketches (~1 KB each)
+    merge associatively, so any date-range rollup is a sketch union,
+    never a fact re-scan."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    rolled = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "direct_est"
+        ),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    err = F.abs(F.col("merged_est") - F.col("exact"))
+    bound = F.greatest(F.lit(5.0), F.lit(0.05) * F.col("exact"))
+    return rolled.join(direct, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact",
+        (F.col("merged_est") == F.col("direct_est")).alias(
+            "merged_equals_direct"
+        ),
+        (err <= bound).alias("within_bound"),
+    )
