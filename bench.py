@@ -87,6 +87,14 @@ FROM events GROUP BY user_id
 }
 
 
+def _duck_path(p: str) -> str:
+    """DuckDB needs a glob for Spark-written parquet DIRECTORIES
+    (amplified fixtures); driver fixtures are single files."""
+    import os as _os
+
+    return p + "/*.parquet" if _os.path.isdir(p) else p
+
+
 def best_of(n: int, fn) -> float:
     best = float("inf")
     for _ in range(n):
@@ -108,7 +116,7 @@ def duckdb_twin_times(sf_dir: str, names: list[str]) -> dict[str, float | None]:
     con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS') or os.cpu_count() or 8}")
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{_duck_path(table_path(sf_dir, t))}')"
         )
     out: dict[str, float | None] = {}
     for name in names:

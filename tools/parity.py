@@ -22,6 +22,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _duck_path(p: str) -> str:
+    """DuckDB needs a glob for Spark-written parquet DIRECTORIES
+    (amplified fixtures); driver fixtures are single files."""
+    import os as _os
+
+    return p + "/*.parquet" if _os.path.isdir(p) else p
+
+
+# Bit-exact by default (the driver gate). --round N switches floats to
+# N-significant-digit canonicalization for SCALE sanity runs: at 10x+
+# magnitudes DuckDB's int128-decimal -> double conversion can differ
+# from Java BigDecimal's correctly-rounded path by 1 ulp, which is a
+# conversion artifact, not a semantic mismatch.
+FLOAT_SIG_DIGITS: int | None = None
+
+
 def canon_value(v) -> str:
     import numpy as np
 
@@ -32,6 +48,8 @@ def canon_value(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
+        if FLOAT_SIG_DIGITS is not None:
+            return f"{v:.{FLOAT_SIG_DIGITS}e}"
         # Strict bit-level repr: the engine's determinism contract is
         # bit-exactness, so no rounding slack here.
         return repr(v)
@@ -82,7 +100,7 @@ def run(
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{_duck_path(table_path(sf_dir, t))}')"
         )
 
     n_pass = n_fail = n_rows_only = 0
@@ -166,6 +184,10 @@ if __name__ == "__main__":
     if "--json" in args:
         i = args.index("--json")
         json_out = args[i + 1]
+        del args[i : i + 2]
+    if "--round" in args:
+        i = args.index("--round")
+        globals()['FLOAT_SIG_DIGITS'] = int(args[i + 1])
         del args[i : i + 2]
     sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a] or None
