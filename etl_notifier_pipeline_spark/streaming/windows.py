@@ -25,17 +25,25 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events fixture as a streaming source (schema pinned from the
     batch read — streaming file sources never infer).
 
-    The file source needs a *directory*; the single-file fixture is
-    staged into a temp dir via symlink (no data copy)."""
+    The file source needs a *directory*; the single-file driver
+    fixture is staged into a temp dir via symlink (no data copy). An
+    amplified fixture (tools/scale_up.py) is already a Spark-written
+    parquet DIRECTORY and streams directly — symlinking it into a
+    stage dir would nest it one level deep, where the file source
+    finds zero files and silently streams nothing (caught by the r5
+    sf10 run: st05 'finished' in 0.2s)."""
     path = table_path(sf_dir, "events")
     raw_schema = spark.read.parquet(path).schema  # ts: long (nanos)
-    stage = os.path.join(
-        tempfile.gettempdir(), "spark_graft_stream", hashlib.md5(path.encode()).hexdigest()
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    if os.path.isdir(path):
+        stage = path
+    else:
+        stage = os.path.join(
+            tempfile.gettempdir(), "spark_graft_stream", hashlib.md5(path.encode()).hexdigest()
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
     raw = spark.readStream.schema(raw_schema).parquet(stage)
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

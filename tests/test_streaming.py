@@ -31,6 +31,30 @@ def test_stream_matches_batch_tumbling(spark):
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
 
 
+def test_stream_events_reads_directory_fixture(spark, tmp_path):
+    """Amplified fixtures (tools/scale_up.py) store each table as a
+    Spark-written parquet DIRECTORY; stream_events must stream it
+    directly instead of symlink-nesting it one level deep where the
+    file source finds zero files (r5 sf10 lesson: st05 'completed' in
+    0.2s on an empty stream)."""
+    from etl_notifier_pipeline_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").limit(500)
+    sf_dir = str(tmp_path / "sfdir")
+    ev.write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    streamed = run_stream_to_table(
+        tumbling_counts(stream_events(spark, sf_dir)),
+        spark,
+        "t_stream_dir_fixture",
+    )
+    batch = tumbling_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
 def test_streaming_drop_duplicates_watermark(spark, tmp_path):
     """ST1 at scale: dropDuplicates on the stream with a watermark —
     duplicate event_ids across micro-batches are delivered once."""

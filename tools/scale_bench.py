@@ -1,0 +1,148 @@
+"""Measured scale evidence: headline queries + engine metrics at sfN.
+
+Runs the same headline set as bench.py against an amplified fixture
+(tools/scale_up.py) and records, per query, what bench.py's wall-clock
+number cannot show: shuffle read/write bytes, memory/disk spill, and
+input bytes, pulled from the Spark status REST API by diffing the
+completed-stage set around each run. This is the r4 verdict's headline
+ask — the difference between "the plan SHAPE would survive 100 TB" and
+"we RAN it at a scale where shuffle and AQE actually engage, here are
+the bytes".
+
+DuckDB twins ride along exactly as in bench.py so the ratio story
+extends to scale (fixed JVM overhead amortizes; the interesting
+question is the slope, not the intercept).
+
+Usage: python tools/scale_bench.py /root/repo/.scale/sf10 --runs 2 \
+           --json SCALE_BENCH_sf10.json [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_notifier_pipeline_spark import caching, plans  # noqa: E402
+from etl_notifier_pipeline_spark.session import get_spark  # noqa: E402
+
+METRIC_FIELDS = (
+    "inputBytes",
+    "shuffleReadBytes",
+    "shuffleWriteBytes",
+    "memoryBytesSpilled",
+    "diskBytesSpilled",
+)
+
+
+def _api(spark, path: str):
+    ui = spark.sparkContext.uiWebUrl
+    with urllib.request.urlopen(f"{ui}/api/v1/{path}", timeout=10) as r:
+        return json.load(r)
+
+
+def _stages(spark) -> dict[int, dict]:
+    app_id = spark.sparkContext.applicationId
+    try:
+        stages = _api(spark, f"applications/{app_id}/stages?status=complete")
+    except Exception:
+        return {}
+    return {
+        (s["stageId"], s["attemptId"]): s
+        for s in stages
+        if isinstance(s, dict)
+    }
+
+
+def measured_run(spark, fn, sf_dir: str) -> tuple[float, dict[str, int]]:
+    before = _stages(spark)
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    after = _stages(spark)
+    delta = {f: 0 for f in METRIC_FIELDS}
+    for key, s in after.items():
+        if key in before:
+            continue
+        for f in METRIC_FIELDS:
+            delta[f] += int(s.get(f, 0))
+    return wall, delta
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    n_runs = 2
+    json_out = None
+    if "--runs" in args:
+        i = args.index("--runs")
+        n_runs = int(args[i + 1])
+        del args[i : i + 2]
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    no_duck = "--no-duck" in args
+    if no_duck:
+        args.remove("--no-duck")
+    sf_dir = args[0] if args and "/" in args[0] else "/root/repo/.scale/sf10"
+    only = [a for a in args if "/" not in a]
+
+    import bench  # noqa: E402  (HEADLINE + TWIN_SQL live there)
+
+    names = only or bench.HEADLINE
+    # The engine session disables the UI (serving threads cost memory
+    # in a 164-query sweep); the metrics REST API lives on the UI
+    # server, so this harness turns it back on for its own session.
+    spark = get_spark(
+        "scale-bench", extra_conf={"spark.ui.enabled": "true"}
+    )
+    out: dict[str, dict] = {}
+    for name in names:
+        fn = plans.get(name).fn
+        best_wall, best_m = None, None
+        for _ in range(n_runs):
+            wall, m = measured_run(spark, fn, sf_dir)
+            if best_wall is None or wall < best_wall:
+                best_wall, best_m = wall, m
+        caching.release_all()
+        out[name] = {"sec": round(best_wall, 3), **best_m}
+        print(
+            f"{name}: {best_wall:.2f}s  "
+            f"input={best_m['inputBytes']/1e6:.0f}MB "
+            f"shufW={best_m['shuffleWriteBytes']/1e6:.0f}MB "
+            f"shufR={best_m['shuffleReadBytes']/1e6:.0f}MB "
+            f"spillMem={best_m['memoryBytesSpilled']/1e6:.0f}MB "
+            f"spillDisk={best_m['diskBytesSpilled']/1e6:.0f}MB",
+            flush=True,
+        )
+    duck = {} if no_duck else bench.duckdb_twin_times(sf_dir, names)
+    spark_total = sum(v["sec"] for v in out.values())
+    spark_paired = sum(
+        v["sec"] for n, v in out.items() if duck.get(n) is not None
+    )
+    duck_total = sum(t for t in duck.values() if t is not None)
+    doc = {
+        "metric": "scale_headline_total",
+        "value": round(spark_total, 3),
+        "unit": "sec",
+        "sf_dir": sf_dir,
+        "queries": out,
+        "duckdb": duck,
+        "duckdb_total": round(duck_total, 4),
+        "ratio_vs_duckdb": (
+            round(spark_paired / duck_total, 4) if duck_total else None
+        ),
+    }
+    print(json.dumps(doc))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
+
+
+if __name__ == "__main__":
+    main()
