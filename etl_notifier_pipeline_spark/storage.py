@@ -21,8 +21,69 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed a version after this write began.
+
+    The reference gets this for free from Postgres transactions
+    (``process-pipeline.py:124-127`` commit/rollback); the pointer-swap
+    store defends with a commit-time compare-and-swap: every write
+    captures the version it was based on, and the commit fails (leaving
+    the pointer — and therefore every reader — on the committed
+    version) if any other writer advanced it in between. The loser's
+    staged files are removed; retrying re-reads the new current version
+    (optimistic concurrency, the same contract as a Delta/Iceberg
+    commit conflict).
+    """
+
+
+class _CommitLock:
+    """Per-table commit mutex via O_CREAT|O_EXCL lock file — makes the
+    check-pointer-then-swap sequence atomic against other local
+    writers. A lock older than ``stale_s`` is presumed abandoned by a
+    crashed writer and broken (the CAS re-check inside the new holder
+    still rejects anything the dead writer half-did, because the dead
+    writer never swapped the pointer)."""
+
+    def __init__(self, path: str, stale_s: float = 30.0) -> None:
+        self.path = path
+        self.stale_s = stale_s
+        self._fd: int | None = None
+
+    def __enter__(self) -> "_CommitLock":
+        deadline = time.monotonic() + self.stale_s + 5.0
+        while True:
+            try:
+                self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self.path)
+                except OSError:
+                    continue  # holder just released; retry immediately
+                if age > self.stale_s:
+                    try:
+                        os.unlink(self.path)
+                    except OSError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"commit lock held too long: {self.path}")
+                time.sleep(0.05)
+
+    def __exit__(self, *exc) -> None:
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
 
 
 class TableStore:
@@ -90,25 +151,56 @@ class TableStore:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*dirs)
 
-    def _commit(self, table: str, v: int, manifest: list[str]) -> None:
-        """Write the manifest into the version dir (underscore-prefixed,
-        so parquet readers skip it), then atomically swap the pointer."""
-        mpath = os.path.join(self._dir(table), f"v={v}", "_manifest.txt")
-        with open(mpath, "w") as f:
-            f.write("\n".join(manifest))
-        tmp = self._pointer(table) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(f"v={v}")
-        os.replace(tmp, self._pointer(table))
-        self._vacuum(table, keep=2)
+    def _stage(self, table: str, df: DataFrame) -> str:
+        """Write ``df`` into a private staging dir. Staged files are
+        invisible to readers (the pointer and every manifest name only
+        ``v=`` dirs) and are promoted — or discarded — at commit."""
+        os.makedirs(self._dir(table), exist_ok=True)
+        staging = tempfile.mkdtemp(dir=self._dir(table), prefix=".staging-")
+        df.write.mode("overwrite").parquet(staging)
+        return staging
+
+    def _commit(self, table: str, v: int, manifest: list[str], staging: str) -> None:
+        """Promote ``staging`` to ``v=<v>`` and swap the pointer —
+        under the per-table commit lock, with a version CAS: if any
+        other writer advanced the pointer past ``v-1`` since this write
+        began, the staged files are discarded and the commit fails
+        without touching the pointer (readers keep the committed
+        version; the caller retries against the new current). A crash
+        at ANY point before the final pointer swap leaves the pointer —
+        and therefore every reader — on the old consistent version;
+        replaying the write succeeds (an orphan ``v=<v>`` dir from the
+        crashed attempt is swept here, under the lock, where it is
+        provably unreferenced)."""
+        with _CommitLock(os.path.join(self._dir(table), "_COMMIT_LOCK")):
+            if (self.current_version(table) or 0) != v - 1:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"{table!r}: version advanced to "
+                    f"{self.current_version(table)} while writing v={v} "
+                    f"(expected {v - 1}); staged write discarded"
+                )
+            target = os.path.join(self._dir(table), f"v={v}")
+            if os.path.isdir(target):
+                # orphan from a writer that crashed after staging but
+                # before the pointer swap — never referenced, safe to drop
+                shutil.rmtree(target)
+            os.replace(staging, target)
+            mpath = os.path.join(target, "_manifest.txt")
+            with open(mpath, "w") as f:
+                f.write("\n".join(manifest))
+            tmp = self._pointer(table) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(f"v={v}")
+            os.replace(tmp, self._pointer(table))
+            self._vacuum(table, keep=2)
 
     def overwrite(self, table: str, df: DataFrame) -> int:
         """Write a complete new version, then atomically swap the
         pointer. Readers either see the old version or the new one."""
         v = (self.current_version(table) or 0) + 1
-        target = os.path.join(self._dir(table), f"v={v}")
-        df.write.mode("overwrite").parquet(target)
-        self._commit(table, v, [f"v={v}"])
+        staging = self._stage(table, df)
+        self._commit(table, v, [f"v={v}"], staging)
         return v
 
     def append(self, table: str, df: DataFrame, merge_schema: bool = False) -> int:
@@ -139,12 +231,11 @@ class TableStore:
                 "(pass merge_schema=True to evolve)"
             )
         v = cur + 1
-        target = os.path.join(self._dir(table), f"v={v}")
-        df.write.mode("overwrite").parquet(target)
+        staging = self._stage(table, df)
         manifest = [*self._manifest(table, cur), f"v={v}"]
         if evolved or "#mergeSchema" in self._manifest_flags(table, cur):
             manifest = ["#mergeSchema", *manifest]
-        self._commit(table, v, manifest)
+        self._commit(table, v, manifest, staging)
         return v
 
     def _vacuum(self, table: str, keep: int) -> None:
@@ -161,6 +252,19 @@ class TableStore:
                 n = int(name.removeprefix("v="))
                 if n <= v - keep:
                     shutil.rmtree(os.path.join(self._dir(table), name), ignore_errors=True)
+            elif name.startswith(".staging-"):
+                _sweep_stale_staging(os.path.join(self._dir(table), name))
+
+
+def _sweep_stale_staging(path: str, stale_s: float = 300.0) -> None:
+    """Drop staging dirs abandoned by crashed writers. Staged files are
+    never referenced by a pointer or manifest, so this is always safe;
+    the age guard just avoids racing a live writer's in-flight stage."""
+    try:
+        if time.time() - os.path.getmtime(path) > stale_s:
+            shutil.rmtree(path, ignore_errors=True)
+    except OSError:
+        pass
 
 
 class BucketedTableStore:
@@ -251,37 +355,65 @@ class BucketedTableStore:
         dir and commit a manifest that is ``carry`` (prior entries for
         unaffected buckets) plus the freshly written buckets. ``affected
         = None`` means a full rewrite (no carried entries)."""
-        import json
-
         v = (self.current_version(table) or 0) + 1
         vrel = f"v={v}"
-        vdir = os.path.join(self._dir(table), vrel)
-        df.limit(0).write.mode("overwrite").parquet(os.path.join(vdir, "schema"))
-        (
-            df.withColumn("__bucket", self._bucket_col(table, df))
-            .write.partitionBy("__bucket")
-            .mode("overwrite")
-            .parquet(os.path.join(vdir, "data"))
-        )
+        staging = self._bstage(table, df)
         buckets: dict[str, list[str]] = {}
         for k, dirs in (carry or {}).items():
             if affected is None or int(k) not in affected:
                 buckets[k] = dirs
-        data_dir = os.path.join(vdir, "data")
+        data_dir = os.path.join(staging, "data")
         if os.path.isdir(data_dir):
             for name in os.listdir(data_dir):
                 if name.startswith("__bucket="):
                     k = name.removeprefix("__bucket=")
                     buckets[k] = [f"{vrel}/data/{name}"]
         manifest = {"schema": f"{vrel}/schema", "buckets": buckets}
-        with open(os.path.join(vdir, "_manifest.json"), "w") as f:
-            json.dump(manifest, f)
-        tmp = self._pointer(table) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(vrel)
-        os.replace(tmp, self._pointer(table))
-        self._vacuum(table, keep=self.retain_versions)
+        self._bcommit(table, v, manifest, staging)
         return v
+
+    def _bstage(self, table: str, df: DataFrame) -> str:
+        """Write schema anchor + bucket-partitioned data into a private
+        staging dir (promoted or discarded at commit, as TableStore)."""
+        os.makedirs(self._dir(table), exist_ok=True)
+        staging = tempfile.mkdtemp(dir=self._dir(table), prefix=".staging-")
+        df.limit(0).write.mode("overwrite").parquet(os.path.join(staging, "schema"))
+        (
+            df.withColumn("__bucket", self._bucket_col(table, df))
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(staging, "data"))
+        )
+        return staging
+
+    def _bcommit(self, table: str, v: int, manifest: dict, staging: str) -> None:
+        """Same commit protocol as ``TableStore._commit``: per-table
+        lock, version CAS (fail — discarding the stage — if another
+        writer advanced the pointer since this write began), orphan
+        sweep, rename, atomic pointer swap. A crash at any point before
+        the final swap leaves readers on the old consistent version and
+        a replay of the write succeeds."""
+        import json
+
+        with _CommitLock(os.path.join(self._dir(table), "_COMMIT_LOCK")):
+            if (self.current_version(table) or 0) != v - 1:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"{table!r}: version advanced to "
+                    f"{self.current_version(table)} while writing v={v} "
+                    f"(expected {v - 1}); staged write discarded"
+                )
+            vdir = os.path.join(self._dir(table), f"v={v}")
+            if os.path.isdir(vdir):
+                shutil.rmtree(vdir)
+            os.replace(staging, vdir)
+            with open(os.path.join(vdir, "_manifest.json"), "w") as f:
+                json.dump(manifest, f)
+            tmp = self._pointer(table) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(f"v={v}")
+            os.replace(tmp, self._pointer(table))
+            self._vacuum(table, keep=self.retain_versions)
 
     # -- TableStore surface --------------------------------------------------
 
@@ -351,35 +483,20 @@ class BucketedTableStore:
                 f"append to {table!r}: columns {sorted(set(df.columns))} "
                 f"do not match table columns {sorted(existing)}"
             )
-        import json
-
         v = self.current_version(table)
         m = self._manifest(table, v)
         new_v = (v or 0) + 1
         vrel = f"v={new_v}"
-        vdir = os.path.join(self._dir(table), vrel)
-        df.limit(0).write.mode("overwrite").parquet(os.path.join(vdir, "schema"))
-        (
-            df.withColumn("__bucket", self._bucket_col(table, df))
-            .write.partitionBy("__bucket")
-            .mode("overwrite")
-            .parquet(os.path.join(vdir, "data"))
-        )
+        staging = self._bstage(table, df)
         buckets = {k: list(dirs) for k, dirs in m["buckets"].items()}
-        data_dir = os.path.join(vdir, "data")
+        data_dir = os.path.join(staging, "data")
         if os.path.isdir(data_dir):
             for name in os.listdir(data_dir):
                 if name.startswith("__bucket="):
                     k = name.removeprefix("__bucket=")
                     buckets.setdefault(k, []).append(f"{vrel}/data/{name}")
         manifest = {"schema": f"{vrel}/schema", "buckets": buckets}
-        with open(os.path.join(vdir, "_manifest.json"), "w") as f:
-            json.dump(manifest, f)
-        tmp = self._pointer(table) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(vrel)
-        os.replace(tmp, self._pointer(table))
-        self._vacuum(table, keep=self.retain_versions)
+        self._bcommit(table, new_v, manifest, staging)
         return new_v
 
     # -- the incremental path ------------------------------------------------
@@ -480,6 +597,8 @@ class BucketedTableStore:
                     shutil.rmtree(
                         os.path.join(self._dir(table), name), ignore_errors=True
                     )
+            elif name.startswith(".staging-"):
+                _sweep_stale_staging(os.path.join(self._dir(table), name))
 
 
 class CatalogTableStore:

@@ -267,3 +267,149 @@ class TestSchemaEvolution:
                      merge_schema=True)
         rows = {r["k"]: (r["v"], r["extra"]) for r in store.read("t").collect()}
         assert rows[3] == ("c", None) and len(rows) == 3
+
+
+class TestCrashConsistencyAndCAS:
+    """Commit protocol guarantees (SURVEY §7 M2 risk 1, r4 verdict #5).
+
+    The reference's atomicity comes from Postgres transactions
+    (process-pipeline.py:124-127 commit/rollback); the pointer-swap
+    stores must provide the same two properties without a database:
+    (a) a writer that dies anywhere before the final pointer swap
+    leaves every reader on the old consistent version and a replay of
+    the write succeeds; (b) two writers racing the same table cannot
+    silently clobber each other — the loser's commit fails with
+    ConcurrentWriteError and its staged files are discarded.
+    """
+
+    def _crash_on(self, monkeypatch, needle: str):
+        """Make storage-module os.replace die when the destination (or
+        source) path contains ``needle`` — simulating a process kill at
+        that exact point in the commit sequence."""
+        import etl_notifier_pipeline_spark.storage as storage_mod
+
+        real_replace = os.replace
+
+        def dying_replace(src, dst):
+            if needle in str(dst) or needle in str(src):
+                raise RuntimeError(f"injected crash at replace({src} -> {dst})")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(storage_mod.os, "replace", dying_replace)
+
+    def test_tablestore_crash_before_pointer_swap(self, spark, tmp_path, monkeypatch):
+        from etl_notifier_pipeline_spark.storage import TableStore
+
+        store = TableStore(spark, str(tmp_path / "cc"))
+        df1 = spark.createDataFrame([(1, "old")], ["k", "v"])
+        df2 = spark.createDataFrame([(1, "new"), (2, "new")], ["k", "v"])
+        store.overwrite("t", df1)
+
+        # crash point A: after the version dir is promoted, before the
+        # pointer swap (the classic torn-commit window)
+        self._crash_on(monkeypatch, "_CURRENT")
+        with pytest.raises(RuntimeError, match="injected crash"):
+            store.overwrite("t", df2)
+        assert store.current_version("t") == 1
+        assert [tuple(r) for r in store.read("t").collect()] == [(1, "old")]
+
+        # replay after "restart": the orphan v=2 dir from the crashed
+        # attempt must not block the retry
+        monkeypatch.undo()
+        v = store.overwrite("t", df2)
+        assert v == 2 and store.read("t").count() == 2
+
+    def test_tablestore_crash_before_version_promote(self, spark, tmp_path, monkeypatch):
+        from etl_notifier_pipeline_spark.storage import TableStore
+
+        store = TableStore(spark, str(tmp_path / "cc2"))
+        store.overwrite("t", spark.createDataFrame([(1, "old")], ["k", "v"]))
+
+        # crash point B: between the staged temp write and the rename
+        # that would make it a version dir
+        self._crash_on(monkeypatch, ".staging-")
+        with pytest.raises(RuntimeError, match="injected crash"):
+            store.append("t", spark.createDataFrame([(2, "x")], ["k", "v"]))
+        assert store.current_version("t") == 1
+        assert store.read("t").count() == 1
+
+        monkeypatch.undo()
+        assert store.append("t", spark.createDataFrame([(2, "x")], ["k", "v"])) == 2
+        assert store.read("t").count() == 2
+
+    def test_tablestore_concurrent_writer_cas(self, spark, tmp_path):
+        from etl_notifier_pipeline_spark.storage import (
+            ConcurrentWriteError,
+            TableStore,
+        )
+
+        store = TableStore(spark, str(tmp_path / "cas"))
+        store.overwrite("t", spark.createDataFrame([(1, "base")], ["k", "v"]))
+
+        # writer A stages against v1 ...
+        v_a = (store.current_version("t") or 0) + 1
+        staging_a = store._stage("t", spark.createDataFrame([(1, "A")], ["k", "v"]))
+        # ... writer B commits first ...
+        store.overwrite("t", spark.createDataFrame([(1, "B")], ["k", "v"]))
+        # ... so A's commit must fail, discard its stage, and leave B's
+        # version as what every reader sees
+        with pytest.raises(ConcurrentWriteError, match="version advanced"):
+            store._commit("t", v_a, [f"v={v_a}"], staging_a)
+        assert not os.path.exists(staging_a)
+        assert store.current_version("t") == 2
+        assert [r["v"] for r in store.read("t").collect()] == ["B"]
+        # retry against the new current succeeds
+        assert store.overwrite("t", spark.createDataFrame([(1, "A2")], ["k", "v"])) == 3
+
+    def test_bucketed_crash_and_replay(self, spark, tmp_path, monkeypatch):
+        store = BucketedTableStore(
+            spark, str(tmp_path / "bcc"), keys={"t": ["k"]}, n_buckets=4
+        )
+        mk = lambda rows: spark.createDataFrame(rows, ["k", "v"]).withColumn(
+            "__file_order", F.monotonically_increasing_id()
+        )
+        store.apply_keyed_mutation("t", mk([(1, "a")]), ["k"], ["__file_order"], "insert")
+        v1 = store.current_version("t")
+
+        self._crash_on(monkeypatch, "_CURRENT")
+        with pytest.raises(RuntimeError, match="injected crash"):
+            store.apply_keyed_mutation("t", mk([(1, "A")]), ["k"], ["__file_order"], "update")
+        assert store.current_version("t") == v1
+        assert {r["k"]: r["v"] for r in store.read("t").collect()} == {1: "a"}
+
+        monkeypatch.undo()
+        store.apply_keyed_mutation("t", mk([(1, "A")]), ["k"], ["__file_order"], "update")
+        assert {r["k"]: r["v"] for r in store.read("t").collect()} == {1: "A"}
+
+    def test_bucketed_concurrent_writer_cas(self, spark, tmp_path):
+        from etl_notifier_pipeline_spark.storage import ConcurrentWriteError
+
+        store = BucketedTableStore(
+            spark, str(tmp_path / "bcas"), keys={"t": ["k"]}, n_buckets=4
+        )
+        df = lambda v: spark.createDataFrame([(1, v)], ["k", "v"])
+        store.overwrite("t", df("base"))
+        v_a = (store.current_version("t") or 0) + 1
+        staging_a = store._bstage("t", df("A"))
+        store.overwrite("t", df("B"))
+        with pytest.raises(ConcurrentWriteError, match="version advanced"):
+            store._bcommit(
+                "t", v_a,
+                {"schema": f"v={v_a}/schema", "buckets": {}}, staging_a,
+            )
+        assert not os.path.exists(staging_a)
+        assert [r["v"] for r in store.read("t").collect()] == ["B"]
+
+    def test_stale_commit_lock_is_broken(self, spark, tmp_path):
+        """A lock file abandoned by a killed writer must not deadlock
+        the table forever: locks older than the staleness window are
+        broken and the new commit proceeds."""
+        from etl_notifier_pipeline_spark.storage import TableStore
+
+        store = TableStore(spark, str(tmp_path / "lk"))
+        store.overwrite("t", spark.createDataFrame([(1, "a")], ["k", "v"]))
+        lock = os.path.join(str(tmp_path / "lk"), "t", "_COMMIT_LOCK")
+        with open(lock, "w"):
+            pass
+        os.utime(lock, (os.path.getmtime(lock) - 3600, os.path.getmtime(lock) - 3600))
+        assert store.overwrite("t", spark.createDataFrame([(1, "b")], ["k", "v"])) == 2
