@@ -309,3 +309,90 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     assert [g[0] for g in got] == [1, 1, 2, 99]
     assert got[0][1].startswith("2024-01-01 00:00:00")
     assert got[1][1].startswith("2024-01-01 01:00:00")
+
+
+def test_exactly_once_failure_injection_store_write_then_crash(
+    spark, tmp_store, tmp_path,
+):
+    """ST2 under the WORST torn-batch window: the foreachBatch body
+    dies AFTER the store write but BEFORE the ledger update. Structured
+    Streaming then fails the batch (the checkpoint offset never
+    commits) and redelivers it on restart — at-least-once delivery of
+    an already-half-applied batch. Exactly-once must come from the
+    effects being idempotent: the redelivered insert/upsert re-applies
+    against the already-mutated table and converges to the SAME state a
+    clean single delivery produces (the reference gets this window for
+    free from one Postgres transaction spanning both writes,
+    process-pipeline.py:124-127; the engine must earn it)."""
+    csv_root = tmp_path / "bucket"
+    csv_root.mkdir()
+    (csv_root / "people.csv").write_text("pid,name\n1,ann\n2,bob\n")
+    (csv_root / "people_v2.csv").write_text("pid,name\n2,BOB\n3,cyd\n")
+    pipe = ApprovalPipeline(
+        spark=spark, store=tmp_store, notifier=LogNotifier(),
+        keys={"people": ["pid"]}, csv_root=str(csv_root),
+    )
+    pipe.ledger.record_arrivals(
+        spark.createDataFrame(
+            [("people.csv", "e1", "b", "insert"),
+             ("people_v2.csv", "e2", "b", "update")],
+            ["file_name", "event_id", "bucket", "operation"],
+        )
+    )
+
+    def msg(event_id, file_name, operation):
+        payload = {
+            "event_id": event_id, "action": "approve", "file_name": file_name,
+            "table_name": "people", "operation": operation, "bucket": "b",
+            "file_version": "1", "provided_timestamp": None,
+            "approval_timestamp": "2026-01-01T00:00:00Z",
+            "remote_address": "1.2.3.4",
+        }
+        return json.dumps(
+            {"value": base64.b64encode(json.dumps(payload).encode()).decode()}
+        )
+
+    src = tmp_path / "msgs"
+    src.mkdir()
+    (src / "m1.json").write_text(msg("e1", "people.csv", "insert"))
+    (src / "m2.json").write_text(msg("e2", "people_v2.csv", "update"))
+
+    # inject: ledger.mark_many dies — AFTER stage 2 applied the store
+    # mutations, BEFORE any event is marked processed
+    real_mark_many = pipe.ledger.mark_many
+
+    def dying_mark_many(df):
+        raise RuntimeError("injected crash between store write and ledger update")
+
+    pipe.ledger.mark_many = dying_mark_many
+    raw = spark.readStream.schema("value string").json(str(src))
+    q = pipe.start(raw, str(tmp_path / "ckpt"))
+    try:
+        q.awaitTermination()
+        raise AssertionError("stream should have failed on the injected crash")
+    except Exception as exc:  # StreamingQueryException wrapping the injection
+        assert "injected crash" in str(exc)
+
+    # torn state is exactly as designed: effects applied, ledger silent
+    assert sorted(tuple(r) for r in tmp_store.read("people").collect()) == [
+        ("1", "ann"), ("2", "BOB"), ("3", "cyd")]
+    assert pipe.ledger.processed_files().filter(F.col("is_processed")).count() == 0
+
+    # "restart": redeliver the SAME batch via the same checkpoint
+    pipe.ledger.mark_many = real_mark_many
+    raw2 = spark.readStream.schema("value string").json(str(src))
+    pipe.start(raw2, str(tmp_path / "ckpt")).awaitTermination()
+
+    # no duplicate effects: state identical to a clean single delivery
+    assert sorted(tuple(r) for r in tmp_store.read("people").collect()) == [
+        ("1", "ann"), ("2", "BOB"), ("3", "cyd")]
+    statuses = {
+        r["event_id"]: r["status"]
+        for r in pipe.ledger.processed_files().collect()
+    }
+    assert statuses == {"e1": "approved", "e2": "approved"}
+    # and a THIRD run on the same checkpoint is a no-op (offsets committed)
+    v = tmp_store.current_version("people")
+    raw3 = spark.readStream.schema("value string").json(str(src))
+    pipe.start(raw3, str(tmp_path / "ckpt")).awaitTermination()
+    assert tmp_store.current_version("people") == v
