@@ -236,6 +236,70 @@ def block_pack_spans(
     )
 
 
+def ordered_prefix_sum(
+    df: DataFrame,
+    sum_col: str,
+    order_exprs: list[Column],
+    *,
+    alias: str = "cum",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact running sum over a TOTAL order with NO single-partition
+    window — the value-ordered sibling of ``block_pack_spans``'s
+    integer-keyed two-phase prefix sum (that one needs contiguous
+    integer keys; this one takes any total order, e.g. q80's
+    ``revenue DESC, partkey``).
+
+    Phase 1: range-partition by the order (``repartitionByRange``
+    samples split points, so buckets respect the global order and are
+    size-balanced even under value skew), stamp the bucket id, and
+    aggregate per-bucket totals — a frame ``n_buckets`` rows long.
+    Phase 2: the cross-bucket running offset is a window over THAT tiny
+    frame; it broadcasts back and the per-row running sum executes as a
+    parallel window PARTITIONED by bucket. Decimal sums stay exact —
+    the result is bit-identical to the single-partition window at any
+    bucket count.
+
+    The bucketed frame is persisted (tracked): its bucket ids come from
+    sampled range boundaries, and the totals leg and the output leg
+    must observe the SAME assignment.
+    """
+    from pyspark.sql import Window as W
+
+    from etl_notifier_pipeline_spark.caching import tracked_persist
+
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    bucketed = tracked_persist(
+        df.repartitionByRange(n_buckets, *order_exprs).withColumn(
+            "__b", F.spark_partition_id()
+        )
+    )
+    totals = bucketed.groupBy("__b").agg(F.sum(sum_col).alias("__bt"))
+    offsets = totals.select(
+        "__b",
+        (
+            F.sum("__bt").over(
+                W.orderBy("__b").rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            - F.col("__bt")
+        ).alias("__boff"),
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            alias,
+            F.col("__boff")
+            + F.sum(sum_col).over(
+                W.partitionBy("__b")
+                .orderBy(*order_exprs)
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .drop("__b", "__boff")
+    )
+
+
 def per_source_cap(
     df: DataFrame,
     source_col: str,

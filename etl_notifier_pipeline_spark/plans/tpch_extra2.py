@@ -1827,11 +1827,19 @@ def q80_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     division per emitted column.
 
     Scale shape: the fact aggregates FIRST (partial map-side combine),
-    so the ordered window runs over the |parts|-sized summary frame,
-    never the fact; if |parts| itself outgrows one partition the x22
-    two-phase grouped prefix sum nests here unchanged."""
-    from pyspark.sql import Window as PW
+    so the cumulative sum runs over the |parts|-sized summary frame,
+    never the fact — and that sum executes as the two-phase
+    ``ordered_prefix_sum`` (range-partition by revenue order, tiny
+    cross-bucket offset window, parallel per-bucket windows), so there
+    is NO single-partition window at ANY |parts| (the r4 verdict's q80
+    escape hatch, now code instead of prose). Exactness is preserved:
+    decimal partial sums + a decimal offset are bit-identical to the
+    global decimal running sum, so the A/B/C boundaries cannot move."""
     from pyspark.sql import functions as F
+
+    from etl_notifier_pipeline_spark.extensions.sampling import (
+        ordered_prefix_sum,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     r = (
@@ -1839,13 +1847,11 @@ def q80_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
     )
     rev = li.groupBy("l_partkey").agg(F.sum(r).alias("r"))
-    w = PW.orderBy(F.col("r").desc(), "l_partkey").rowsBetween(
-        PW.unboundedPreceding, PW.currentRow
-    )
     total = rev.agg(F.sum("r").alias("total"))
-    c = rev.withColumn("cum", F.sum("r").over(w)).crossJoin(
-        F.broadcast(total)
-    )
+    c = ordered_prefix_sum(
+        rev, "r", [F.col("r").desc(), F.col("l_partkey")],
+        alias="cum", n_buckets=32,
+    ).crossJoin(F.broadcast(total))
     cum_share = F.col("cum").cast("double") / F.col("total").cast("double")
     return c.select(
         "l_partkey",

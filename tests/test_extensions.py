@@ -529,3 +529,54 @@ def test_oov_rate_scores_garbage_high_and_vocab_zero(spark):
     assert out[3].n_oov == 3 and out[3].oov_rate == 1.0
     assert out[2].n_oov == 1 and abs(out[2].oov_rate - 1 / 3) < 1e-12
     assert all(r.n_oov <= r.n_tokens for r in out.values())
+
+
+class TestOrderedPrefixSum:
+    def test_matches_single_partition_window_exactly(self, spark):
+        """Two-phase value-ordered running sum must be bit-identical to
+        the global single-partition window — decimals stay exact across
+        the bucket-offset recombination, at any bucket count."""
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from etl_notifier_pipeline_spark.caching import release_all
+        from etl_notifier_pipeline_spark.extensions.sampling import (
+            ordered_prefix_sum,
+        )
+
+        df = spark.range(5000).select(
+            F.col("id").alias("k"),
+            # duplicate-heavy values force ties: order (v DESC, k) must
+            # stay total across bucket boundaries
+            (F.pmod(F.hash("id"), F.lit(97)).cast("decimal(12,2)") / 7)
+            .alias("v"),
+        )
+        expected = df.withColumn(
+            "cum",
+            F.sum("v").over(
+                W.orderBy(F.col("v").desc(), "k").rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            ),
+        )
+        for n_buckets in (1, 7, 64):
+            got = ordered_prefix_sum(
+                df, "v", [F.col("v").desc(), F.col("k")],
+                alias="cum", n_buckets=n_buckets,
+            )
+            exp = {r["k"]: str(r["cum"]) for r in expected.collect()}
+            act = {r["k"]: str(r["cum"]) for r in got.collect()}
+            assert act == exp, f"n_buckets={n_buckets}"
+        release_all()
+
+    def test_rejects_bad_bucket_count(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from etl_notifier_pipeline_spark.extensions.sampling import (
+            ordered_prefix_sum,
+        )
+
+        df = spark.range(3).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        with pytest.raises(ValueError, match="n_buckets"):
+            ordered_prefix_sum(df, "v", [F.col("k")], n_buckets=0)

@@ -402,3 +402,23 @@ def test_outer_interval_join_keeps_range_in_condition(spark):
     plan = plan_of(spark, "st11_interval_join_outer")
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
     assert "LeftOuter" in plan
+
+
+def test_pareto_cumsum_has_no_single_partition_row_window(spark):
+    """q80's cumulative revenue share must never sort the |parts| frame
+    in one partition (the r4 verdict's escape hatch, now code): the
+    per-row running sum executes as a window PARTITIONED by the range
+    bucket, and the only SinglePartition exchanges in the plan carry
+    aggregate-sized frames (the n_buckets-row offsets, the 1-row grand
+    total) — never row data."""
+    import re
+
+    plan = plan_of(spark, "q80_pareto_abc")
+    # the per-row cumulative window is bucket-partitioned ...
+    assert re.search(r"windowspecdefinition\(__b#\d+, r#\d+ DESC", plan), plan
+    assert "Exchange hashpartitioning(__b" in plan
+    # ... and NO window orders the row frame globally (a global-order
+    # window spec would start with the r DESC sort key, no partition)
+    assert not re.search(r"windowspecdefinition\(r#\d+ DESC", plan), plan
+    # the range repartition that defines the buckets is present
+    assert re.search(r"rangepartitioning\(r#\d+ DESC", plan), plan
