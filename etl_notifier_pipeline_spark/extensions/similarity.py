@@ -221,6 +221,45 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(_cell_structs(vec, centroids)).getField("cell")
 
 
+def ivf_assign_frame(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+    jvm_max_cells: int = 64,
+) -> DataFrame:
+    """``df`` + nearest-centroid ``out_col``, picking the right
+    execution strategy for the centroid count: the JVM Column fold for
+    small lists (stays in codegen, no Python boundary), an Arrow
+    matmul pass for corpus-scaled lists — ``ivf_assign``'s expression
+    tree grows one interpreted fold PER centroid, so at hundreds of
+    cells (a corpus-sized ``semantic_dedup``) the expression approach
+    is the bottleneck, not the data. Ties break to the lowest cell id
+    on both paths (``array_min`` struct order / ``np.argmin``)."""
+    if len(centroids) <= jvm_max_cells:
+        return df.withColumn(out_col, ivf_assign(F.col(vec_col), centroids))
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    C = np.array(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            pdf[out_col] = (
+                (c_sq[None, :] - 2.0 * (X @ C.T)).argmin(axis=1).astype("int32")
+            )
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 8,
@@ -257,9 +296,14 @@ def ivf_centroids(
         C = np.array(cents, dtype=np.float64)
 
         def partial_sums(batches):
+            # argmin of |x-c|^2 == argmin of |c|^2 - 2 x.c (|x|^2 is
+            # constant per row): one batch x cells matmul, never the
+            # batch x cells x dim difference tensor — at corpus-scaled
+            # cell counts that tensor is GBs per Arrow batch.
+            c_sq = (C * C).sum(axis=1)
             for pdf in batches:
                 X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-                d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                d2 = c_sq[None, :] - 2.0 * (X @ C.T)
                 cell = d2.argmin(axis=1)  # ties -> lowest cell
                 rows = []
                 for j in range(len(C)):
@@ -329,10 +373,15 @@ def ivf_topk(
     # uses like the query probes below, where rows are few).
     C = np.array(cents, dtype=np.float64)
 
+    c_sq = (C * C).sum(axis=1)
+
     def assign(batches):
         for pdf in batches:
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            # argmin of |x-c|^2 == argmin of |c|^2 - 2 x.c: a batch x
+            # cells matmul instead of the batch x cells x dim
+            # difference tensor (GBs per batch at corpus-scaled cells)
+            d2 = c_sq[None, :] - 2.0 * (X @ C.T)
             # cumsum = the same sequential left-fold the JVM norm()
             # runs, so c_norm is bit-identical to the brute-force path
             nrm = np.sqrt((X * X).cumsum(axis=1)[:, -1])
@@ -428,6 +477,54 @@ def blocked_near_dup_pairs(
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def blocked_near_dup_pairs_arrow(
+    df: DataFrame,
+    block_col: str = "cell",
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``blocked_near_dup_pairs`` with Arrow-side pair scoring: one
+    numpy |cell| x |cell| cosine matmul per block instead of one
+    interpreted JVM fold per candidate pair. Same pair set, same
+    blocking bound — different cost model: the fold path pays ~µs of
+    expression interpretation PER PAIR (measured: 2.5M candidate pairs
+    at sf1 = ~3 min; the matmul scores them in seconds), so this is
+    the hot-path form for corpus-scale dedup, while the Column form
+    stays the choice where a DuckDB oracle needs the exact sequential
+    fold rounding (d08/s06's bit-exact twins). Parallelism is by
+    block; blocks are bounded by the quantizer's target cell size, so
+    per-group memory is |cell|^2 floats, not n^2."""
+    import numpy as np
+    import pandas as pd
+
+    def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"block": [], "id_a": [], "id_b": [], "cos_sim": []}
+            )
+        nrm = np.sqrt((X * X).sum(axis=1))
+        S = (X @ X.T) / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = S[ia, ib] >= threshold
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "block": pdf[block_col].iloc[0],
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos_sim": S[ia[keep], ib[keep]],
+            }
+        )
+
+    return df.groupBy(block_col).applyInPandas(
+        pairs, "block int, id_a long, id_b long, cos_sim double"
     )
 
 
@@ -677,11 +774,12 @@ def pq_topk(
 
 def semantic_dedup(
     corpus: DataFrame,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     threshold: float = 0.9,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_size: int = 250,
 ) -> DataFrame:
     """SemDeDup-shaped embedding dedup: cluster the corpus with the IVF
     coarse quantizer, find near-duplicate pairs ONLY within a cluster
@@ -698,17 +796,28 @@ def semantic_dedup(
     Scale shape: pair space is sum(|cell|^2), never n^2 — the cell id
     is the blocking key ``blocked_near_dup_pairs`` joins on; cross-cell
     near-dups are the accepted approximation (recall rises with fewer
-    cells, cost falls with more — the SemDeDup trade).
+    cells, cost falls with more — the SemDeDup trade). For that bound
+    to mean anything, the cell COUNT must grow with the corpus: with a
+    fixed ``n_cells``, sum(|cell|^2) is ~n^2/n_cells — still quadratic
+    (measured: a hardcoded 8 cells turned a 10x corpus into a 40x
+    runtime at sf1). Default ``n_cells=None`` therefore sizes cells to
+    ``target_cell_size`` from a metadata-cheap corpus count, keeping
+    per-cell pair work constant and total pairs ~linear in n.
     """
+    if n_cells is None:
+        n = corpus.count()
+        n_cells = max(8, -(-n // target_cell_size))
     cents = ivf_centroids(corpus, n_cells)
     # Persisted: three consumers (both self-join legs of the pair
     # search + the survivor anti-join) would otherwise rescan the
     # corpus and recompute the cell assignment each — the d04
     # persisted-shingle-frame rule applied to embeddings.
-    assigned = tracked_persist(corpus.select(
-        F.col(id_col), F.col(vec_col), ivf_assign(F.col(vec_col), cents).alias("cell")
-    ))
-    pairs = blocked_near_dup_pairs(
+    assigned = tracked_persist(
+        ivf_assign_frame(
+            corpus.select(id_col, vec_col), cents, vec_col=vec_col,
+        )
+    )
+    pairs = blocked_near_dup_pairs_arrow(
         assigned, block_col="cell", threshold=threshold,
         id_col=id_col, vec_col=vec_col,
     )

@@ -682,12 +682,17 @@ def q65_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("s09_semantic_dedup", category="similarity", oracle=None)
 def s09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped embedding dedup: IVF-cell blocking, intra-cell
-    cosine near-dup pairs, greedy lowest-id survivor. Rows-only (the
-    quantizer is not SQL-expressible); the no-surviving-near-dup-pair
-    and degenerate-one-cell-equals-exact invariants are property
-    tests in tests/test_advanced.py."""
+    cosine near-dup pairs (Arrow matmul per cell), greedy lowest-id
+    survivor. Rows-only (the quantizer is not SQL-expressible); the
+    no-surviving-near-dup-pair and degenerate-one-cell-equals-exact
+    invariants are property tests in tests/test_advanced.py.
+
+    Cell count scales with the corpus (n_cells=None sizes cells to a
+    constant target), keeping intra-cell pair work per vector constant
+    — the fixed n_cells=8 this query started with was measured
+    quadratic at sf1 (see extensions/similarity.semantic_dedup)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.semantic_dedup(emb, n_cells=8, threshold=0.9)
+    return S.semantic_dedup(emb, threshold=0.9)
 
 
 @register("xm03_media_near_dup", category="multimodal", oracle=None)

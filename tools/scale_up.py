@@ -63,13 +63,16 @@ def _rep(df: DataFrame, factor: int) -> DataFrame:
 
 
 def amplify(
-    spark: SparkSession, src: str, out: str, factor: int
+    spark: SparkSession, src: str, out: str, factor: int,
+    only: set[str] | None = None,
 ) -> dict[str, int]:
     os.makedirs(out, exist_ok=True)
     rep = F.col("__rep")
     counts: dict[str, int] = {}
 
     def write(name: str, df: DataFrame, n_files: int) -> None:
+        if only is not None and name not in only:
+            return
         t0 = time.time()
         path = os.path.join(out, f"{name}.parquet")
         df.repartition(n_files).write.mode("overwrite").parquet(path)
@@ -143,21 +146,37 @@ def amplify(
     ).withColumn("n_chars", F.length("text").cast("long"))
     write("documents", docs, max(1, factor // 4))
 
-    # deterministic per-(replica, id, position) jitter at 1e-3 scale
+    # Replica k>0 vectors get (a) a deterministic per-replica AFFINE
+    # PERMUTATION of the 64 dimensions (pos -> (a*pos + b) % 64, a odd
+    # => bijection; identity for k=0) and (b) a per-(replica, id,
+    # position) jitter at 1e-3 scale. The permutation preserves every
+    # intra-replica norm and angle bit-for-bit — replica k's cluster
+    # structure IS sf0.1's — while decorrelating vectors ACROSS
+    # replicas, so amplification adds new content clusters instead of
+    # stacking near-duplicate copies of the old ones. (The first cut
+    # of this tool used jitter alone; at cosine thresholds ~0.95 every
+    # vector then had R-1 cross-replica near-dups, IVF cells grew R x
+    # denser, and intra-cell candidate pairs grew R^2 x — measured as
+    # a 40x s09 blowup at factor 10. Text got per-replica salting for
+    # exactly this reason; embeddings need the equivalent.)
     emb_src = load_table(spark, src, "embeddings")
+    n_dim = len(emb_src.select("embedding").head()[0])
     jitter = (
         F.pmod(
             F.hash(rep, F.col("vec_id"), F.col("pos")), F.lit(2001)
         ).cast("double")
         - 1000.0
     ) / 1_000_000.0
+    a = (F.pmod(rep, F.lit(n_dim // 2)) * 2 + 1).cast("long")
+    b = F.pmod(rep * 7, F.lit(n_dim)).cast("long")
     emb = (
         _rep(emb_src, factor)
         .select(
             (F.col("vec_id") + rep * K1).alias("vec_id"),
             "label", "__rep",
-            F.posexplode("embedding").alias("pos", "x"),
+            F.posexplode("embedding").alias("pos0", "x"),
         )
+        .withColumn("pos", F.pmod(a * F.col("pos0") + b, F.lit(n_dim)))
         .select(
             "vec_id", "label", "pos",
             F.when(F.col("__rep") == 0, F.col("x").cast("double"))
@@ -187,10 +206,15 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--factor", type=int, required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--only", default=None,
+        help="comma-separated table subset to (re)generate",
+    )
     args = ap.parse_args()
     spark = get_spark("scale-up")
     t0 = time.time()
-    counts = amplify(spark, args.src, args.out, args.factor)
+    only = set(args.only.split(",")) if args.only else None
+    counts = amplify(spark, args.src, args.out, args.factor, only=only)
     print(
         f"amplified x{args.factor} in {time.time()-t0:.1f}s; "
         f"lineitem={counts.get('lineitem', 0):,}"
