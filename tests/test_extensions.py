@@ -580,3 +580,65 @@ class TestOrderedPrefixSum:
         df = spark.range(3).select(F.col("id").alias("k"), F.lit(1).alias("v"))
         with pytest.raises(ValueError, match="n_buckets"):
             ordered_prefix_sum(df, "v", [F.col("k")], n_buckets=0)
+
+
+class TestArrowSimilarityPathEquivalence:
+    """The Arrow hot paths added for corpus-scale dedup must agree
+    with the JVM Column forms they shadow (same argmin tie rule, same
+    pair sets) — the two implementations are cost models, not
+    semantics."""
+
+    def _emb(self, spark, n=300, dim=16):
+        from pyspark.sql import functions as F
+
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda p: (
+                    F.pmod(F.hash(F.col("id"), p), F.lit(1000)).cast("float")
+                    / 500.0
+                    - 1.0
+                ),
+            ).alias("embedding"),
+            F.pmod(F.col("id"), F.lit(7)).cast("int").alias("label"),
+        )
+
+    def test_ivf_assign_frame_arrow_matches_jvm(self, spark):
+        from etl_notifier_pipeline_spark.extensions import similarity as S
+
+        emb = self._emb(spark)
+        cents = S.ivf_centroids(emb, 70)
+        jvm = {
+            r["vec_id"]: r["cell"]
+            for r in S.ivf_assign_frame(
+                emb, cents, jvm_max_cells=1000
+            ).collect()
+        }
+        arrow = {
+            r["vec_id"]: r["cell"]
+            for r in S.ivf_assign_frame(
+                emb, cents, jvm_max_cells=1
+            ).collect()
+        }
+        assert arrow == jvm
+
+    def test_blocked_pairs_arrow_matches_jvm(self, spark):
+        from etl_notifier_pipeline_spark.extensions import similarity as S
+
+        emb = self._emb(spark)
+        jvm = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in S.blocked_near_dup_pairs(
+                emb, block_col="label", threshold=0.4
+            ).collect()
+        }
+        arrow = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in S.blocked_near_dup_pairs_arrow(
+                emb, block_col="label", threshold=0.4
+            ).collect()
+        }
+        assert set(arrow) == set(jvm)
+        for k in jvm:
+            assert abs(arrow[k] - jvm[k]) < 1e-9, k
