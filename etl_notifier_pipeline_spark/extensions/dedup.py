@@ -286,6 +286,86 @@ def minhash_lsh_dedup(
     return pair_jaccard(hs, cand).filter(F.col("jaccard") >= threshold)
 
 
+def incremental_lsh_dedup(
+    hist: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    *,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    seed: int = 42,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus without re-pairing
+    the corpus with itself — the corpus-update operator: per batch doc,
+    how many historical near-dups it has and whether it is novel.
+
+    Candidates come from a band-key equi-join of the batch's LSH bands
+    against the historical bands — |batch| signature rows shuffle, the
+    historical side joins on narrow (band_idx, band_key) keys, and no
+    hist×hist or batch×batch pair is ever generated. At 100 TB the
+    historical band frame is the precomputed, bucketed-by-band-key
+    index a real pipeline maintains incrementally; each increment pays
+    one shingle/signature pass over the BATCH only (the whole point:
+    cost scales with the increment, not the corpus). Candidates are
+    verified with exact n-gram Jaccard (pair_jaccard) and reduced to a
+    per-batch-doc verdict; the best match ranks by (jaccard desc,
+    hist doc_id asc) via a struct max, deterministic on both engines.
+
+    Returns (doc_id, n_matches, best_match_id, best_jaccard, is_novel)
+    with one row per batch document.
+    """
+    family = minhash_family(n_hashes, seed)
+    hs_hist = hashed_shingle_sets(hist, text_col, n)
+    hs_batch = tracked_persist(hashed_shingle_sets(batch, text_col, n))
+    bands_h = lsh_bands(minhash_signature_from_sets(hs_hist, family), n_bands)
+    bands_b = lsh_bands(minhash_signature_from_sets(hs_batch, family), n_bands)
+    cand = (
+        bands_b.alias("b")
+        .join(
+            bands_h.alias("h"),
+            (F.col("b.band_idx") == F.col("h.band_idx"))
+            & (F.col("b.band_key") == F.col("h.band_key")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_a"), F.col("h.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = (
+        pair_jaccard(hs_batch.unionByName(hs_hist), cand)
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max(
+                F.struct(
+                    F.col("jaccard").alias("j"),
+                    (-F.col("doc_b")).alias("neg_id"),
+                )
+            ).alias("best"),
+        )
+        .select(
+            "doc_id",
+            "n_matches",
+            (-F.col("best.neg_id")).alias("best_match_id"),
+            F.col("best.j").alias("best_jaccard"),
+        )
+    )
+    return (
+        batch.select("doc_id")
+        .join(matches, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
+            "best_match_id",
+            "best_jaccard",
+            F.col("n_matches").isNull().alias("is_novel"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """SimHash: bit j of the signature is the majority vote of bit j
     over all token hashes (+1 if set, -1 if not). One narrow pass;

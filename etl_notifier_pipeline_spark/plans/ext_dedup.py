@@ -606,3 +606,71 @@ def x35_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cluster_size") - 1).cast("long").alias("docs_removed"),
         F.sum("chars_removed").cast("long").alias("chars_removed"),
     )
+
+
+# d13's batch predicate: a deterministic 1/7 slice of the corpus plays
+# the "newly arrived" increment; everything else is the historical
+# corpus. Mirrored literally in the oracle.
+D13_BATCH_MOD = 7
+D13_THRESHOLD = 0.5
+
+
+@register(
+    "d13_incremental_dedup",
+    category="dedup",
+    oracle=f"""
+WITH sig AS ({_SIG_SQL}),
+sig_bands AS (SELECT doc_id, {_BAND_KEYS} FROM sig),
+bands AS ({_BAND_UNION}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS doc_a, h.doc_id AS doc_b
+  FROM (SELECT * FROM bands WHERE doc_id % {D13_BATCH_MOD} = 0) b
+  JOIN (SELECT * FROM bands WHERE doc_id % {D13_BATCH_MOD} <> 0) h
+    ON b.band_idx = h.band_idx AND b.band_key = h.band_key
+),
+hset AS (SELECT doc_id, {_HASHED_SETS} AS hs FROM documents),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+           / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+           AS jaccard
+  FROM cand c
+  JOIN hset a ON a.doc_id = c.doc_a
+  JOIN hset b ON b.doc_id = c.doc_b
+),
+ranked AS (
+  SELECT doc_a, doc_b, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY doc_a
+                            ORDER BY jaccard DESC, doc_b) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_a) AS n_matches
+  FROM jac WHERE jaccard >= {D13_THRESHOLD}
+),
+m AS (
+  SELECT doc_a AS doc_id, n_matches, doc_b AS best_match_id,
+         jaccard AS best_jaccard
+  FROM ranked WHERE rn = 1
+)
+SELECT d.doc_id,
+       COALESCE(m.n_matches, 0) AS n_matches,
+       m.best_match_id,
+       m.best_jaccard,
+       m.doc_id IS NULL AS is_novel
+FROM (SELECT doc_id FROM documents WHERE doc_id % {D13_BATCH_MOD} = 0) d
+LEFT JOIN m ON m.doc_id = d.doc_id
+""",
+)
+def d13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus-update dedup: the 1/7 batch slice is checked
+    for near-duplicates against the 6/7 historical corpus via a
+    batch-bands x historical-bands LSH join — no hist x hist pairing
+    ever happens, so each increment costs one signature pass over the
+    BATCH plus a narrow band-key join against the (precomputable)
+    historical band index. One verdict row per batch doc: match count,
+    best historical match by (jaccard desc, id), novelty flag."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % D13_BATCH_MOD) == 0
+    return D.incremental_lsh_dedup(
+        d.filter(~is_batch), d.filter(is_batch), threshold=D13_THRESHOLD
+    )

@@ -642,3 +642,41 @@ class TestArrowSimilarityPathEquivalence:
         assert set(arrow) == set(jvm)
         for k in jvm:
             assert abs(arrow[k] - jvm[k]) < 1e-9, k
+
+
+def test_incremental_dedup_matches_full_cross_side_pairs(spark):
+    """d13 shape: the incremental batch-vs-historical match set must
+    equal the FULL-corpus LSH pair set restricted to cross-side pairs
+    (same hash family, same bands, same verify threshold) — the
+    increment loses nothing and invents nothing relative to a full
+    re-dedup. Novelty must be the exact complement of the match set."""
+    docs = load_table(spark, SF_DIR, "documents")
+    is_batch = (F.col("doc_id") % 7) == 0
+    hist, batch = docs.filter(~is_batch), docs.filter(is_batch)
+    inc = D.incremental_lsh_dedup(hist, batch, threshold=0.5).collect()
+
+    full = D.minhash_lsh_dedup(docs, threshold=0.5).collect()
+    cross = {}
+    for r in full:
+        a_batch = r["doc_a"] % 7 == 0
+        b_batch = r["doc_b"] % 7 == 0
+        if a_batch != b_batch:  # exactly one side in the batch
+            bid, hid = (
+                (r["doc_a"], r["doc_b"]) if a_batch else (r["doc_b"], r["doc_a"])
+            )
+            cross.setdefault(bid, []).append((r["jaccard"], hid))
+
+    assert {r["doc_id"] for r in inc} == {
+        r["doc_id"] for r in batch.select("doc_id").collect()
+    }
+    for r in inc:
+        expect = cross.get(r["doc_id"], [])
+        assert r["n_matches"] == len(expect)
+        assert r["is_novel"] == (not expect)
+        if expect:
+            best_j = max(j for j, _ in expect)
+            best_id = min(h for j, h in expect if j == best_j)
+            assert r["best_jaccard"] == best_j
+            assert r["best_match_id"] == best_id
+        else:
+            assert r["best_match_id"] is None and r["best_jaccard"] is None
