@@ -601,6 +601,68 @@ def q39_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q82_quantile_error_bound",
+    category="aggregation",
+    oracle="""
+SELECT event_type, p, COUNT(*) AS n,
+       TRUE AS is_element, TRUE AS within_bound
+FROM events, (SELECT unnest([0.5, 0.95, 0.99]) AS p) probs
+WHERE value IS NOT NULL
+GROUP BY event_type, p
+""",
+)
+def q82_quantile_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q39's quantile sketch with its error contract IN the result
+    (q81's pattern applied to Greenwald-Khanna): for each returned
+    percentile v, one extra fact pass counts rank brackets
+    lt = |value < v| and le = |value <= v|, and the result asserts
+    (a) v is an actual element of the group (le > lt — GK returns data
+    points, not interpolations) and (b) v's rank interval intersects
+    [floor((p-e)n)-1, ceil((p+e)n)+1] with e = 1/accuracy — the
+    sketch's published rank guarantee plus one rank of slack for the
+    rank-definition convention. The DuckDB oracle emits literal TRUE,
+    so the driver's value-hash compare fails iff the sketch breaks its
+    contract; raw estimates stay visible in rows-only q39.
+
+    Scale shape: the sketch pass is q39's (one mergeable GK buffer per
+    group serving all three percentiles); the verify pass broadcasts
+    the |groups| x 3 (p, v) frame and scans the fact once with
+    conditional-sum partial aggs — no sort, no window."""
+    probs, acc = [0.5, 0.95, 0.99], 10000
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    sk = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", probs, acc).alias("qs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pv = sk.select(
+        "event_type", "n", F.posexplode("qs").alias("i", "v")
+    ).withColumn(
+        "p", F.element_at(F.array(*[F.lit(p) for p in probs]), F.col("i") + 1)
+    )
+    ranks = (
+        ev.select("event_type", "value")
+        .join(F.broadcast(pv), "event_type")
+        .groupBy("event_type", "p", "n", "v")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("v"), 1).otherwise(0)).alias("lt"),
+            F.sum(F.when(F.col("value") <= F.col("v"), 1).otherwise(0)).alias("le"),
+        )
+    )
+    e = 1.0 / acc
+    lo = F.floor((F.col("p") - e) * F.col("n")) - 1
+    hi = F.ceil((F.col("p") + e) * F.col("n")) + 1
+    return ranks.select(
+        "event_type",
+        "p",
+        "n",
+        (F.col("le") > F.col("lt")).alias("is_element"),
+        ((F.col("lt") + 1 <= hi) & (F.col("le") >= lo)).alias("within_bound"),
+    )
+
+
+@register(
     "q63_value_window_family",
     category="window",
     oracle="""

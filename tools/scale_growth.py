@@ -34,6 +34,7 @@ GROWTH_QUERIES = [
     "d07_simhash_pairs",       # byte-banded SimHash match pairs
     "d06_dedup_clusters",      # connected components over the pair graph
     "s09_semantic_dedup",      # IVF-cell-blocked semantic survivors
+    "d13_incremental_dedup",   # batch-vs-corpus banded increment
     "x29_substring_dup_fraction",  # windowed shingle self-similarity
 ]
 
