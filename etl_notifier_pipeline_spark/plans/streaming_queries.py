@@ -518,3 +518,139 @@ def st13_streaming_summary_maintenance(
             "avg_value"
         ),
     )
+
+
+# st14's arrival schedule: four micro-batches, batch k = docs with
+# doc_id % 4 == k, arriving in k order (file mtimes force the file
+# source's oldest-first ordering). Mirrored literally in the oracle's
+# "earlier batch" predicate.
+ST14_N_BATCHES = 4
+ST14_THRESHOLD = 0.5
+
+
+def _st14_oracle() -> str:
+    from etl_notifier_pipeline_spark.plans import ext_dedup as XD
+
+    return f"""
+WITH sig AS ({XD._SIG_SQL}),
+sig_bands AS (SELECT doc_id, {XD._BAND_KEYS} FROM sig),
+bands AS ({XD._BAND_UNION}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND (l.doc_id % {ST14_N_BATCHES}) > (r.doc_id % {ST14_N_BATCHES})
+),
+hset AS (SELECT doc_id, {XD._HASHED_SETS} AS hs FROM documents),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+           / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+           AS jaccard
+  FROM cand c
+  JOIN hset a ON a.doc_id = c.doc_a
+  JOIN hset b ON b.doc_id = c.doc_b
+),
+ranked AS (
+  SELECT doc_a, doc_b, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY doc_a
+                            ORDER BY jaccard DESC, doc_b) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_a) AS n_matches
+  FROM jac WHERE jaccard >= {ST14_THRESHOLD}
+),
+m AS (
+  SELECT doc_a AS doc_id, n_matches, doc_b AS best_match_id,
+         jaccard AS best_jaccard
+  FROM ranked WHERE rn = 1
+)
+SELECT d.doc_id,
+       COALESCE(m.n_matches, 0) AS n_matches,
+       m.best_match_id,
+       m.best_jaccard,
+       m.doc_id IS NULL AS is_novel
+FROM documents d
+LEFT JOIN m ON m.doc_id = d.doc_id
+"""
+
+
+@register(
+    "st14_streaming_incremental_dedup",
+    category="streaming",
+    oracle=_st14_oracle(),
+)
+def st14_streaming_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-on-ingest: d13's incremental batch-vs-corpus LSH dedup
+    run inside a REAL foreachBatch stream. Documents arrive as four
+    genuine micro-batches (maxFilesPerTrigger=1, mtime-ordered files);
+    each batch is near-dup-checked against the corpus accumulated from
+    all EARLIER batches, its verdicts appended to a results store, and
+    its docs folded into the corpus store. The drained verdict table
+    must hash-equal a DuckDB twin that replays the whole arrival
+    schedule declaratively (matches allowed only where the candidate's
+    batch index is strictly smaller). Batch-id txn guard makes the
+    fold idempotent under foreachBatch's at-least-once replay.
+
+    Scale shape: per increment the corpus side contributes only its
+    (precomputable) band index to the join; signature work is
+    batch-sized, exactly the property that lets dedup keep up with an
+    ingest firehose at 100 TB corpus size."""
+    import os as _os
+    import tempfile
+
+    from etl_notifier_pipeline_spark.extensions import dedup as D
+    from etl_notifier_pipeline_spark.storage import TableStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="st14_")
+    src = f"{tmp}/src"
+    _os.makedirs(src)
+    now = int(__import__("time").time())
+    for k in range(ST14_N_BATCHES):
+        path = f"{src}/b{k}.parquet"
+        docs.filter(F.col("doc_id") % ST14_N_BATCHES == k).coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+        # file-source ordering is oldest-mtime-first: pin arrival order
+        for root, _dirs, files in _os.walk(path):
+            for fn in files:
+                _os.utime(_os.path.join(root, fn), (now + k, now + k))
+        _os.utime(path, (now + k, now + k))
+    schema = spark.read.parquet(f"{src}/b0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*.parquet")
+    )
+    store = TableStore(spark, f"{tmp}/store")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if store.exists("txn"):
+            if batch_id <= store.read("txn").head()[0]:
+                return  # replayed micro-batch: already folded
+        hist = (
+            store.read("corpus")
+            if store.exists("corpus")
+            else batch_df.limit(0)
+        )
+        verdict = D.incremental_lsh_dedup(
+            hist, batch_df, threshold=ST14_THRESHOLD
+        )
+        if store.exists("verdicts"):
+            verdict = store.read("verdicts").unionByName(verdict)
+        store.overwrite("verdicts", verdict)
+        store.overwrite("corpus", hist.unionByName(batch_df))
+        store.overwrite(
+            "txn",
+            spark.createDataFrame([(int(batch_id),)], "last_batch_id long"),
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return store.read("verdicts")

@@ -396,3 +396,28 @@ def test_exactly_once_failure_injection_store_write_then_crash(
     raw3 = spark.readStream.schema("value string").json(str(src))
     pipe.start(raw3, str(tmp_path / "ckpt")).awaitTermination()
     assert tmp_store.current_version("people") == v
+
+
+def test_st14_streaming_dedup_arrival_order_semantics(spark):
+    """st14 invariants: one verdict per document; batch-0 docs (no
+    earlier corpus) are all novel; every match points STRICTLY
+    backwards in arrival order with jaccard >= the gate threshold."""
+    from etl_notifier_pipeline_spark.plans import get as get_spec
+    from etl_notifier_pipeline_spark.plans.streaming_queries import (
+        ST14_N_BATCHES,
+        ST14_THRESHOLD,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = get_spec("st14_streaming_incremental_dedup").fn(spark, sf).collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        if r["doc_id"] % ST14_N_BATCHES == 0:
+            assert r["is_novel"] and r["n_matches"] == 0
+        if not r["is_novel"]:
+            assert r["best_jaccard"] >= ST14_THRESHOLD
+            assert (
+                r["best_match_id"] % ST14_N_BATCHES
+                < r["doc_id"] % ST14_N_BATCHES
+            )
