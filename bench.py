@@ -5,8 +5,9 @@ The headline set covers each operator family the engine claims: scan+
 agg (q01), star join (q05), window (q08), date rollup (q18), MERGE
 shape (m02), text tf (x02), two-phase global prefix-sum block packing
 (x22), minhash-LSH dedup (d04), connected-components dedup clusters
-(d06), cosine top-k (s01), IVF ANN (s04), sessionization (st03), and
-arbitrary-stateful running totals (st05).
+(d06), incremental batch-vs-corpus dedup (d13), cosine top-k (s01),
+IVF ANN (s04), sessionization (st03), and arbitrary-stateful running
+totals (st05).
 Results are materialized with the noop sink so timings measure
 compute, not driver transfer.
 
@@ -40,6 +41,7 @@ HEADLINE = [
     "x22_block_pack_spans",
     "d04_minhash_lsh_pairs",
     "d06_dedup_clusters",
+    "d13_incremental_dedup",
     "s01_cosine_topk",
     "s04_ivf_topk",
     "st03_session_window",

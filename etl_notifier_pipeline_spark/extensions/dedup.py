@@ -28,7 +28,12 @@ from etl_notifier_pipeline_spark.caching import tracked_persist
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_notifier_pipeline_spark.extensions.text import HASH_MOD, token_hash, tokens
+from etl_notifier_pipeline_spark.extensions.text import (
+    HASH_MOD,
+    token_hash,
+    token_hash_raw,
+    tokens,
+)
 
 # MinHash permutation family h_i(x) = (A[i]*x + B[i]) mod HASH_MOD —
 # x < HASH_MOD (< 2^30) and A[i] < HASH_MOD keep A*x < 2^60 inside
@@ -46,7 +51,13 @@ MINHASH_B = (
 N_HASHES = len(MINHASH_A)
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
-SIMHASH_BITS = 32
+# 60-bit SimHash (Manku et al.'s 64-bit design, sized to the md5-prefix
+# hash's 60 uniform bits): 4 bands of 15 bits = 32k buckets per band.
+# The first cut used 32 bits over the MOD-REDUCED token hash — bits
+# >= ~30 were degenerate, the top band had ~64 effective buckets, and
+# the candidate join went quadratic past ~100k docs (measured at sf10:
+# 900s for ~2B candidates). Growth is ~linear again at 60/15.
+SIMHASH_BITS = 60
 
 
 def minhash_family(
@@ -372,9 +383,12 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     ties (sum == 0) resolve to bit 0 — both conventions fixed so the
     oracle can replicate exactly."""
     # Same one-md5-per-token explode+agg shape as minhash_signature
-    # (32 inline folds would recompute the hash pipeline 32x).
+    # (60 inline folds would recompute the hash pipeline 60x). The RAW
+    # 60-bit hash, not the mod-reduced one: every voted bit position
+    # must be uniform (see token_hash_raw).
     exploded = df.select(
-        "doc_id", F.explode_outer(F.transform(tokens(text_col), token_hash)).alias("h")
+        "doc_id",
+        F.explode_outer(F.transform(tokens(text_col), token_hash_raw)).alias("h"),
     )
     votes = [
         F.sum(
@@ -402,15 +416,19 @@ def simhash_pairs(
     n_bands: int = 4,
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 32-bit signature into
-    ``n_bands`` byte-sized keys, equi-join on (band_idx, band_value)
+    """SimHash near-dup pairs: band the 60-bit signature into
+    ``n_bands`` 15-bit keys, equi-join on (band_idx, band_value)
     for candidates (pigeonhole: any pair within ``max_hamming`` <
     ``n_bands`` bit flips shares at least one unchanged band), then
     verify hamming distance via ``bit_count(xor)`` in-row.
 
     Scale shape: identical to MinHash banding — the candidate shuffle
-    carries (band_idx, one byte, doc_id); signatures are 8 bytes; text
-    never moves. All JVM-side bit arithmetic, oracle-checkable."""
+    carries (band_idx, two bytes, doc_id); signatures are 8 bytes;
+    text never moves. All JVM-side bit arithmetic, oracle-checkable.
+    Band width is the scale lever: expected candidates per band are
+    ~n²/2^width, so 15-bit bands keep a 500k-doc corpus at ~8 docs
+    per bucket where the old 8-bit bands put ~2000 (and the top band,
+    fed by degenerate high bits, ~8000 — the measured sf10 blowup)."""
     if max_hamming >= n_bands:
         raise ValueError(
             f"pigeonhole guarantee needs max_hamming < n_bands "

@@ -189,7 +189,10 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(d, threshold=0.5)
 
 
-# SimHash signature SQL, reusable (d05 emits it; d07 bands it).
+# SimHash signature SQL, reusable (d05 emits it; d07 bands it). Votes
+# run over the RAW 60-bit md5-prefix hash — no modulus — mirroring
+# token_hash_raw (the mod-reduced hash has degenerate high bits).
+DUCK_HASH_RAW = "('0x'||substr(md5({x}),1,15))::BIGINT"
 _SIMHASH_SQL = f"""
 SELECT doc_id,
        {" + ".join(
@@ -200,7 +203,7 @@ SELECT doc_id,
     )} AS simhash
 FROM (SELECT doc_id,
              list_transform(string_split(text, ' '),
-                            x -> {DUCK_HASH.format(x='x')}) AS hs
+                            x -> {DUCK_HASH_RAW.format(x='x')}) AS hs
       FROM documents)
 """
 

@@ -58,11 +58,29 @@ def main() -> None:
         for name in GROWTH_QUERIES:
             fn = plans.get(name).fn
             t0 = time.perf_counter()
-            rows = fn(spark, sf_dir).count()
+            try:
+                rows = fn(spark, sf_dir).count()
+            except Exception as exc:  # record the failure, keep sweeping
+                wall = time.perf_counter() - t0
+                out[sf_dir][name] = {
+                    "sec": round(wall, 3),
+                    "rows": None,
+                    "err": type(exc).__name__,
+                }
+                print(f"{sf_dir} {name}: FAILED {type(exc).__name__} "
+                      f"after {wall:.2f}s", flush=True)
+                caching.release_all()
+                continue
             wall = time.perf_counter() - t0
             caching.release_all()
             out[sf_dir][name] = {"sec": round(wall, 3), "rows": rows}
             print(f"{sf_dir} {name}: {rows:,} rows in {wall:.2f}s", flush=True)
+            if json_out:  # partial results survive a crash
+                with open(json_out, "w") as f:
+                    json.dump(
+                        {"metric": "scale_growth", "results": out}, f,
+                        indent=1, sort_keys=True,
+                    )
     doc = {"metric": "scale_growth", "results": out}
     print(json.dumps(doc))
     if json_out:
