@@ -106,10 +106,17 @@ def best_of(n: int, fn) -> float:
     return round(best, 4)
 
 
-def duckdb_twin_times(sf_dir: str, names: list[str]) -> dict[str, float | None]:
+def duckdb_twin_times(
+    sf_dir: str,
+    names: list[str],
+    n_runs: int = N_RUNS,
+    warm: bool = True,
+) -> dict[str, float | None]:
     """Best-of-N DuckDB wall time per headline query (registry oracle,
     else the TWIN_SQL comparable), same warm+measure protocol as the
-    Spark side."""
+    Spark side. Scale harnesses pass n_runs=1, warm=False — at sfN a
+    multi-minute recursive CTE doesn't need JIT warm-up to be fairly
+    timed, and 4x executions would dominate the run."""
     import duckdb
 
     from etl_notifier_pipeline_spark.catalog import TABLES, table_path
@@ -126,8 +133,9 @@ def duckdb_twin_times(sf_dir: str, names: list[str]) -> dict[str, float | None]:
         if not oracle:
             out[name] = None
             continue
-        con.execute(oracle).fetchall()  # warm
-        out[name] = best_of(N_RUNS, lambda: con.execute(oracle).fetchall())
+        if warm:
+            con.execute(oracle).fetchall()
+        out[name] = best_of(n_runs, lambda: con.execute(oracle).fetchall())
     return out
 
 

@@ -119,7 +119,11 @@ def main() -> None:
             f"spillDisk={best_m['diskBytesSpilled']/1e6:.0f}MB",
             flush=True,
         )
-    duck = {} if no_duck else bench.duckdb_twin_times(sf_dir, names)
+    duck = (
+        {}
+        if no_duck
+        else bench.duckdb_twin_times(sf_dir, names, n_runs=n_runs, warm=False)
+    )
     spark_total = sum(v["sec"] for v in out.values())
     spark_paired = sum(
         v["sec"] for n, v in out.items() if duck.get(n) is not None

@@ -59,7 +59,14 @@ def main() -> None:
             fn = plans.get(name).fn
             t0 = time.perf_counter()
             try:
-                rows = fn(spark, sf_dir).count()
+                # noop write, not count(): count() lets Catalyst prune
+                # un-consumed subtrees (d13's left join vanished and
+                # "ran" in 0.7s at every scale); the noop sink forces
+                # every column of the real plan.
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                wall = time.perf_counter() - t0
+                rows = df.count()
             except Exception as exc:  # record the failure, keep sweeping
                 wall = time.perf_counter() - t0
                 out[sf_dir][name] = {
@@ -71,7 +78,6 @@ def main() -> None:
                       f"after {wall:.2f}s", flush=True)
                 caching.release_all()
                 continue
-            wall = time.perf_counter() - t0
             caching.release_all()
             out[sf_dir][name] = {"sec": round(wall, 3), "rows": rows}
             print(f"{sf_dir} {name}: {rows:,} rows in {wall:.2f}s", flush=True)

