@@ -328,7 +328,13 @@ def incremental_lsh_dedup(
     with one row per batch document.
     """
     family = minhash_family(n_hashes, seed)
-    hs_hist = hashed_shingle_sets(hist, text_col, n)
+    # Both shingle frames persist: each feeds its band leg AND the
+    # pair-verify union, and the md5 pipeline is the expensive pass
+    # (measured at 500k docs: the unpersisted hist side re-hashed 6/7
+    # of the corpus and doubled d13's wall time). On a cluster the
+    # hist side is the precomputed band/shingle index a real pipeline
+    # maintains; the persist is the local stand-in.
+    hs_hist = tracked_persist(hashed_shingle_sets(hist, text_col, n))
     hs_batch = tracked_persist(hashed_shingle_sets(batch, text_col, n))
     bands_h = lsh_bands(minhash_signature_from_sets(hs_hist, family), n_bands)
     bands_b = lsh_bands(minhash_signature_from_sets(hs_batch, family), n_bands)

@@ -103,6 +103,11 @@ def main() -> None:
     out: dict[str, dict] = {}
     for name in names:
         fn = plans.get(name).fn
+        # Warm once (bench.py protocol): with --runs 1 the single
+        # measured run otherwise pays first-touch parquet footer reads
+        # and JIT, which at sfN swamped real differences (q01 cold
+        # 11.5s vs warm 4.0s on identical plans).
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best_wall, best_m = None, None
         for _ in range(n_runs):
             wall, m = measured_run(spark, fn, sf_dir)
