@@ -663,6 +663,40 @@ def q82_quantile_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q83_approx_distinct_error_bound",
+    category="aggregation",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+""",
+)
+def q83_approx_distinct_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q28's HLL++ estimator with its error contract IN the result
+    (q81/q82's pattern, completing the approximate-family trio): the
+    estimate must land within |est - exact| <= max(5, 4 * rsd * exact)
+    for rsd = 0.02 — a 4-sigma envelope, so a pass is an accuracy
+    statement about the sketch, not a tautology — and the DuckDB twin
+    emits the exact counts plus literal TRUE. Raw estimates stay
+    visible in rows-only q28.
+
+    Scale shape: q28's — one mergeable HLL++ buffer per group, map-side
+    partial merge; the exact countDistinct rides the same shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    rsd = 0.02
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("est"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    err = F.abs(F.col("est") - F.col("exact"))
+    bound = F.greatest(F.lit(5.0), F.lit(4 * rsd) * F.col("exact"))
+    return agg.select(
+        "event_type", "exact", (err <= bound).alias("within_bound")
+    )
+
+
+@register(
     "q63_value_window_family",
     category="window",
     oracle="""
