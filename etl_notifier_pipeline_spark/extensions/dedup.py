@@ -51,13 +51,16 @@ MINHASH_B = (
 N_HASHES = len(MINHASH_A)
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
-# 60-bit SimHash (Manku et al.'s 64-bit design, sized to the md5-prefix
-# hash's 60 uniform bits): 4 bands of 15 bits = 32k buckets per band.
-# The first cut used 32 bits over the MOD-REDUCED token hash — bits
-# >= ~30 were degenerate, the top band had ~64 effective buckets, and
-# the candidate join went quadratic past ~100k docs (measured at sf10:
-# 900s for ~2B candidates). Growth is ~linear again at 60/15.
-SIMHASH_BITS = 60
+# 64-bit SimHash (Manku et al.), 4 bands x 16 bits = 65k buckets per
+# band. Two prior widths were measured into retirement: 32 bits over
+# the MOD-REDUCED token hash (bits >= ~30 degenerate, top band ~64
+# effective buckets, ~2B candidates / 900s at 500k docs), then 60
+# bits / 15-bit bands (linear to 500k docs, but ~46 docs per bucket
+# at 1.5M docs stepped d07 11x for 3x data). Candidates scale
+# ~n^2/2^width per band — width must lead corpus growth. Bits 0-59
+# come from the first md5 half, 60-63 from the second; md5 runs ONCE
+# per token and both halves are plain substrings of it.
+SIMHASH_BITS = 64
 
 
 def minhash_family(
@@ -389,17 +392,39 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     ties (sum == 0) resolve to bit 0 — both conventions fixed so the
     oracle can replicate exactly."""
     # Same one-md5-per-token explode+agg shape as minhash_signature
-    # (60 inline folds would recompute the hash pipeline 60x). The RAW
-    # 60-bit hash, not the mod-reduced one: every voted bit position
-    # must be uniform (see token_hash_raw).
-    exploded = df.select(
-        "doc_id",
-        F.explode_outer(F.transform(tokens(text_col), token_hash_raw)).alias("h"),
+    # (64 inline folds would recompute the hash pipeline 64x). md5 is
+    # hashed once per token; the low 60 voted bits read the first 15
+    # hex chars, the top 4 the 16th — RAW bits, not mod-reduced ones:
+    # every voted position must be uniform (see token_hash_raw).
+    # Two chained transforms: md5 once per token, then both halves
+    # converted IN-ROW so the explode ships 16-byte (lo, hi) structs,
+    # not 32-char hex strings (first cut exploded the strings and
+    # converted post-explode — +80% on the signature pass at 500k
+    # docs, explode volume being the cost that scales).
+    halves = F.transform(
+        F.transform(tokens(text_col), F.md5),
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint").alias("lo"),
+            F.conv(F.substring(m, 16, 1), 16, 10).cast("bigint").alias("hi"),
+        ),
     )
+    exploded = df.select(
+        "doc_id", F.explode_outer(halves).alias("h")
+    ).select(
+        "doc_id",
+        F.col("h.lo").alias("h_lo"),
+        F.col("h.hi").alias("h_hi"),
+    )
+
+    def bit(j: int):
+        if j < 60:
+            return F.shiftright(F.col("h_lo"), j).bitwiseAND(1)
+        return F.shiftright(F.col("h_hi"), j - 60).bitwiseAND(1)
+
     votes = [
         F.sum(
-            F.when(F.col("h").isNull(), 0)
-            .when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1)
+            F.when(F.col("h_lo").isNull(), 0)
+            .when(bit(j) == 1, 1)
             .otherwise(-1)
         ).alias(f"v_{j}")
         for j in range(SIMHASH_BITS)
@@ -407,7 +432,11 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     per_doc = exploded.groupBy("doc_id").agg(*votes)
     sig = None
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v_{j}") > 0, F.lit(2 ** j).cast("bigint")).otherwise(
+        # Bit 63's weight is Long.MIN_VALUE (2^63 has no positive
+        # int64 form); it is added LAST, so every intermediate sum
+        # stays inside int64 on both engines — no wraparound relied on.
+        weight = F.lit(-(2 ** 63) if j == 63 else 2 ** j).cast("bigint")
+        term = F.when(F.col(f"v_{j}") > 0, weight).otherwise(
             F.lit(0).cast("bigint")
         )
         sig = term if sig is None else sig + term
@@ -422,8 +451,8 @@ def simhash_pairs(
     n_bands: int = 4,
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 60-bit signature into
-    ``n_bands`` 15-bit keys, equi-join on (band_idx, band_value)
+    """SimHash near-dup pairs: band the 64-bit signature into
+    ``n_bands`` 16-bit keys, equi-join on (band_idx, band_value)
     for candidates (pigeonhole: any pair within ``max_hamming`` <
     ``n_bands`` bit flips shares at least one unchanged band), then
     verify hamming distance via ``bit_count(xor)`` in-row.
@@ -432,9 +461,11 @@ def simhash_pairs(
     carries (band_idx, two bytes, doc_id); signatures are 8 bytes;
     text never moves. All JVM-side bit arithmetic, oracle-checkable.
     Band width is the scale lever: expected candidates per band are
-    ~n²/2^width, so 15-bit bands keep a 500k-doc corpus at ~8 docs
-    per bucket where the old 8-bit bands put ~2000 (and the top band,
-    fed by degenerate high bits, ~8000 — the measured sf10 blowup)."""
+    ~n²/2^width — 16-bit bands keep a 1.5M-doc corpus at ~23 docs per
+    bucket where the original 8-bit bands put ~6000 (and the top band,
+    fed by degenerate mod-reduced bits, ~4x that — the measured sf10
+    blowup). The band mask neutralizes shiftright's sign extension on
+    the bit-63 band."""
     if max_hamming >= n_bands:
         raise ValueError(
             f"pigeonhole guarantee needs max_hamming < n_bands "

@@ -190,20 +190,32 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # SimHash signature SQL, reusable (d05 emits it; d07 bands it). Votes
-# run over the RAW 60-bit md5-prefix hash — no modulus — mirroring
-# token_hash_raw (the mod-reduced hash has degenerate high bits).
+# run over RAW md5 bits — no modulus — mirroring the engine: bits 0-59
+# from the first 15 hex chars (hs_lo), bits 60-63 from the 16th
+# (hs_hi). Bit 63's weight is int64 min, added last so intermediate
+# sums never leave int64 (DuckDB BIGINT overflow raises).
 DUCK_HASH_RAW = "('0x'||substr(md5({x}),1,15))::BIGINT"
+_DUCK_HASH_HI = "('0x'||substr(md5({x}),16,1))::BIGINT"
+
+
+def _sim_term(j: int) -> str:
+    src, bit = ("hs_lo", j) if j < 60 else ("hs_hi", j - 60)
+    weight = "(-9223372036854775807 - 1)" if j == 63 else f"{2**j}::BIGINT"
+    return (
+        f"(CASE WHEN list_reduce(list_transform({src}, "
+        f"h -> CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END), "
+        f"(a, b) -> a + b) > 0 THEN {weight} ELSE 0 END)"
+    )
+
+
 _SIMHASH_SQL = f"""
 SELECT doc_id,
-       {" + ".join(
-        f"(CASE WHEN list_reduce(list_transform(hs, "
-        f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END), "
-        f"(a, b) -> a + b) > 0 THEN {2**j}::BIGINT ELSE 0 END)"
-        for j in range(D.SIMHASH_BITS)
-    )} AS simhash
+       {" + ".join(_sim_term(j) for j in range(D.SIMHASH_BITS))} AS simhash
 FROM (SELECT doc_id,
              list_transform(string_split(text, ' '),
-                            x -> {DUCK_HASH_RAW.format(x='x')}) AS hs
+                            x -> {DUCK_HASH_RAW.format(x='x')}) AS hs_lo,
+             list_transform(string_split(text, ' '),
+                            x -> {_DUCK_HASH_HI.format(x='x')}) AS hs_hi
       FROM documents)
 """
 
