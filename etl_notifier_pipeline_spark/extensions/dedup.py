@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 from etl_notifier_pipeline_spark.extensions.text import (
     HASH_MOD,
     token_hash,
-    token_hash_raw,
     tokens,
 )
 
@@ -395,7 +394,8 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     # (64 inline folds would recompute the hash pipeline 64x). md5 is
     # hashed once per token; the low 60 voted bits read the first 15
     # hex chars, the top 4 the 16th — RAW bits, not mod-reduced ones:
-    # every voted position must be uniform (see token_hash_raw).
+    # every voted position must be uniform (the mod-reduced token_hash
+    # leaves bits >= ~30 degenerate; see the SIMHASH_BITS history).
     # Two chained transforms: md5 once per token, then both halves
     # converted IN-ROW so the explode ships 16-byte (lo, hi) structs,
     # not 32-char hex strings (first cut exploded the strings and

@@ -39,16 +39,6 @@ def token_hash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % HASH_MOD
 
 
-def token_hash_raw(col: Column) -> Column:
-    """Full 60-bit md5-prefix hash, UNreduced. SimHash votes on every
-    bit position, so it needs all of them uniform — the mod-reduced
-    ``token_hash`` leaves bits >= ~30 degenerate (HASH_MOD < 2^30),
-    which silently shrank SimHash's top band key space to ~64 buckets
-    and made the banded candidate join quadratic past ~100k docs
-    (measured: d07 at 500k docs spent 900s on ~2B candidates)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
-
-
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
