@@ -113,10 +113,10 @@ def duckdb_twin_times(
     warm: bool = True,
 ) -> dict[str, float | None]:
     """Best-of-N DuckDB wall time per headline query (registry oracle,
-    else the TWIN_SQL comparable), same warm+measure protocol as the
-    Spark side. Scale harnesses pass n_runs=1, warm=False — at sfN a
-    multi-minute recursive CTE doesn't need JIT warm-up to be fairly
-    timed, and 4x executions would dominate the run."""
+    else the TWIN_SQL comparable). Callers MUST mirror the Spark
+    side's protocol: pass the same warm flag and n_runs the Spark runs
+    used, or the published ratio compares a warm engine to a cold one
+    (the r5 asymmetry: scale_bench warmed Spark but not DuckDB)."""
     import duckdb
 
     from etl_notifier_pipeline_spark.catalog import TABLES, table_path

@@ -61,6 +61,13 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 # per token and both halves are plain substrings of it.
 SIMHASH_BITS = 64
 
+# Diagnostics from the most recent clustering call in this process:
+# {"algorithm": str, "rounds": int, "fell_back": bool}. Written by
+# dedup_clusters / two_phase_components so scale harnesses can record
+# WHY a run cost what it did (label-prop round count is the first
+# question when wall time steps superlinearly).
+LAST_CLUSTER_STATS: dict = {}
+
 
 def minhash_family(
     n_hashes: int = N_HASHES, seed: int = 42
@@ -443,6 +450,48 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return per_doc.select("doc_id", sig.alias("simhash"))
 
 
+def _block_widths(bits: int, n_blocks: int) -> list[int]:
+    """Split ``bits`` into ``n_blocks`` near-even widths (wider first)."""
+    base, extra = divmod(bits, n_blocks)
+    return [base + (1 if i < extra else 0) for i in range(n_blocks)]
+
+
+def simhash_band_plan(
+    n_docs: int, *, max_hamming: int = 3, bits: int = SIMHASH_BITS
+) -> int:
+    """Corpus-adaptive block count for :func:`simhash_pairs` — the
+    scale lever the measured growth ladder demanded (16-bit bands
+    saturate at ~2^16 docs/band: d07 stepped 103.8 s -> 255.1 s across
+    sf30 -> sf100 on exactly this law).
+
+    The generalized Manku multi-block scheme splits the signature into
+    ``m`` blocks and joins on every combination of ``m - max_hamming``
+    blocks (C(m, max_hamming) keys/doc): ``max_hamming`` flips touch
+    at most ``max_hamming`` blocks, so at least one combination is
+    fully unchanged — recall stays exact for any ``m > max_hamming``.
+    Random collisions per combo scale ~n²/2^w where w is the combo key
+    width = sum of its block widths; this picks the smallest ``m``
+    whose minimum combo width satisfies ``2^w >= n_docs`` (expected
+    spurious candidates <= ~1 per doc per combo). Growing ``m`` trades
+    a small linear cost (C(m, max_hamming) band rows per doc: 4 -> 10
+    -> 20 ...) against the quadratic bucket-saturation cliff — a
+    config derived from corpus size, never an incident.
+
+    m=4 (the frozen oracle-paired default) up to 65 k docs; m=5 (combo
+    width 25) to 33 M; m=6 (31) to 2 G docs; the 100 TB regime lands
+    at m=7-8 with <= 70 band rows/doc."""
+    m = max_hamming + 1
+    while True:
+        widths = _block_widths(bits, m)
+        combo_w = sum(sorted(widths)[: m - max_hamming])
+        # combo width grows toward `bits` as m grows; stop when the
+        # key space covers the corpus (or the scheme runs out of bits
+        # — blocks of width < 2 can't subdivide further usefully).
+        if 2**combo_w >= n_docs or min(widths) <= 2:
+            return m
+        m += 1
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -450,34 +499,61 @@ def simhash_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     bits: int = SIMHASH_BITS,
+    n_docs: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit signature into
-    ``n_bands`` 16-bit keys, equi-join on (band_idx, band_value)
-    for candidates (pigeonhole: any pair within ``max_hamming`` <
-    ``n_bands`` bit flips shares at least one unchanged band), then
-    verify hamming distance via ``bit_count(xor)`` in-row.
+    """SimHash near-dup pairs: split the 64-bit signature into
+    ``n_bands`` blocks, equi-join on every ``n_bands - max_hamming``
+    block combination (pigeonhole: any pair within ``max_hamming``
+    bit flips leaves at least one combination unchanged), then verify
+    hamming distance via ``bit_count(xor)`` in-row. With the default
+    ``n_bands=4, max_hamming=3`` the combinations are single blocks —
+    the classic 4x16-bit banding. Pass ``n_docs`` to let
+    :func:`simhash_band_plan` widen the join keys with corpus size
+    (combination keys of 2+ blocks), keeping expected random
+    collisions ~linear; the final pair set is IDENTICAL under every
+    valid plan because candidates are verified against the full
+    signature, so adaptivity never costs parity.
 
-    Scale shape: identical to MinHash banding — the candidate shuffle
-    carries (band_idx, two bytes, doc_id); signatures are 8 bytes;
-    text never moves. All JVM-side bit arithmetic, oracle-checkable.
-    Band width is the scale lever: expected candidates per band are
-    ~n²/2^width — 16-bit bands keep a 1.5M-doc corpus at ~23 docs per
-    bucket where the original 8-bit bands put ~6000 (and the top band,
-    fed by degenerate mod-reduced bits, ~4x that — the measured sf10
-    blowup). The band mask neutralizes shiftright's sign extension on
-    the bit-63 band."""
+    Scale shape: the candidate shuffle carries (combo_idx, <=8-byte
+    key, doc_id); signatures are 8 bytes; text never moves. All
+    JVM-side bit arithmetic, oracle-checkable. Key width is the scale
+    lever: expected candidates per combo are ~n²/2^width — the
+    measured d07 ladder (10.5 s @ 500 k -> 103.8 s @ 1.5 M -> 255.1 s
+    @ 5 M docs on 16-bit keys; 2^16 buckets saturate) is the law this
+    parameterization prices. Masks neutralize shiftright's sign
+    extension on the bit-63 block."""
     if max_hamming >= n_bands:
         raise ValueError(
             f"pigeonhole guarantee needs max_hamming < n_bands "
             f"(got {max_hamming} >= {n_bands})"
         )
-    band_width = bits // n_bands
-    mask = (1 << band_width) - 1
+    if n_docs is not None:
+        n_bands = simhash_band_plan(
+            n_docs, max_hamming=max_hamming, bits=bits
+        )
+    import itertools
+
+    widths = _block_widths(bits, n_bands)
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
+    combo_size = n_bands - max_hamming
+    combos = list(itertools.combinations(range(n_bands), combo_size))
+
+    def combo_key(combo: tuple[int, ...]) -> Column:
+        """Fold the combo's block values into one long (total width
+        < 64 whenever combo_size < n_bands, so no overflow)."""
+        expr = None
+        for b in combo:
+            bv = F.shiftright(F.col("simhash"), offsets[b]).bitwiseAND(
+                F.lit((1 << widths[b]) - 1)
+            )
+            expr = bv if expr is None else F.shiftleft(expr, widths[b]).bitwiseOR(bv)
+        return expr
+
     sig = simhash(df, text_col)
     # Persisted: the self-join's two legs are the SAME banded frame,
     # but Spark's exchange reuse does not fire across the non-equi
     # join shape — without the persist the whole signature pass
-    # (explode + 32-vote aggregation over every token) runs twice.
+    # (explode + 64-vote aggregation over every token) runs twice.
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -485,12 +561,10 @@ def simhash_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("simhash"), b * band_width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
+                        F.lit(ci).alias("band_idx"),
+                        combo_key(c).alias("band_val"),
                     )
-                    for b in range(n_bands)
+                    for ci, c in enumerate(combos)
                 ]
             )
         ).alias("b"),
@@ -569,7 +643,9 @@ def two_phase_components(
     )
     edges = _canon_edges(e).localCheckpoint()
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # large-star over the symmetric adjacency
         sym = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -599,6 +675,9 @@ def two_phase_components(
         if changed == 0:
             converged = True
             break
+    LAST_CLUSTER_STATS.update(
+        {"algorithm": "two_phase", "rounds": rounds, "fell_back": False}
+    )
     if not converged:
         raise RuntimeError(
             f"two_phase_components did not converge in {max_iter} "
@@ -664,7 +743,9 @@ def dedup_clusters(
         edges.select("u").distinct().withColumn("label", F.col("u")).localCheckpoint()
     )
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr_min = (
             edges.join(
                 labels.select(F.col("u").alias("v"), F.col("label").alias("nl")), "v"
@@ -692,13 +773,18 @@ def dedup_clusters(
         if changed == 0:
             converged = True
             break
+    LAST_CLUSTER_STATS.update(
+        {"algorithm": "label_prop", "rounds": rounds, "fell_back": False}
+    )
     if not converged:
         if algorithm == "auto":
             # A partially-propagated result would silently split one
             # component into several cluster_ids — never return it.
             # The diameter has outrun max_iter, which is exactly the
             # graph shape the two-phase rewrite is built for.
-            return two_phase_components(pairs, a_col, b_col)
+            out = two_phase_components(pairs, a_col, b_col)
+            LAST_CLUSTER_STATS["fell_back"] = True
+            return out
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iter} rounds "
             "(component diameter exceeds max_iter); raise max_iter or "

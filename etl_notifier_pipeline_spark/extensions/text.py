@@ -371,14 +371,21 @@ def substring_dup_stats(
     Scale shape: ONE scan of the corpus (the text column and the
     substring/md5 compute never run twice — a self-join frequency
     lookup would rescan). The shingle frame carries only (doc_id,
-    8-byte hash); a (h, doc_id) pre-aggregation gives per-doc
-    occurrence counts, a count-over-h window gives cross-doc frequency
-    on the already-h-clustered rows, and the per-doc rollup is the
-    final narrow shuffle. n^2 never appears — duplication is detected
-    by grouping, not pairing (cf. reference has no dedup at all;
-    capability mandated by BASELINE.json north star).
+    8-byte hash). Cross-doc duplication is computed WITHOUT a window:
+    a count-over-h window sorts the full shingle frame per partition,
+    and at 5 M docs that sort spilled 43 GB memory / 8 GB disk
+    (measured, sf100 diagnosis run) — the only spilling stage in the
+    whole growth ladder. Instead, use the complement identity
+    ``n_dup = n_shingles - sum(k over hashes this doc owns alone)``:
+    a hash whose doc-count is 1 belongs to exactly one doc, so one
+    groupBy(h) aggregation captures (n_docs, owner, k) and the
+    nd == 1 slice re-aggregates by owner. Two hash aggregations with
+    map-side partial combine, no sort anywhere; the join-back frame is
+    doc-sized, not shingle-sized. n^2 never appears — duplication is
+    detected by grouping, not pairing (cf. reference has no dedup at
+    all; capability mandated by BASELINE.json north star).
     """
-    from pyspark.sql import Window as W
+    from etl_notifier_pipeline_spark.caching import tracked_persist
 
     text = F.col(text_col)
     shingles = (
@@ -397,15 +404,33 @@ def substring_dup_stats(
             token_hash(F.col("__t").substr(F.col("pos"), F.lit(width))).alias("h"),
         )
     )
-    counts = shingles.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("k"))
-    nd = F.count(F.lit(1)).over(W.partitionBy("h"))  # distinct docs per hash
-    dup_k = F.when(F.col("nd") > 1, F.col("k")).otherwise(F.lit(0))
+    # (h, doc_id, k): persisted because BOTH rollups below consume it
+    # and recomputing means re-hashing the corpus. Narrow: 24 B/row.
+    counts = tracked_persist(
+        shingles.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("k"))
+    )
+    per_h = counts.groupBy("h").agg(
+        F.count(F.lit(1)).alias("nd"),          # docs containing h
+        F.min("doc_id").alias("owner"),          # THE doc when nd == 1
+        F.sum("k").alias("k_total"),             # its k when nd == 1
+    )
+    uniq = (
+        per_h.filter(F.col("nd") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.sum("k_total").alias("n_uniq"))
+    )
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_shingles")
+    )
     return (
-        counts.withColumn("nd", nd)
-        .groupBy("doc_id")
-        .agg(
-            F.sum("k").cast("long").alias("n_shingles"),
-            F.sum(dup_k).cast("long").alias("n_dup_shingles"),
+        totals.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            (
+                F.col("n_shingles")
+                - F.coalesce(F.col("n_uniq"), F.lit(0))
+            ).cast("long").alias("n_dup_shingles"),
         )
         .select(
             "doc_id",

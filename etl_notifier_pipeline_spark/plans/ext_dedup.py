@@ -322,12 +322,17 @@ SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
 """,
 )
 def d07_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: byte-band the 32-bit signature for
-    candidates (pigeonhole: hamming <= 3 < 4 bands guarantees a shared
-    band), verify with in-row bit_count(xor). The banding/verify split
-    mirrors MinHash-LSH with 8-byte signatures instead of 16 minima."""
+    """SimHash near-dup pairs: band the 64-bit signature (4x16-bit
+    blocks at fixture scale) for candidates (pigeonhole: hamming <= 3
+    < 4 blocks guarantees a shared block), verify with in-row
+    bit_count(xor). The banding/verify split mirrors MinHash-LSH with
+    8-byte signatures instead of 16 minima. ``n_docs`` (a parquet
+    metadata-only count) lets simhash_band_plan widen the join keys
+    as the corpus grows — the output is invariant to the plan because
+    every candidate is verified against the full signature, so the
+    DuckDB oracle (frozen 4x16 banding) stays bit-exact at any scale."""
     d = load_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(d, max_hamming=3)
+    return D.simhash_pairs(d, max_hamming=3, n_docs=d.count())
 
 
 @register(

@@ -301,6 +301,40 @@ def test_simhash_pairs_pigeonhole_guard(spark):
     assert [(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
 
 
+def test_simhash_band_plan_ladder():
+    # frozen default regime: small corpora keep the 4x16 banding
+    assert D.simhash_band_plan(5_000) == 4
+    assert D.simhash_band_plan(65_536) == 4
+    # m=5 -> min combo width 25 bits -> covers up to 2^25 docs
+    assert D.simhash_band_plan(500_000) == 5
+    assert D.simhash_band_plan(5_000_000) == 5
+    # m=6 -> min combo width 31 bits
+    assert D.simhash_band_plan(100_000_000) == 6
+    # monotone: more docs never narrows the plan
+    plans = [D.simhash_band_plan(10**e) for e in range(3, 13)]
+    assert plans == sorted(plans)
+    # bounded even for absurd corpus sizes (blocks can't shrink < 2)
+    assert D.simhash_band_plan(10**30) < D.SIMHASH_BITS
+
+
+def test_simhash_pairs_adaptive_plan_matches_frozen(spark):
+    """The multi-block combo plan must return the IDENTICAL pair set
+    as the frozen 4x16 banding — candidates are verified against the
+    full signature, so banding is a pure performance knob."""
+    docs = load_table(spark, SF_DIR, "documents").limit(300)
+    frozen = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    for m in (5, 6, 7):
+        adaptive = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in D.simhash_pairs(docs, max_hamming=3, n_bands=m).collect()
+        }
+        assert adaptive == frozen, f"n_bands={m} changed the pair set"
+    assert frozen  # non-vacuous: fixture contains near-dups
+
+
 def test_tfidf_rare_term_outranks_common(spark):
     from etl_notifier_pipeline_spark.extensions.text import tfidf_top_terms
 

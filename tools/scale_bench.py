@@ -36,6 +36,7 @@ METRIC_FIELDS = (
     "shuffleWriteBytes",
     "memoryBytesSpilled",
     "diskBytesSpilled",
+    "executorRunTime",
 )
 
 
@@ -58,18 +59,44 @@ def _stages(spark) -> dict[int, dict]:
     }
 
 
+def _gc_and_heap(spark) -> tuple[int, int]:
+    """(total JVM GC ms across executors, peak JVM heap bytes).
+
+    GC time is cumulative per executor — diff it around a run. Peak
+    heap is a high-water mark, not diffable, but still tells whether a
+    run operated near the heap ceiling (the GC-thrash regime)."""
+    app_id = spark.sparkContext.applicationId
+    try:
+        execs = _api(spark, f"applications/{app_id}/executors")
+    except Exception:
+        return 0, 0
+    gc = sum(int(e.get("totalGCTime", 0)) for e in execs)
+    peak = max(
+        (
+            int((e.get("peakMemoryMetrics") or {}).get("JVMHeapMemory", 0))
+            for e in execs
+        ),
+        default=0,
+    )
+    return gc, peak
+
+
 def measured_run(spark, fn, sf_dir: str) -> tuple[float, dict[str, int]]:
     before = _stages(spark)
+    gc0, _ = _gc_and_heap(spark)
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     wall = time.perf_counter() - t0
     after = _stages(spark)
+    gc1, peak = _gc_and_heap(spark)
     delta = {f: 0 for f in METRIC_FIELDS}
     for key, s in after.items():
         if key in before:
             continue
         for f in METRIC_FIELDS:
             delta[f] += int(s.get(f, 0))
+    delta["jvmGcTimeMs"] = gc1 - gc0
+    delta["peakJvmHeapBytes"] = peak
     return wall, delta
 
 
@@ -88,6 +115,14 @@ def main() -> None:
     no_duck = "--no-duck" in args
     if no_duck:
         args.remove("--no-duck")
+    no_warm = "--no-warm" in args  # diagnosis mode: cold single runs
+    if no_warm:
+        args.remove("--no-warm")
+    # --rows: also record the result row count (an extra unmeasured
+    # execution) — the growth ladder's linearity currency.
+    with_rows = "--rows" in args
+    if with_rows:
+        args.remove("--rows")
     sf_dir = args[0] if args and "/" in args[0] else "/root/repo/.scale/sf10"
     only = [a for a in args if "/" not in a]
 
@@ -101,33 +136,52 @@ def main() -> None:
         "scale-bench", extra_conf={"spark.ui.enabled": "true"}
     )
     out: dict[str, dict] = {}
+    from etl_notifier_pipeline_spark.extensions import dedup as _dedup
+
     for name in names:
         fn = plans.get(name).fn
         # Warm once (bench.py protocol): with --runs 1 the single
         # measured run otherwise pays first-touch parquet footer reads
         # and JIT, which at sfN swamped real differences (q01 cold
-        # 11.5s vs warm 4.0s on identical plans).
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # 11.5s vs warm 4.0s on identical plans). --no-warm skips it
+        # for diagnosis runs where the cold behavior IS the question.
+        if not no_warm:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            caching.release_all()
         best_wall, best_m = None, None
         for _ in range(n_runs):
+            _dedup.LAST_CLUSTER_STATS.clear()
             wall, m = measured_run(spark, fn, sf_dir)
             if best_wall is None or wall < best_wall:
                 best_wall, best_m = wall, m
-        caching.release_all()
+                if _dedup.LAST_CLUSTER_STATS:
+                    best_m = {**m, "cluster": dict(_dedup.LAST_CLUSTER_STATS)}
+            caching.release_all()
         out[name] = {"sec": round(best_wall, 3), **best_m}
+        if with_rows:
+            out[name]["rows"] = fn(spark, sf_dir).count()
+            caching.release_all()
+        cluster = best_m.get("cluster")
         print(
             f"{name}: {best_wall:.2f}s  "
             f"input={best_m['inputBytes']/1e6:.0f}MB "
             f"shufW={best_m['shuffleWriteBytes']/1e6:.0f}MB "
             f"shufR={best_m['shuffleReadBytes']/1e6:.0f}MB "
             f"spillMem={best_m['memoryBytesSpilled']/1e6:.0f}MB "
-            f"spillDisk={best_m['diskBytesSpilled']/1e6:.0f}MB",
+            f"spillDisk={best_m['diskBytesSpilled']/1e6:.0f}MB "
+            f"gc={best_m['jvmGcTimeMs']/1e3:.1f}s "
+            f"peakHeap={best_m['peakJvmHeapBytes']/1e9:.1f}GB"
+            + (f" cluster={cluster}" if cluster else ""),
             flush=True,
         )
+    # Symmetric protocol (r5 ADVICE): DuckDB twins get the same
+    # warm-then-measure treatment as the Spark side.
     duck = (
         {}
         if no_duck
-        else bench.duckdb_twin_times(sf_dir, names, n_runs=n_runs, warm=False)
+        else bench.duckdb_twin_times(
+            sf_dir, names, n_runs=n_runs, warm=not no_warm
+        )
     )
     spark_total = sum(v["sec"] for v in out.values())
     spark_paired = sum(
@@ -138,6 +192,11 @@ def main() -> None:
         "metric": "scale_headline_total",
         "value": round(spark_total, 3),
         "unit": "sec",
+        "protocol": {
+            "runs": n_runs,
+            "warm": not no_warm,
+            "symmetric": True,  # DuckDB twins use the same warm+runs
+        },
         "sf_dir": sf_dir,
         "queries": out,
         "duckdb": duck,
