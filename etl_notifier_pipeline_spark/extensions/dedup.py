@@ -335,7 +335,18 @@ def incremental_lsh_dedup(
 
     Returns (doc_id, n_matches, best_match_id, best_jaccard, is_novel)
     with one row per batch document.
+
+    Precondition: ``hist`` and ``batch`` doc_ids must be DISJOINT — a
+    doc present on both sides would match itself (jaccard 1.0) and be
+    marked non-novel, and its duplicated shingle rows would fan out
+    the verify join. Enforced here with an anti-join that drops any
+    hist row whose doc_id reappears in the batch (the batch side wins:
+    re-submitting a known doc means re-verdicting it against the REST
+    of the corpus). The anti-join is a broadcast-able semi-structure
+    on the narrow key column, so the guard costs one pass over hist
+    keys, not a shuffle of the corpus.
     """
+    hist = hist.join(batch.select("doc_id"), "doc_id", "left_anti")
     family = minhash_family(n_hashes, seed)
     # Both shingle frames persist: each feeds its band leg AND the
     # pair-verify union, and the md5 pipeline is the expensive pass

@@ -226,8 +226,9 @@ FROM (SELECT doc_id,
     oracle=_SIMHASH_SQL,
 )
 def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash signatures (per-bit weighted majority over token
-    hashes) — one narrow pass; ties resolve to 0 on both engines."""
+    """64-bit SimHash signatures (per-bit weighted majority over raw
+    md5 token-hash bits; see dedup.SIMHASH_BITS) — one narrow pass;
+    ties resolve to 0 on both engines."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash(d)
 

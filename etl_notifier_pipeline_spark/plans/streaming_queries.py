@@ -589,8 +589,9 @@ def st14_streaming_incremental_dedup(
     its docs folded into the corpus store. The drained verdict table
     must hash-equal a DuckDB twin that replays the whole arrival
     schedule declaratively (matches allowed only where the candidate's
-    batch index is strictly smaller). Batch-id txn guard makes the
-    fold idempotent under foreachBatch's at-least-once replay.
+    batch index is strictly smaller). The fold is idempotent at EVERY
+    crash point under foreachBatch's at-least-once replay, not only
+    between completed folds: see :func:`incremental_dedup_fold`.
 
     Scale shape: per increment the corpus side contributes only its
     (precomputable) band index to the join; signature work is
@@ -626,24 +627,8 @@ def st14_streaming_incremental_dedup(
     store = TableStore(spark, f"{tmp}/store")
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if store.exists("txn"):
-            if batch_id <= store.read("txn").head()[0]:
-                return  # replayed micro-batch: already folded
-        hist = (
-            store.read("corpus")
-            if store.exists("corpus")
-            else batch_df.limit(0)
-        )
-        verdict = D.incremental_lsh_dedup(
-            hist, batch_df, threshold=ST14_THRESHOLD
-        )
-        if store.exists("verdicts"):
-            verdict = store.read("verdicts").unionByName(verdict)
-        store.overwrite("verdicts", verdict)
-        store.overwrite("corpus", hist.unionByName(batch_df))
-        store.overwrite(
-            "txn",
-            spark.createDataFrame([(int(batch_id),)], "last_batch_id long"),
+        incremental_dedup_fold(
+            store, batch_df, batch_id, threshold=ST14_THRESHOLD
         )
 
     q = (
@@ -653,4 +638,57 @@ def st14_streaming_incremental_dedup(
         .start()
     )
     q.awaitTermination()
-    return store.read("verdicts")
+    return store.read("verdicts").drop("__batch_id")
+
+
+def incremental_dedup_fold(
+    store, batch_df: DataFrame, batch_id: int, *, threshold: float
+) -> None:
+    """One micro-batch of dedup-on-ingest, idempotent at EVERY crash
+    point of foreachBatch's at-least-once replay contract.
+
+    The fold makes three TableStore commits (verdicts, corpus, txn) —
+    not atomic as a group, so a crash can leave any prefix committed.
+    Idempotency therefore cannot rest on the txn stamp alone (that
+    guard only covers whole-fold replays — the r5 ADVICE finding).
+    Instead, every row this fold writes carries ``__batch_id``, and a
+    replay FIRST discards whatever rows a torn predecessor left for
+    this batch in either table, then recomputes them from the same
+    inputs: replay-after-crash converges to exactly the
+    clean-execution state no matter which commit the crash followed.
+    The txn stamp remains as the cheap fast path for fully-committed
+    folds, written LAST so it can never claim an incomplete fold.
+    (Independently, incremental_lsh_dedup anti-joins hist against the
+    batch, so even a fully-folded corpus replayed from scratch cannot
+    self-match the batch.)
+    """
+    from etl_notifier_pipeline_spark.extensions import dedup as D
+
+    spark = batch_df.sparkSession
+    bid = int(batch_id)
+    if store.exists("txn") and bid <= store.read("txn").head()[0]:
+        return  # fully-committed fold: nothing to redo
+    stamp = F.lit(bid).alias("__batch_id")
+    if store.exists("corpus"):
+        corpus = store.read("corpus").filter(F.col("__batch_id") != bid)
+        hist = corpus.drop("__batch_id")
+    else:
+        corpus, hist = None, batch_df.limit(0)
+    verdict = D.incremental_lsh_dedup(
+        hist, batch_df, threshold=threshold
+    ).select("*", stamp)
+    if store.exists("verdicts"):
+        verdict = (
+            store.read("verdicts")
+            .filter(F.col("__batch_id") != bid)
+            .unionByName(verdict)
+        )
+    store.overwrite("verdicts", verdict)
+    stamped_batch = batch_df.select("*", stamp)
+    store.overwrite(
+        "corpus",
+        stamped_batch if corpus is None else corpus.unionByName(stamped_batch),
+    )
+    store.overwrite(
+        "txn", spark.createDataFrame([(bid,)], "last_batch_id long")
+    )

@@ -714,3 +714,26 @@ def test_incremental_dedup_matches_full_cross_side_pairs(spark):
             assert r["best_match_id"] == best_id
         else:
             assert r["best_match_id"] is None and r["best_jaccard"] is None
+
+
+def test_incremental_dedup_overlapping_doc_ids_guarded(spark):
+    """A doc_id present on BOTH sides must not match itself: the
+    anti-join guard drops the stale hist row, so a re-submitted doc is
+    verdicted against the rest of the corpus only — identical to the
+    result when hist was disjoint to begin with."""
+    docs = load_table(spark, SF_DIR, "documents")
+    is_batch = (F.col("doc_id") % 7) == 0
+    hist, batch = docs.filter(~is_batch), docs.filter(is_batch)
+    clean = {
+        r["doc_id"]: (r["n_matches"], r["best_match_id"], r["is_novel"])
+        for r in D.incremental_lsh_dedup(hist, batch, threshold=0.5).collect()
+    }
+    # poison hist with a full copy of the batch (worst-case overlap)
+    overlapping = hist.unionByName(batch)
+    guarded = {
+        r["doc_id"]: (r["n_matches"], r["best_match_id"], r["is_novel"])
+        for r in D.incremental_lsh_dedup(
+            overlapping, batch, threshold=0.5
+        ).collect()
+    }
+    assert guarded == clean

@@ -398,6 +398,66 @@ def test_exactly_once_failure_injection_store_write_then_crash(
     assert tmp_store.current_version("people") == v
 
 
+def test_st14_fold_torn_at_every_commit_point_converges(spark, tmp_path):
+    """The st14 fold makes three non-atomic commits (verdicts, corpus,
+    txn). Inject a crash after EACH prefix of commits during batch 1,
+    replay, finish batch 2, and require the end state to equal the
+    crash-free run bit-for-bit — the r5 ADVICE window (torn fold
+    replayed re-unions verdicts / self-matches the corpus) stays
+    closed at every crash point, not only between folds."""
+    import pytest
+
+    from etl_notifier_pipeline_spark.catalog import load_table
+    from etl_notifier_pipeline_spark.plans.streaming_queries import (
+        incremental_dedup_fold,
+    )
+    from etl_notifier_pipeline_spark.storage import TableStore
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    batches = [
+        docs.filter(F.col("doc_id") % 3 == k).localCheckpoint()
+        for k in range(3)
+    ]
+
+    def run(crash_after: int | None) -> tuple[set, set]:
+        """crash_after = number of commits batch 1's first attempt
+        completes before dying (None = clean run)."""
+        root = tmp_path / f"store_{crash_after}"
+        store = TableStore(spark, str(root))
+        incremental_dedup_fold(store, batches[0], 0, threshold=0.5)
+        if crash_after is not None:
+            real = store.overwrite
+            calls = {"n": 0}
+
+            def torn(table, df):
+                if calls["n"] >= crash_after:
+                    raise RuntimeError("injected crash")
+                calls["n"] += 1
+                return real(table, df)
+
+            store.overwrite = torn
+            with pytest.raises(RuntimeError, match="injected crash"):
+                incremental_dedup_fold(store, batches[1], 1, threshold=0.5)
+            store.overwrite = real
+            # foreachBatch redelivers the failed batch on restart
+            incremental_dedup_fold(store, batches[1], 1, threshold=0.5)
+        else:
+            incremental_dedup_fold(store, batches[1], 1, threshold=0.5)
+        incremental_dedup_fold(store, batches[2], 2, threshold=0.5)
+        verdicts = {
+            tuple(r) for r in store.read("verdicts").drop("__batch_id").collect()
+        }
+        corpus = {
+            (r["doc_id"], r["__batch_id"])
+            for r in store.read("corpus").select("doc_id", "__batch_id").collect()
+        }
+        return verdicts, corpus
+
+    clean = run(None)
+    for crash_after in (0, 1, 2):  # before any / after verdicts / after corpus
+        assert run(crash_after) == clean, f"diverged at crash point {crash_after}"
+
+
 def test_st14_streaming_dedup_arrival_order_semantics(spark):
     """st14 invariants: one verdict per document; batch-0 docs (no
     earlier corpus) are all novel; every match points STRICTLY
