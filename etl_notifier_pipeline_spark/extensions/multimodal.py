@@ -5,12 +5,18 @@ with a typed metadata struct — the lakehouse-standard layout
 (``spark.read.format("binaryFile")`` produces the same shape). All
 Spark-side plumbing here is real and tested: schema, Arrow-batched
 ``mapInPandas`` operators, partition sizing. The codec is resolved at
-runtime: when Pillow is importable, the image modality decodes for
-real (grayscale 4x4 mean-pool features); other modalities (or no
-codec library at all) raise ``NotImplementedError`` unless
-``deterministic_fake=True``, where a seeded, content-derived fake
-feature vector stands in so the distributed pipeline is testable
-end-to-end in codec-free containers like this one.
+runtime: when Pillow is importable, the image modality decodes any
+PIL-readable format; without Pillow, genuine PNG bytes still decode
+for real through the stdlib codec (``extensions.pngio`` — committed
+fixture PNGs under ``tests/fixtures/media`` exercise this branch end
+to end, and PNG being lossless makes both branches bit-identical).
+Both branches feed the same explicit 4x4 block-mean pooling. Other
+modalities (audio/video: torchaudio / pyav not in this container)
+raise ``NotImplementedError`` under ``codec="real"``; ``codec="fake"``
+substitutes a seeded content-derived vector, and ``codec="auto"``
+decodes for real when the bytes allow it and falls back to the fake —
+the mode registered queries use over mixed real-PNG + text-stand-in
+fixtures.
 
 Scale: media blobs dominate partition size — ``target_partition_mb``
 repartitions by byte budget, not row count, so a 100 TB media table
@@ -20,6 +26,7 @@ doesn't produce 4 GB tasks.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -69,38 +76,96 @@ _UNRESOLVED = object()
 _PIL = _UNRESOLVED
 
 
-def _decode_impl(blob: bytes, modality: str, deterministic_fake: bool) -> list[float]:
-    if deterministic_fake:
-        digest = hashlib.sha256(blob or b"").digest()
-        return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
-    pil = _pil_module()
-    if modality == "image" and pil is not None:
-        # Real decode path, auto-enabled when Pillow is present:
-        # decode -> grayscale -> 4x4 mean-pool = FEATURE_DIM features
-        # in [0, 1]. Deterministic (no resampling randomness: LANCZOS
-        # is a fixed convolution).
-        import io  # noqa: PLC0415
+def _block_mean_pool(px: list[int], width: int, height: int) -> list[float]:
+    """Adaptive 4x4 block-mean pooling of grayscale pixels -> 16
+    features in [0, 1]. Pure integer block boundaries (floor splits),
+    so BOTH decode branches (PIL and the stdlib PNG codec) produce
+    bit-identical vectors from the same losslessly-decoded pixels —
+    no resampling kernel in the path at all."""
+    side = int(FEATURE_DIM**0.5)
+    if width < side or height < side:
+        raise ValueError(f"image too small to pool: {width}x{height}")
+    feats = []
+    for r in range(side):
+        y0, y1 = r * height // side, (r + 1) * height // side
+        for c in range(side):
+            x0, x1 = c * width // side, (c + 1) * width // side
+            total = sum(
+                px[y * width + x] for y in range(y0, y1) for x in range(x0, x1)
+            )
+            feats.append(total / ((y1 - y0) * (x1 - x0)) / 255.0)
+    return feats
 
-        side = int(FEATURE_DIM ** 0.5)
-        img = pil.open(io.BytesIO(blob)).convert("L").resize(
-            (side, side), pil.Resampling.LANCZOS
+
+def _fake_features(blob: bytes) -> list[float]:
+    digest = hashlib.sha256(blob or b"").digest()
+    return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def _decode_impl(blob: bytes, modality: str, codec: str) -> list[float]:
+    """codec: ``"fake"`` = deterministic sha256 stand-in (sandbox
+    twin for undecodable fixture bytes); ``"real"`` = decode genuine
+    image bytes or raise; ``"auto"`` = real when the bytes are
+    decodable (PIL-openable, or PNG via the stdlib codec), fake
+    otherwise — the mode registered queries use so committed genuine
+    PNG rows exercise the real branch while text-byte stand-ins keep
+    their deterministic features."""
+    from etl_notifier_pipeline_spark.extensions import pngio
+
+    if codec == "fake":
+        return _fake_features(blob)
+    if modality == "image":
+        pil = _pil_module()
+        if pil is not None:
+            # Preferred branch when Pillow is installed: any format PIL
+            # reads. Same explicit pooling as the stdlib branch; for
+            # PNG both branches are bit-identical (lossless decode +
+            # PIL's exact fixed-point luma in pngio.gray_pixels).
+            import io  # noqa: PLC0415
+
+            try:
+                img = pil.open(io.BytesIO(blob)).convert("L")
+            except Exception:
+                if codec == "auto":
+                    return _fake_features(blob)
+                raise
+            return _block_mean_pool(
+                list(img.getdata()), img.width, img.height
+            )
+        if pngio.is_png(blob):
+            width, height, px = pngio.gray_pixels(blob)
+            return _block_mean_pool(px, width, height)
+        if codec == "auto":
+            return _fake_features(blob)
+        raise NotImplementedError(
+            "decoding 'image' requires Pillow for non-PNG formats "
+            "(the stdlib codec handles PNG only)"
         )
-        return [px / 255.0 for px in img.getdata()]
+    if codec == "auto":
+        return _fake_features(blob)
     # Remaining codecs (torchaudio / pyav) are not in this container —
     # see module docstring.
     raise NotImplementedError(
         f"decoding {modality!r} requires a codec library"
-        + ("" if pil is None else " beyond Pillow")
     )
 
 
 def extract_features(
-    media: DataFrame, *, deterministic_fake: bool = False
+    media: DataFrame,
+    *,
+    deterministic_fake: bool = False,
+    codec: str | None = None,
 ) -> DataFrame:
     """binary content -> fixed-dim feature vector via Arrow-batched
     ``mapInPandas`` (never row-at-a-time Python). Output keeps the id
     and modality plus the vector — the shape the similarity operators
-    consume."""
+    consume. ``codec`` selects the decode branch per
+    :func:`_decode_impl` (``deterministic_fake=True`` is the legacy
+    spelling of ``codec="fake"``); default is ``"real"``."""
+    if codec is None:
+        codec = "fake" if deterministic_fake else "real"
+    if codec not in ("fake", "real", "auto"):
+        raise ValueError(f"unknown codec mode {codec!r}")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -116,13 +181,49 @@ def extract_features(
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "features": [
-                        _decode_impl(c, m, deterministic_fake)
+                        _decode_impl(c, m, codec)
                         for c, m in zip(pdf["content"], pdf["modality"])
                     ],
                 }
             )
 
     return media.mapInPandas(batches, out_schema)
+
+
+MEDIA_FIXTURE_DIR = os.path.normpath(
+    os.path.join(
+        os.path.dirname(__file__), "..", "..", "tests", "fixtures", "media"
+    )
+)
+
+
+def media_from_dir(
+    spark, path: str, *, id_offset: int = 1_000_000
+) -> DataFrame:
+    """Load a directory of image files as a media frame via Spark's
+    ``binaryFile`` source — the real distributed ingestion path for
+    media assets (each file is one row; at scale this reads by file
+    count exactly like any object-store scan). media_id = id_offset +
+    lexicographic file rank, deterministic across runs (the
+    single-partition ranking window is fine for asset catalogs —
+    at real scale ids come from the catalog, not the path order);
+    width/height stay NULL (decode populates features, not metadata).
+    """
+    raw = spark.read.format("binaryFile").load(path)
+    from pyspark.sql import Window as W
+
+    rank = F.row_number().over(W.orderBy("path")) - 1
+    return raw.select(
+        (F.lit(id_offset) + rank).cast("long").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.col("content"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
 
 
 def size_partitions(media: DataFrame, target_partition_mb: int = 256) -> DataFrame:
@@ -165,6 +266,7 @@ def sample_frames(
     """Video frame sampling: one output row per sampled frame offset
     (``frame_schedule``, carrying the bytes alongside), decoder invoked
     per sampled frame only, never per video."""
+    codec = "fake" if deterministic_fake else "real"
     frames = frame_schedule(media, every_ms, carry_cols=("content",))
     out_schema = T.StructType(
         [
@@ -182,7 +284,7 @@ def sample_frames(
                     "frame_ms": pdf["frame_ms"],
                     "features": [
                         _decode_impl(
-                            (c or b"") + str(ms).encode(), "video", deterministic_fake
+                            (c or b"") + str(ms).encode(), "video", codec
                         )
                         for c, ms in zip(pdf["content"], pdf["frame_ms"])
                     ],

@@ -473,11 +473,16 @@ def s03_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("xm01_multimodal_features", category="multimodal", oracle=None)
 def xm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end on fixture data: documents.text
-    re-encoded as opaque binary content -> Arrow-batched feature
-    extraction (deterministic fake codec; see extensions.multimodal) ->
-    per-modality feature stats. Rows-only check (binary + pandas UDF
-    path has no SQL twin)."""
+    """Multimodal plumbing end-to-end: documents.text re-encoded as
+    opaque binary stand-ins UNIONed with the committed GENUINE PNG
+    fixture (tests/fixtures/media, read through the real binaryFile
+    source) -> Arrow-batched feature extraction under codec="auto"
+    (PNG rows decode for REAL — PIL when installed, else the stdlib
+    codec; text-byte rows keep the deterministic fake) -> per-modality
+    feature stats. Rows-only check (binary + pandas UDF path has no
+    SQL twin)."""
+    import os as _os
+
     d = load_table(spark, sf_dir, "documents")
     media = d.select(
         F.col("doc_id").alias("media_id"),
@@ -492,7 +497,11 @@ def xm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
-    feats = MM.extract_features(media, deterministic_fake=True)
+    if _os.path.isdir(MM.MEDIA_FIXTURE_DIR):
+        media = media.unionByName(
+            MM.media_from_dir(spark, MM.MEDIA_FIXTURE_DIR)
+        )
+    feats = MM.extract_features(media, codec="auto")
     return feats.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.avg(F.element_at("features", 1)).alias("mean_f0"),
@@ -800,9 +809,16 @@ def xm03_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     before training). Rows-only: the codec half has no SQL twin; the
     duplicate-content => cos_sim == 1.0 invariant is a property test.
 
+    The committed genuine-PNG fixture rides along (codec="auto": PNG
+    rows decode for REAL — the fixture's exact-duplicate pair must
+    land cos 1.0 from actually-decoded pixels, pinned by a unit test;
+    text-byte rows keep the deterministic fake).
+
     Scale shape: feature extraction is one Arrow pass over byte-budget
     partitions; the similarity stage broadcasts the 8 probes and scans
     the feature frame once (same audited plan as s01)."""
+    import os as _os
+
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = d.select(
         F.col("doc_id").alias("media_id"),
@@ -811,11 +827,19 @@ def xm03_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("modality"),
         F.encode("text", "utf-8").alias("content"),
     )
+    if _os.path.isdir(MM.MEDIA_FIXTURE_DIR):
+        media = media.unionByName(
+            MM.media_from_dir(spark, MM.MEDIA_FIXTURE_DIR).select(
+                "media_id", "modality", "content"
+            )
+        )
     # Persisted: the corpus leg and the broadcast probe leg would both
     # re-run the pandas decode otherwise (a filter cannot push below
     # mapInPandas) — decode once, reuse for both sides.
-    feats = tracked_persist(MM.extract_features(media, deterministic_fake=True))
-    probes = feats.filter(F.col("media_id") < 8)
+    feats = tracked_persist(MM.extract_features(media, codec="auto"))
+    probes = feats.filter(
+        (F.col("media_id") < 8) | (F.col("media_id") >= 1_000_000)
+    )
     return S.topk_cosine(
         feats, probes, k=3, id_col="media_id", vec_col="features"
     )

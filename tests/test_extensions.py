@@ -3,6 +3,8 @@ dedup idempotence, similarity top-k vs brute force, multimodal plumbing."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -120,6 +122,120 @@ class TestMultimodal:
         feats = M.extract_features(media).collect()[0]["features"]
         assert len(feats) == M.FEATURE_DIM
         assert all(0.0 <= v <= 1.0 for v in feats)
+
+    def test_pngio_roundtrip_and_corruption(self):
+        from etl_notifier_pipeline_spark.extensions import pngio
+
+        gray = bytes((x * 7 + y * 3) % 256 for y in range(9) for x in range(11))
+        blob = pngio.encode_png(gray, 11, 9, "L")
+        assert pngio.is_png(blob)
+        assert pngio.decode_png(blob) == (11, 9, "L", gray)
+        rgb = bytes((x + y + c) % 256 for y in range(5) for x in range(6) for c in range(3))
+        blob2 = pngio.encode_png(rgb, 6, 5, "RGB")
+        assert pngio.decode_png(blob2) == (6, 5, "RGB", rgb)
+        # corruption fails loudly (CRC), never yields garbage pixels
+        bad = bytearray(blob)
+        bad[40] ^= 0xFF
+        with pytest.raises(ValueError):
+            pngio.decode_png(bytes(bad))
+        with pytest.raises(ValueError):
+            pngio.decode_png(b"not a png at all")
+
+    def test_png_real_decode_pinned_features(self, spark):
+        """Pin the real decode path end to end: a flat RGB PNG
+        (120, 30, 200) must pool to EXACTLY luma/255 in all 16
+        features, where luma is Pillow's fixed-point ITU-R 601 value
+        — (120*19595 + 30*38470 + 200*7471 + 0x8000) >> 16 = 76."""
+        from etl_notifier_pipeline_spark.extensions import pngio
+
+        blob = pngio.encode_png(bytes([120, 30, 200]) * 100, 10, 10, "RGB")
+        media = spark.createDataFrame(
+            [(1, "image", blob, ("image/png", 10, 10, None))], M.MEDIA_SCHEMA
+        )
+        feats = M.extract_features(media, codec="real").collect()[0]["features"]
+        assert feats == [76 / 255.0] * M.FEATURE_DIM
+
+    def test_committed_png_fixture_real_branch(self, spark):
+        """The committed genuine-PNG fixture decodes through the REAL
+        branch (stdlib codec in this sandbox, PIL elsewhere): the
+        exact-duplicate pair (img_000 / img_004) must produce
+        identical features; the near-duplicate (img_005: one pixel
+        nudged) must differ from img_000 in exactly the pooled block
+        containing that pixel."""
+        assert os.path.isdir(M.MEDIA_FIXTURE_DIR), "fixture not committed"
+        media = M.media_from_dir(spark, M.MEDIA_FIXTURE_DIR)
+        rows = media.select("media_id", "content").collect()
+        assert len(rows) == 8
+        feats = {
+            r["media_id"]: r["features"]
+            for r in M.extract_features(media, codec="real").collect()
+        }
+        assert all(
+            len(v) == M.FEATURE_DIM and all(0.0 <= f <= 1.0 for f in v)
+            for v in feats.values()
+        )
+        # lexicographic rank: img_000 -> 1_000_000, img_004 -> 1_000_004
+        assert feats[1_000_000] == feats[1_000_004]
+        diffs = [
+            i for i in range(M.FEATURE_DIM)
+            if feats[1_000_000][i] != feats[1_000_005][i]
+        ]
+        assert diffs == [0]  # the nudged pixel lives in block (0, 0)
+
+    def test_codec_auto_mixes_real_and_fake(self, spark):
+        """codec='auto': PNG bytes decode for real (bit-equal to the
+        codec='real' branch), undecodable text bytes fall back to the
+        deterministic fake (bit-equal to codec='fake')."""
+        from etl_notifier_pipeline_spark.extensions import pngio
+
+        png = pngio.encode_png(bytes(range(16)) * 16, 16, 16, "L")
+        media = spark.createDataFrame(
+            [
+                (1, "image", png, ("image/png", 16, 16, None)),
+                (2, "image", b"plain text bytes", (None, None, None, None)),
+                (3, "audio", b"audio bytes", (None, None, None, None)),
+            ],
+            M.MEDIA_SCHEMA,
+        )
+        auto = {
+            r["media_id"]: r["features"]
+            for r in M.extract_features(media, codec="auto").collect()
+        }
+        real = M.extract_features(
+            media.filter("media_id = 1"), codec="real"
+        ).collect()[0]["features"]
+        fake = {
+            r["media_id"]: r["features"]
+            for r in M.extract_features(media, codec="fake").collect()
+        }
+        assert auto[1] == real and auto[1] != fake[1]
+        assert auto[2] == fake[2] and auto[3] == fake[3]
+
+    @pytest.mark.skipif(
+        M._pil_module() is None, reason="Pillow not installed"
+    )
+    def test_pil_and_stdlib_branches_bit_identical(self, spark):
+        """PNG is lossless, the luma formula matches Pillow's, and the
+        pooling is shared — so the PIL branch and the stdlib branch
+        must produce bit-identical features for every committed
+        fixture PNG (runs wherever Pillow is installed)."""
+        from etl_notifier_pipeline_spark.extensions import multimodal as MM
+        from etl_notifier_pipeline_spark.extensions import pngio
+
+        for name in sorted(os.listdir(M.MEDIA_FIXTURE_DIR)):
+            blob = open(os.path.join(M.MEDIA_FIXTURE_DIR, name), "rb").read()
+            via_stdlib = MM._block_mean_pool(*(
+                lambda w, h, px: (px, w, h)
+            )(*pngio.gray_pixels(blob)))
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(blob)).convert("L")
+            via_pil = MM._block_mean_pool(
+                list(img.getdata()), img.width, img.height
+            )
+            assert via_stdlib == via_pil, name
 
     def test_frame_sampling_explodes_by_duration(self, spark, media):
         frames = M.sample_frames(media, every_ms=1000, deterministic_fake=True).collect()
