@@ -89,6 +89,121 @@ FROM events GROUP BY user_id
 }
 
 
+# --- numeric_profile="deployment" twins (r5 verdict ask #5) ---------
+# The oracle contract forces q01/q05 to sum decimal128 so the value
+# hash is bit-exact across engines — measured 5x the cost of double
+# sums (docs/SCALE.md). A deployment without the cross-engine hash
+# gate sums doubles; `--profile deployment` benches that numeric
+# policy on BOTH engines (Spark fns below, matching native-type DuckDB
+# SQL). Bench-only: these are NOT registry queries — double summation
+# is order-dependent, so a cross-engine value hash over them would be
+# flaky by construction. Oracle parity mode is untouched.
+
+
+def _q01_deployment(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from etl_notifier_pipeline_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("double")
+    ep = F.col("l_extendedprice").cast("double")
+    disc = F.col("l_discount").cast("double")
+    tax = F.col("l_tax").cast("double")
+    disc_price = ep * (F.lit(1.0) - disc)
+    charge = disc_price * (F.lit(1.0) + tax)
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("sum_qty"),
+        F.sum(ep).alias("sum_base_price"),
+        F.sum(disc_price).alias("sum_disc_price"),
+        F.sum(charge).alias("sum_charge"),
+        (F.sum(qty) / n).alias("avg_qty"),
+        (F.sum(ep) / n).alias("avg_price"),
+        (F.sum(disc) / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+def _q05_deployment(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from etl_notifier_pipeline_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("AMERICA", "ASIA")
+    )
+    revenue = F.col("l_extendedprice").cast("double") * (
+        F.lit(1.0) - F.col("l_discount").cast("double")
+    )
+    dims = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+            F.broadcast(r), n.n_regionkey == r.r_regionkey
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+DEPLOYMENT_SPARK = {
+    "q01_pricing_summary": _q01_deployment,
+    "q05_revenue_by_nation": _q05_deployment,
+}
+
+DEPLOYMENT_SQL = {
+    "q01_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  SUM(l_quantity::DOUBLE) AS sum_qty,
+  SUM(l_extendedprice::DOUBLE) AS sum_base_price,
+  SUM(l_extendedprice::DOUBLE * (1 - l_discount::DOUBLE)) AS sum_disc_price,
+  SUM(l_extendedprice::DOUBLE * (1 - l_discount::DOUBLE)
+      * (1 + l_tax::DOUBLE)) AS sum_charge,
+  SUM(l_quantity::DOUBLE) / COUNT(*) AS avg_qty,
+  SUM(l_extendedprice::DOUBLE) / COUNT(*) AS avg_price,
+  SUM(l_discount::DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "q05_revenue_by_nation": """
+SELECT n.n_name AS nation,
+       SUM(l.l_extendedprice::DOUBLE * (1 - l.l_discount::DOUBLE)) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('AMERICA', 'ASIA') AND o.o_orderstatus = 'F'
+GROUP BY n.n_name
+""",
+}
+
+
+def resolve(name: str, profile: str = "oracle"):
+    """(spark_fn, duckdb_sql) for a headline query under the given
+    numeric profile. "oracle" = the registry's bit-exact contract;
+    "deployment" = double-sum twins for the scan-aggs that have one."""
+    if profile == "deployment" and name in DEPLOYMENT_SPARK:
+        return DEPLOYMENT_SPARK[name], DEPLOYMENT_SQL[name]
+    spec = plans.get(name)
+    return spec.fn, (spec.oracle or TWIN_SQL.get(name))
+
+
 def _duck_path(p: str) -> str:
     """DuckDB needs a glob for Spark-written parquet DIRECTORIES
     (amplified fixtures); driver fixtures are single files."""
@@ -111,6 +226,7 @@ def duckdb_twin_times(
     names: list[str],
     n_runs: int = N_RUNS,
     warm: bool = True,
+    profile: str = "oracle",
 ) -> dict[str, float | None]:
     """Best-of-N DuckDB wall time per headline query (registry oracle,
     else the TWIN_SQL comparable). Callers MUST mirror the Spark
@@ -129,7 +245,7 @@ def duckdb_twin_times(
         )
     out: dict[str, float | None] = {}
     for name in names:
-        oracle = plans.get(name).oracle or TWIN_SQL.get(name)
+        _, oracle = resolve(name, profile)
         if not oracle:
             out[name] = None
             continue
@@ -140,6 +256,12 @@ def duckdb_twin_times(
 
 
 def main() -> None:
+    profile = "oracle"
+    if "--profile" in sys.argv:
+        i = sys.argv.index("--profile")
+        profile = sys.argv[i + 1]
+        if profile not in ("oracle", "deployment"):
+            raise SystemExit(f"unknown numeric profile {profile!r}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Same config as every production path (session.py): AQE on. It
@@ -150,7 +272,7 @@ def main() -> None:
     spark = get_spark("bench")
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = plans.get(name).fn
+        fn, _ = resolve(name, profile)
 
         def run() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -158,7 +280,7 @@ def main() -> None:
         run()  # warm
         timings[name] = best_of(N_RUNS, run)
         caching.release_all()  # bound cache growth across the sweep
-    duck = duckdb_twin_times(sf_dir, HEADLINE)
+    duck = duckdb_twin_times(sf_dir, HEADLINE, profile=profile)
     spark_paired = sum(t for n, t in timings.items() if duck.get(n) is not None)
     duck_total = sum(t for t in duck.values() if t is not None)
     print(
@@ -173,6 +295,7 @@ def main() -> None:
                 "ratio_vs_duckdb": (
                     round(spark_paired / duck_total, 4) if duck_total else None
                 ),
+                "numeric_profile": profile,
                 "sf": float(sf),
             }
         )

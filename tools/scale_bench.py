@@ -123,6 +123,11 @@ def main() -> None:
     with_rows = "--rows" in args
     if with_rows:
         args.remove("--rows")
+    profile = "oracle"
+    if "--profile" in args:
+        i = args.index("--profile")
+        profile = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args and "/" in args[0] else "/root/repo/.scale/sf10"
     only = [a for a in args if "/" not in a]
 
@@ -139,7 +144,7 @@ def main() -> None:
     from etl_notifier_pipeline_spark.extensions import dedup as _dedup
 
     for name in names:
-        fn = plans.get(name).fn
+        fn, _ = bench.resolve(name, profile)
         # Warm once (bench.py protocol): with --runs 1 the single
         # measured run otherwise pays first-touch parquet footer reads
         # and JIT, which at sfN swamped real differences (q01 cold
@@ -180,7 +185,7 @@ def main() -> None:
         {}
         if no_duck
         else bench.duckdb_twin_times(
-            sf_dir, names, n_runs=n_runs, warm=not no_warm
+            sf_dir, names, n_runs=n_runs, warm=not no_warm, profile=profile
         )
     )
     spark_total = sum(v["sec"] for v in out.values())
@@ -196,6 +201,7 @@ def main() -> None:
             "runs": n_runs,
             "warm": not no_warm,
             "symmetric": True,  # DuckDB twins use the same warm+runs
+            "numeric_profile": profile,
         },
         "sf_dir": sf_dir,
         "queries": out,
