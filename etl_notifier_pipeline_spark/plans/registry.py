@@ -72,9 +72,33 @@ def _driver_green(root: str | None = None) -> frozenset[str]:
         root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
-    green: set[str] = set()
+    green = _green_rounds(root)
+    return frozenset(green) if green is not None else _R01_R02_SNAPSHOT
+
+
+def _green_rounds(root: str | None = None) -> dict[str, int] | None:
+    """name -> LATEST round number with a green driver row (None when
+    no CORRECTNESS files are readable). The latest-round value drives
+    the green tail's rotation: with ~50 sampled per round over 170
+    queries, sorting greens least-recently-checked-first guarantees
+    every query re-earns a current-runtime row every few rounds
+    instead of the same early registrations soaking the sample."""
+    import glob
+    import json
+    import os
+    import re
+
+    if root is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+    latest: dict[str, int] = {}
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not files:
+        return None
     for path in files:
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -89,8 +113,8 @@ def _driver_green(root: str | None = None) -> frozenset[str]:
             if ok is None:
                 ok = row.get("rows_match")
             if ok:
-                green.add(name)
-    return frozenset(green) if files else _R01_R02_SNAPSHOT
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 # The driver samples ~50 queries per round in catalog order, so
@@ -127,14 +151,11 @@ _R01_R02_SNAPSHOT: frozenset[str] = frozenset(
     }
 )
 
-# Queries whose driver-green rows predate the Spark-4 runtime change
-# (r01/r02 rows under the old analyzer; broken by TIMESTAMP_NTZ until
-# the r04 catalog fix): treat as UNCHECKED so they re-enter the sample
-# and earn a fresh row under the current runtime. Remove once a
-# CORRECTNESS_r04+ file carries a green row for them.
-_STALE_GREEN: frozenset[str] = frozenset({"q20_lag_lead", "q26_range_frame"})
-
-DRIVER_CHECKED: frozenset[str] = _driver_green() - _STALE_GREEN
+# (r5: the former _STALE_GREEN pair — q20/q26, whose green rows
+# predated the Spark-4 runtime — earned fresh CORRECTNESS_r05 rows,
+# so the special-case is retired; staleness is now handled uniformly
+# by the least-recently-checked green rotation below.)
+DRIVER_CHECKED: frozenset[str] = _driver_green()
 
 # Never-driver-checked queries by age: _OLDEST_UNCHECKED (named in
 # VERDICT r02) have waited two sampling rounds; _R2_UNCHECKED were
@@ -180,20 +201,25 @@ _R2_UNCHECKED: frozenset[str] = frozenset(
 
 def _catalog_order() -> list[str]:
     """Registration order, rotated: never-driver-checked oracle-paired
-    queries first (oldest-waiting before newly added), then rows-only,
-    then already-green queries."""
+    queries first (oldest-waiting before newly added), then rows-only
+    (whose driver rows are the weaker rows-only check, so they re-earn
+    one every round), then already-green queries LEAST-RECENTLY
+    CHECKED first — the green tail cycles through the ~50-query driver
+    sample so every query's newest green row stays within a few rounds
+    of the current runtime."""
     names = list(_REGISTRY)
+    last = _green_rounds() or {}
 
-    def rank(n: str) -> int:
+    def rank(n: str) -> tuple[int, int, int]:
         if n in DRIVER_CHECKED:
-            return 4
+            return (4, last.get(n, 0), names.index(n))
         if not _REGISTRY[n].oracle:
-            return 3
-        if n in _OLDEST_UNCHECKED or n in _STALE_GREEN:
-            return 0
-        return 1 if n in _R2_UNCHECKED else 2
+            return (3, 0, names.index(n))
+        if n in _OLDEST_UNCHECKED:
+            return (0, 0, names.index(n))
+        return (1 if n in _R2_UNCHECKED else 2, 0, names.index(n))
 
-    return sorted(names, key=lambda n: (rank(n), names.index(n)))
+    return sorted(names, key=rank)
 
 
 def specs() -> dict[str, QuerySpec]:
