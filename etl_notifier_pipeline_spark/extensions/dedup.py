@@ -248,7 +248,18 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """Distinct candidate pairs sharing at least one band bucket.
 
     The join key is (band_idx, band_key) — a few bytes — so at scale
-    this shuffles signatures, never documents."""
+    this shuffles signatures, never documents.
+
+    Width note (why this generator needs no corpus-adaptive plan,
+    unlike ``simhash_pairs``): a band key concatenates 4 MinHash
+    minima, each ~uniform on [0, 2^30) — a ~2^120 key space. Random
+    band collisions are ~n²/2^120: vanishing at any achievable corpus
+    size, so candidates come only from genuinely similar docs (P ≈
+    jaccard^rows_per_band per band) and grow with the true near-dup
+    rate, which fixture amplification keeps linear (measured through
+    5 M docs: pair counts exactly linear, SCALE_GROWTH.json). SimHash
+    needed the multi-block rewrite because its band keys are SLICES of
+    a fixed 64-bit signature — a 2^16 space that saturates."""
     b = lsh_bands(sig, n_bands)
     l, r = b.alias("l"), b.alias("r")
     return (

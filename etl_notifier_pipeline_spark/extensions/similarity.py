@@ -800,13 +800,25 @@ def semantic_dedup(
     to mean anything, the cell COUNT must grow with the corpus: with a
     fixed ``n_cells``, sum(|cell|^2) is ~n^2/n_cells — still quadratic
     (measured: a hardcoded 8 cells turned a 10x corpus into a 40x
-    runtime at sf1). Default ``n_cells=None`` therefore sizes cells to
-    ``target_cell_size`` from a metadata-cheap corpus count, keeping
-    per-cell pair work constant and total pairs ~linear in n.
+    runtime at sf1). But cell count must not grow LINEARLY either:
+    nearest-centroid assignment costs n x n_cells x dim, so cells ~
+    n/target_cell_size just moves the n^2 from the pair scan into the
+    quantizer — the r6 ladder measured exactly that (s09 CPU 303 s ->
+    11,692 s across sf30 -> sf100, 38x for 3.3x data, every second of
+    it in the assignment matmul; the 8,000-centroid table also falls
+    out of L2, so the constant factor cliffs too). Default
+    ``n_cells=None`` therefore uses the canonical IVF balance,
+    ``n_cells = sqrt(n)``: assignment n^1.5 x dim, pair space
+    n x cell_size = n^1.5 — both sides sub-quadratic and equal, the
+    optimum for this cost model (faiss's guidance is the same rule
+    scaled by a constant). Small corpora keep the old sizing:
+    ``n_cells = min(sqrt(n), n/target_cell_size)`` means cell size =
+    max(sqrt(n), target_cell_size), so below target_cell_size^2
+    vectors nothing changes and above it the balance law takes over.
     """
     if n_cells is None:
         n = corpus.count()
-        n_cells = max(8, -(-n // target_cell_size))
+        n_cells = max(8, min(round(n**0.5), -(-n // target_cell_size) or 1))
     cents = ivf_centroids(corpus, n_cells)
     # Persisted: three consumers (both self-join legs of the pair
     # search + the survivor anti-join) would otherwise rescan the

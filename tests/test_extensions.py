@@ -305,9 +305,15 @@ def test_two_phase_beats_label_prop_on_adversarial_chain(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         D.dedup_clusters(pairs, algorithm="label_prop", max_iter=25)
+    D.LAST_CLUSTER_STATS.clear()
     got = D.dedup_clusters(pairs, max_iter=25).collect()  # auto
     assert len(got) == n + 1
     assert all(r["cluster_id"] == 0 for r in got)
+    # diagnostics recorded: fallback engaged, two-phase finished in
+    # ~log^2 n rounds, far under the chain's diameter
+    assert D.LAST_CLUSTER_STATS["fell_back"] is True
+    assert D.LAST_CLUSTER_STATS["algorithm"] == "two_phase"
+    assert D.LAST_CLUSTER_STATS["rounds"] < 25
 
 
 def test_two_phase_components_star_and_isolated_pair(spark):
