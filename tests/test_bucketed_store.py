@@ -415,20 +415,24 @@ class TestCrashConsistencyAndCAS:
         assert store.overwrite("t", spark.createDataFrame([(1, "b")], ["k", "v"])) == 2
 
 
-def test_cross_process_concurrent_writer_cas(spark, tmp_path):
+@pytest.mark.parametrize("flavor", ["plain", "bucketed"])
+def test_cross_process_concurrent_writer_cas(spark, tmp_path, flavor):
     """TWO OS PROCESSES (this pytest JVM + a subprocess with its own
     SparkSession) race appends on one table through _CommitLock + the
     version CAS — the case the reference got free from Postgres and
     same-process tests cannot exercise (r5 verdict, missing #3).
-    Contract under real multi-process contention: versions are dense
-    (exactly one winner per version, no lost updates), every batch
-    lands exactly once (losers retry cleanly, never double-apply), and
-    the final manifest chain reads back consistently."""
+    Covers BOTH commit protocols (TableStore._commit and
+    BucketedTableStore._bcommit). Contract under real multi-process
+    contention: versions are dense (exactly one winner per version, no
+    lost updates), every batch lands exactly once (losers retry
+    cleanly, never double-apply), and the final manifest chain reads
+    back consistently."""
     import subprocess
     import sys
     import time as _time
 
     from etl_notifier_pipeline_spark.storage import (
+        BucketedTableStore,
         ConcurrentWriteError,
         TableStore,
     )
@@ -439,8 +443,11 @@ def test_cross_process_concurrent_writer_cas(spark, tmp_path):
     ready = str(tmp_path / "ready")
     go = str(tmp_path / "go")
     worker = os.path.join(os.path.dirname(__file__), "_cas_worker.py")
+    cmd = [sys.executable, worker, root, table, "child", str(n_each), ready, go]
+    if flavor == "bucketed":
+        cmd.append("bucketed")
     child = subprocess.Popen(
-        [sys.executable, worker, root, table, "child", str(n_each), ready, go],
+        cmd,
         stdout=subprocess.DEVNULL,
         stderr=subprocess.DEVNULL,
     )
@@ -450,7 +457,13 @@ def test_cross_process_concurrent_writer_cas(spark, tmp_path):
             assert child.poll() is None, "worker died before ready"
             assert _time.monotonic() < deadline, "worker never became ready"
             _time.sleep(0.05)
-        store = TableStore(spark, root)
+        store = (
+            BucketedTableStore(
+                spark, root, keys={table: ["worker", "seq", "i"]}, n_buckets=4
+            )
+            if flavor == "bucketed"
+            else TableStore(spark, root)
+        )
         with open(go, "w") as f:
             f.write("go")
         retries = 0
