@@ -43,12 +43,24 @@ class ConcurrentWriteError(RuntimeError):
 
 
 class _CommitLock:
-    """Per-table commit mutex via O_CREAT|O_EXCL lock file — makes the
-    check-pointer-then-swap sequence atomic against other local
-    writers. A lock older than ``stale_s`` is presumed abandoned by a
-    crashed writer and broken (the CAS re-check inside the new holder
-    still rejects anything the dead writer half-did, because the dead
-    writer never swapped the pointer)."""
+    """Per-table commit mutex via ``flock`` on a persistent lock file —
+    makes the check-pointer-then-swap sequence atomic against other
+    local writers (the class's contract is same-host; a multi-host
+    deployment maps commits onto Delta/Iceberg, whose log IS the lock).
+
+    Why flock and not the earlier O_CREAT|O_EXCL + stale-mtime-break
+    protocol: a kernel advisory lock is released automatically when
+    the holder dies, so there is no staleness heuristic at all — and
+    the heuristic was the bug. Breaking a lock by ``unlink`` after a
+    stat is a TOCTOU race twice over: two waiters can both judge the
+    same lock stale and both "succeed" (the second unlink removes the
+    FIRST breaker's freshly-created lock, letting a third writer in
+    alongside it), and a breaker can unlink a live lock created
+    between its stat and its unlink. The lock file is deliberately
+    NEVER unlinked: every process always flocks the same inode, which
+    is what makes the protocol race-free. ``stale_s`` survives as the
+    acquisition-timeout scale so callers' expectations about bounded
+    waiting hold."""
 
     def __init__(self, path: str, stale_s: float = 30.0) -> None:
         self.path = path
@@ -56,34 +68,30 @@ class _CommitLock:
         self._fd: int | None = None
 
     def __enter__(self) -> "_CommitLock":
+        import fcntl
+
         deadline = time.monotonic() + self.stale_s + 5.0
+        self._fd = os.open(self.path, os.O_CREAT | os.O_WRONLY)
         while True:
             try:
-                self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                fcntl.flock(self._fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 return self
-            except FileExistsError:
-                try:
-                    age = time.time() - os.path.getmtime(self.path)
-                except OSError:
-                    continue  # holder just released; retry immediately
-                if age > self.stale_s:
-                    try:
-                        os.unlink(self.path)
-                    except OSError:
-                        pass
-                    continue
+            except OSError:
                 if time.monotonic() > deadline:
-                    raise TimeoutError(f"commit lock held too long: {self.path}")
+                    os.close(self._fd)
+                    self._fd = None
+                    raise TimeoutError(
+                        f"commit lock held too long: {self.path}"
+                    )
                 time.sleep(0.05)
 
     def __exit__(self, *exc) -> None:
+        import fcntl
+
         if self._fd is not None:
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
             os.close(self._fd)
             self._fd = None
-        try:
-            os.unlink(self.path)
-        except OSError:
-            pass
 
 
 class TableStore:

@@ -402,8 +402,11 @@ class TestCrashConsistencyAndCAS:
 
     def test_stale_commit_lock_is_broken(self, spark, tmp_path):
         """A lock file abandoned by a killed writer must not deadlock
-        the table forever: locks older than the staleness window are
-        broken and the new commit proceeds."""
+        the table forever. Under the flock protocol this is free: the
+        kernel released the dead holder's lock with its process, so
+        the leftover FILE (which is deliberately never unlinked) holds
+        nothing and a new commit proceeds immediately — no staleness
+        window to wait out, no break-the-lock race to get wrong."""
         from etl_notifier_pipeline_spark.storage import TableStore
 
         store = TableStore(spark, str(tmp_path / "lk"))
@@ -413,6 +416,58 @@ class TestCrashConsistencyAndCAS:
             pass
         os.utime(lock, (os.path.getmtime(lock) - 3600, os.path.getmtime(lock) - 3600))
         assert store.overwrite("t", spark.createDataFrame([(1, "b")], ["k", "v"])) == 2
+
+    def test_sigkilled_lock_holder_releases(self, tmp_path):
+        """The case the old mtime heuristic approximated with a 30s
+        window: a holder that dies WITHOUT __exit__. A subprocess
+        acquires the flock and is SIGKILLed mid-hold; the kernel
+        releases the lock with the process, so a new writer acquires
+        immediately (bounded only by process-reap time, not a
+        staleness window)."""
+        import subprocess
+        import sys
+        import time as _time
+
+        from etl_notifier_pipeline_spark.storage import _CommitLock
+
+        lock_path = str(tmp_path / "LOCK")
+        held = str(tmp_path / "held")
+        child = subprocess.Popen(
+            [
+                sys.executable,
+                "-c",
+                f"""
+import sys, time
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from etl_notifier_pipeline_spark.storage import _CommitLock
+lk = _CommitLock({lock_path!r}).__enter__()
+open({held!r}, "w").write("held")
+time.sleep(120)   # hold until killed
+""",
+            ]
+        )
+        try:
+            deadline = _time.monotonic() + 30
+            while not os.path.exists(held):
+                assert child.poll() is None and _time.monotonic() < deadline
+                _time.sleep(0.02)
+            # lock genuinely held: a non-blocking probe must time out
+            probe = _CommitLock(lock_path, stale_s=0.0)
+            t0 = _time.monotonic()
+            try:
+                probe.__enter__()
+                raise AssertionError("acquired a lock another process holds")
+            except TimeoutError:
+                pass
+            child.kill()
+            child.wait(timeout=30)
+            t0 = _time.monotonic()
+            with _CommitLock(lock_path, stale_s=5.0):
+                acquired_after = _time.monotonic() - t0
+            assert acquired_after < 5.0, "kernel did not release on kill"
+        finally:
+            if child.poll() is None:
+                child.kill()
 
 
 @pytest.mark.parametrize("flavor", ["plain", "bucketed"])
