@@ -306,10 +306,7 @@ _SIM_BAND_UNION = " UNION ALL ".join(
 )
 
 
-@register(
-    "d07_simhash_pairs",
-    category="dedup",
-    oracle=f"""
+_D07_ORACLE = f"""
 WITH sims AS ({_SIMHASH_SQL}),
 bands AS ({_SIM_BAND_UNION}),
 cand AS (
@@ -320,7 +317,13 @@ cand AS (
    AND l.doc_id < r.doc_id
 )
 SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
-""",
+"""
+
+
+@register(
+    "d07_simhash_pairs",
+    category="dedup",
+    oracle=_D07_ORACLE,
 )
 def d07_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature (4x16-bit
@@ -334,6 +337,28 @@ def d07_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle (frozen 4x16 banding) stays bit-exact at any scale."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_pairs(d, max_hamming=3, n_docs=d.count())
+
+
+@register(
+    "d14_simhash_multiblock_pairs",
+    category="dedup",
+    oracle=_D07_ORACLE,
+)
+def d14_simhash_multiblock_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d07's pair set computed under the FORCED scale plan: 5 blocks,
+    C(5,2) = 10 two-block combination keys (25-bit key space) instead
+    of the frozen 4x16 banding — the parameterization
+    simhash_band_plan selects past 65k docs. Shares d07's oracle
+    verbatim: the generalized-pigeonhole candidate superset plus the
+    full-signature hamming verify make the OUTPUT invariant to the
+    banding plan, so the adaptive scale path is value-checked against
+    DuckDB bit-for-bit, not just unit-tested. At fixture scale the
+    multi-block plan costs 2.5x the band rows of d07's for identical
+    results; past band saturation (~n > 2^16 per band) it is the plan
+    that stays sub-quadratic (measured: 255.1s -> 36.4s at 5M docs,
+    SCALE_BENCH_sf100.json)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, max_hamming=3, n_bands=5)
 
 
 @register(

@@ -422,3 +422,42 @@ def s11_prefix_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return S.prefix_rerank_topk(emb, queries, k=5, prefix_dim=16, cand_mult=4)
+
+
+S12_LABELS = (2, 5, 7)
+
+
+@register(
+    "s12_filtered_cosine_topk",
+    category="similarity",
+    oracle=f"""
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+    AND c.label IN {S12_LABELS}
+) WHERE rank <= 5
+""",
+)
+def s12_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — the canonical retrieval query shape:
+    top-k by cosine among only the corpus rows passing a metadata
+    predicate (label IN (2,5,7); think language/license/source filters
+    on a training corpus). The filter composes BELOW the broadcast
+    scoring join, so Catalyst pushes it into the parquet scan
+    (PushedFilters: In(label, ...) — asserted by a plan-shape test)
+    and the scored set is ~30% of the corpus, not 100% post-filtered:
+    at 100 TB, filtered search costs the selectivity, not the corpus.
+    Pre-filtering also keeps top-k semantics right (k survivors
+    INSIDE the filter, not filtered leftovers of an unfiltered
+    top-k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.topk_cosine(
+        emb.filter(F.col("label").isin(*S12_LABELS)), queries, k=5
+    )

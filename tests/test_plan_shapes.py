@@ -426,3 +426,14 @@ def test_pareto_cumsum_has_no_single_partition_row_window(spark):
     assert not re.search(r"windowspecdefinition\(r#\d+ DESC", plan), plan
     # the range repartition that defines the buckets is present
     assert re.search(r"rangepartitioning\(r#\d+ DESC", plan), plan
+
+
+def test_filtered_vector_search_pushes_metadata_filter(spark):
+    """s12: the metadata predicate must reach the parquet scan of the
+    corpus leg (filtered search costs the selectivity, not the
+    corpus) and the query side must broadcast — one corpus scan, no
+    corpus shuffle before scoring."""
+    plan = plan_of(spark, "s12_filtered_cosine_topk")
+    assert "PushedFilters" in plan
+    assert "In(label, [2,5,7])" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
