@@ -936,3 +936,77 @@ def prefix_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def incremental_semantic_dedup(
+    hist: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.9,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Verdict a micro-batch of NEW embeddings against the existing
+    corpus — the vector analog of ``incremental_lsh_dedup`` (d13):
+    per batch vector, how many historical near-dups (cosine >=
+    threshold), the best match by (cos desc, hist id asc), and a
+    novelty flag. Returns one row per batch vector.
+
+    Scale shape: the batch is a bounded ingest micro-batch, so it
+    BROADCASTS and the corpus scans exactly once per batch — cost is
+    |corpus| x |batch| scoring folds, linear in the corpus for
+    bounded batches, with nothing but the per-batch-vector verdict
+    leaving the scan stage. (For batch sizes past broadcast range,
+    the IVF-blocked path — assign the batch to the corpus's cells and
+    compare in-cell, s09's machinery — is the approximate scale
+    valve; THIS operator is the exact contract a dedup gate wants for
+    arrival-sized batches, and its exactness is what lets DuckDB
+    value-check it.)
+
+    Precondition mirrors d13: hist/batch ids disjoint, enforced with
+    the same anti-join (batch side wins)."""
+    hist = hist.join(batch.select(id_col), id_col, "left_anti")
+    b = batch.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        norm(F.col(vec_col)).alias("b_norm"),
+    )
+    h = hist.select(
+        F.col(id_col).alias("h_id"),
+        F.col(vec_col).alias("h_vec"),
+        norm(F.col(vec_col)).alias("h_norm"),
+    )
+    cos = dot(F.col("b_vec"), F.col("h_vec")) / (
+        F.col("b_norm") * F.col("h_norm")
+    )
+    matches = (
+        h.crossJoin(F.broadcast(b))
+        .select("b_id", "h_id", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .groupBy("b_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max(
+                F.struct(
+                    F.col("cos").alias("c"), (-F.col("h_id")).alias("neg_id")
+                )
+            ).alias("best"),
+        )
+        .select(
+            "b_id",
+            "n_matches",
+            (-F.col("best.neg_id")).alias("best_match_id"),
+            F.col("best.c").alias("best_cos"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(matches, F.col(id_col) == F.col("b_id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
+            "best_match_id",
+            "best_cos",
+            F.col("n_matches").isNull().alias("is_novel"),
+        )
+    )

@@ -461,3 +461,56 @@ def s12_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_cosine(
         emb.filter(F.col("label").isin(*S12_LABELS)), queries, k=5
     )
+
+
+S13_BATCH_MOD = 12
+S13_THRESHOLD = 0.85
+
+
+@register(
+    "s13_incremental_semantic_dedup",
+    category="similarity",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {S13_BATCH_MOD} = 0
+),
+h AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {S13_BATCH_MOD} <> 0
+),
+scored AS (
+  SELECT b.vec_id AS b_id, h.vec_id AS h_id,
+         {_COS.format(a='b.embedding', b='h.embedding')} AS cos
+  FROM b, h
+),
+m AS (
+  SELECT b_id, COUNT(*) AS n_matches,
+         MIN(h_id ORDER BY cos DESC, h_id) AS best_match_id,
+         MAX(cos) AS best_cos
+  FROM scored WHERE cos >= {S13_THRESHOLD}
+  GROUP BY b_id
+)
+SELECT b.vec_id,
+       COALESCE(m.n_matches, 0) AS n_matches,
+       m.best_match_id,
+       m.best_cos,
+       m.b_id IS NULL AS is_novel
+FROM b LEFT JOIN m ON m.b_id = b.vec_id
+""",
+)
+def s13_incremental_semantic_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental EMBEDDING dedup — the vector analog of d13: a
+    micro-batch of new vectors (1/12 slice) verdicted against the
+    historical corpus by exact cosine (>= 0.85): match count, best
+    historical match by (cos desc, id), novelty flag, one row per
+    batch vector. The batch broadcasts; the corpus scans once — cost
+    linear in the corpus per bounded ingest batch, and the exactness
+    is what makes the operator value-checkable bit-for-bit (the
+    IVF-blocked s09 machinery is the approximate valve for
+    batch sizes past broadcast range)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = (F.col("vec_id") % S13_BATCH_MOD) == 0
+    return S.incremental_semantic_dedup(
+        emb.filter(~is_batch), emb.filter(is_batch), threshold=S13_THRESHOLD
+    )

@@ -859,3 +859,50 @@ def test_incremental_dedup_overlapping_doc_ids_guarded(spark):
         ).collect()
     }
     assert guarded == clean
+
+
+def test_incremental_semantic_dedup_matches_bruteforce(spark):
+    """s13 shape: verdicts must equal the brute-force cross-side
+    reduction (numpy), and a hist side poisoned with a full batch copy
+    must be neutralized by the disjointness guard."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    is_batch = (F.col("vec_id") % 12) == 0
+    hist, batch = emb.filter(~is_batch), emb.filter(is_batch)
+    got = {
+        r["vec_id"]: (r["n_matches"], r["best_match_id"], r["is_novel"])
+        for r in S.incremental_semantic_dedup(
+            hist, batch, threshold=0.85
+        ).collect()
+    }
+    rows = emb.collect()
+    H = [(r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+         for r in rows if r["vec_id"] % 12 != 0]
+    B = [(r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+         for r in rows if r["vec_id"] % 12 == 0]
+    assert set(got) == {i for i, _ in B}
+    for bid, bv in B:
+        ms = []
+        for hid, hv in H:
+            c = float(bv @ hv / (np.linalg.norm(bv) * np.linalg.norm(hv)))
+            if c >= 0.85 - 1e-12:  # float-fold vs numpy tolerance band
+                ms.append((c, hid))
+        n, best, novel = got[bid]
+        if not ms:
+            assert novel and n == 0
+        else:
+            # counts can differ only for cosines within float tolerance
+            assert abs(n - len(ms)) <= sum(1 for c, _ in ms if abs(c - 0.85) < 1e-9)
+            assert not novel
+            best_c = max(c for c, _ in ms)
+            expect = min(h for c, h in ms if abs(c - best_c) < 1e-12)
+            assert best == expect
+    # overlap guard: poisoning hist with the batch changes nothing
+    poisoned = {
+        r["vec_id"]: (r["n_matches"], r["best_match_id"], r["is_novel"])
+        for r in S.incremental_semantic_dedup(
+            hist.unionByName(batch), batch, threshold=0.85
+        ).collect()
+    }
+    assert poisoned == got
