@@ -642,7 +642,12 @@ def st14_streaming_incremental_dedup(
 
 
 def incremental_dedup_fold(
-    store, batch_df: DataFrame, batch_id: int, *, threshold: float
+    store,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    threshold: float,
+    verdict_fn=None,
 ) -> None:
     """One micro-batch of dedup-on-ingest, idempotent at EVERY crash
     point of foreachBatch's at-least-once replay contract.
@@ -664,6 +669,10 @@ def incremental_dedup_fold(
     """
     from etl_notifier_pipeline_spark.extensions import dedup as D
 
+    if verdict_fn is None:
+        def verdict_fn(hist, batch):  # default: text LSH (st14/d13)
+            return D.incremental_lsh_dedup(hist, batch, threshold=threshold)
+
     spark = batch_df.sparkSession
     bid = int(batch_id)
     if store.exists("txn") and bid <= store.read("txn").head()[0]:
@@ -674,9 +683,7 @@ def incremental_dedup_fold(
         hist = corpus.drop("__batch_id")
     else:
         corpus, hist = None, batch_df.limit(0)
-    verdict = D.incremental_lsh_dedup(
-        hist, batch_df, threshold=threshold
-    ).select("*", stamp)
+    verdict = verdict_fn(hist, batch_df).select("*", stamp)
     if store.exists("verdicts"):
         verdict = (
             store.read("verdicts")
@@ -692,3 +699,105 @@ def incremental_dedup_fold(
     store.overwrite(
         "txn", spark.createDataFrame([(bid,)], "last_batch_id long")
     )
+
+
+# st15's arrival schedule mirrors st14 on the EMBEDDINGS table: four
+# micro-batches, batch k = vectors with vec_id % 4 == k, in k order.
+ST15_N_BATCHES = 4
+ST15_THRESHOLD = 0.85
+
+
+def _st15_oracle() -> str:
+    from etl_notifier_pipeline_spark.plans.ext_sim import _COS
+
+    cos = _COS.format(a="b.embedding", b="h.embedding")
+    return f"""
+WITH scored AS (
+  SELECT b.vec_id AS b_id, h.vec_id AS h_id, {cos} AS cos
+  FROM embeddings b JOIN embeddings h
+    ON (b.vec_id % {ST15_N_BATCHES}) > (h.vec_id % {ST15_N_BATCHES})
+),
+m AS (
+  SELECT b_id, COUNT(*) AS n_matches,
+         MIN(h_id ORDER BY cos DESC, h_id) AS best_match_id,
+         MAX(cos) AS best_cos
+  FROM scored WHERE cos >= {ST15_THRESHOLD}
+  GROUP BY b_id
+)
+SELECT e.vec_id,
+       COALESCE(m.n_matches, 0) AS n_matches,
+       m.best_match_id,
+       m.best_cos,
+       m.b_id IS NULL AS is_novel
+FROM embeddings e
+LEFT JOIN m ON m.b_id = e.vec_id
+"""
+
+
+@register(
+    "st15_streaming_semantic_dedup",
+    category="streaming",
+    oracle=_st15_oracle(),
+)
+def st15_streaming_semantic_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding dedup-on-ingest: s13's exact incremental semantic
+    verdict run inside a REAL foreachBatch stream — four genuine
+    micro-batches of vectors, each scored against the corpus
+    accumulated from all EARLIER batches, verdicts appended, batch
+    folded into the corpus. Reuses :func:`incremental_dedup_fold`
+    verbatim with the cosine verdict function, so the
+    crash-at-any-commit-point idempotency guarantees (batch_id row
+    stamps + torn-predecessor discard) carry over to the vector
+    pipeline without new replay logic. The drained verdict table must
+    hash-equal a DuckDB twin that replays the arrival schedule
+    declaratively (matches only where the candidate's batch index is
+    strictly smaller)."""
+    import os as _os
+    import tempfile
+
+    from etl_notifier_pipeline_spark.extensions import similarity as S
+    from etl_notifier_pipeline_spark.storage import TableStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="st15_")
+    src = f"{tmp}/src"
+    _os.makedirs(src)
+    now = int(__import__("time").time())
+    for k in range(ST15_N_BATCHES):
+        path = f"{src}/b{k}.parquet"
+        emb.filter(F.col("vec_id") % ST15_N_BATCHES == k).coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+        for root, _dirs, files in _os.walk(path):
+            for fn in files:
+                _os.utime(_os.path.join(root, fn), (now + k, now + k))
+        _os.utime(path, (now + k, now + k))
+    schema = spark.read.parquet(f"{src}/b0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*.parquet")
+    )
+    store = TableStore(spark, f"{tmp}/store")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_dedup_fold(
+            store,
+            batch_df,
+            batch_id,
+            threshold=ST15_THRESHOLD,
+            verdict_fn=lambda hist, batch: S.incremental_semantic_dedup(
+                hist, batch, threshold=ST15_THRESHOLD
+            ),
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return store.read("verdicts").drop("__batch_id")
