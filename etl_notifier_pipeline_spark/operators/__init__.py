@@ -4,6 +4,7 @@ from etl_notifier_pipeline_spark.operators.mutations import (
     deleted_count,
     filter_new_deletes,
     insert_if_absent,
+    snapshot_diff,
     upsert,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "deleted_count",
     "filter_new_deletes",
     "insert_if_absent",
+    "snapshot_diff",
     "upsert",
 ]

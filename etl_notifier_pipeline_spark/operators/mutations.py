@@ -175,3 +175,46 @@ def filter_new_deletes(
     return new_deletes.join(
         _maybe_broadcast(p, broadcast_pending), list(keys), "left_anti"
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: one row per
+    key whose state changed, with ``change`` in ('insert', 'update',
+    'delete') and the full non-key payloads of both sides (``old_row``
+    / ``new_row`` structs, NULL on the absent side). The lakehouse
+    table_changes/CDF operation computed from plain snapshots — pair
+    it with ``TableStore.read(table, version=...)`` time travel to
+    diff any two retained versions.
+
+    Plan: one full-outer equi-join on the keys (the only shuffle, both
+    sides narrow to keys + packed payload struct); change
+    classification is a null-pattern CASE; unchanged rows are filtered
+    with a null-safe struct comparison so NULL payload fields compare
+    as equal (eqNullSafe), never as spurious updates. At 100 TB the
+    join is key-partitioned like any MERGE — and on bucketed layouts
+    (BucketedTableStore) both snapshots hash the same keys, so only
+    same-bucket files meet."""
+    _check_keys(old, keys, "old")
+    _check_keys(new, keys, "new")
+    nonkey = [c for c in old.columns if c not in keys]
+    if [c for c in new.columns if c not in keys] != nonkey:
+        raise ValueError(
+            f"snapshot schemas differ: {old.columns} vs {new.columns}"
+        )
+    o = old.select(*keys, F.struct(*nonkey).alias("old_row"))
+    n = new.select(*keys, F.struct(*nonkey).alias("new_row"))
+    j = o.join(n, list(keys), "full_outer")
+    change = (
+        F.when(F.col("old_row").isNull(), F.lit("insert"))
+        .when(F.col("new_row").isNull(), F.lit("delete"))
+        .when(~F.col("old_row").eqNullSafe(F.col("new_row")), F.lit("update"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change", "old_row", "new_row")
+    )

@@ -406,3 +406,85 @@ def m11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_schema=True,
     )
     return store.read("cust").select("ckey", "name", "seg")
+
+
+@register(
+    "m10_version_diff",
+    category="mutation",
+    oracle=f"""
+WITH ev AS ({_EV_SQL}),
+v1 AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+incoming AS (SELECT * FROM ev WHERE event_type = 'click'),
+last_in AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM incoming) WHERE rn = 1
+),
+up AS (
+  SELECT t.* FROM v1 t
+  WHERE NOT EXISTS (SELECT 1 FROM last_in l WHERE l.user_id = t.user_id)
+  UNION ALL
+  SELECT * FROM last_in
+),
+v2 AS (
+  SELECT * FROM up t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ev d WHERE d.event_type = 'error' AND d.user_id = t.user_id)
+)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'insert'
+            WHEN n.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       o.event_id AS old_event_id, o.event_type AS old_event_type,
+       o.value AS old_value,
+       n.event_id AS new_event_id, n.event_type AS new_event_type,
+       n.value AS new_value
+FROM v1 o FULL OUTER JOIN v2 n ON o.user_id = n.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL
+   OR (o.event_id IS DISTINCT FROM n.event_id
+       OR o.event_type IS DISTINCT FROM n.event_type
+       OR o.value IS DISTINCT FROM n.value)
+""",
+)
+def m10_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two RETAINED versions of a real
+    versioned table — the Delta CHANGE DATA FEED / table_changes
+    operation, earned from plain snapshots: v1 = purchases keyed by
+    user, v2 = v1 after a click-upsert (m02's MERGE) and an
+    error-user delete (m03), both written through TableStore so the
+    diff reads v1 back via TIME TRAVEL (``read(table, version=1)``)
+    rather than from a kept DataFrame. ``snapshot_diff`` classifies
+    per key: insert (new user from clicks), update (click overwrote a
+    purchase), delete (error user dropped); unchanged rows are
+    filtered with a null-safe struct comparison. The oracle replays
+    both states declaratively and full-outer-joins them with
+    IS DISTINCT FROM semantics."""
+    import tempfile
+
+    from etl_notifier_pipeline_spark.operators import snapshot_diff
+    from etl_notifier_pipeline_spark.storage import TableStore
+
+    ev = _events(spark, sf_dir)
+    v1 = ev.filter(F.col("event_type") == "purchase")
+    incoming = ev.filter(F.col("event_type") == "click")
+    v2 = delete_by_keys(
+        upsert(v1, incoming, ["user_id"], ["event_id"]),
+        ev.filter(F.col("event_type") == "error").select("user_id"),
+        ["user_id"],
+    )
+    store = TableStore(spark, tempfile.mkdtemp(prefix="m10_"))
+    store.overwrite("t", v1)
+    store.overwrite("t", v2)
+    diff = snapshot_diff(
+        store.read("t", version=1), store.read("t", version=2), ["user_id"]
+    )
+    return diff.select(
+        "user_id",
+        "change",
+        F.col("old_row.event_id").alias("old_event_id"),
+        F.col("old_row.event_type").alias("old_event_type"),
+        F.col("old_row.value").alias("old_value"),
+        F.col("new_row.event_id").alias("new_event_id"),
+        F.col("new_row.event_type").alias("new_event_type"),
+        F.col("new_row.value").alias("new_value"),
+    )

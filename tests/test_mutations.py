@@ -154,3 +154,30 @@ class TestIncrementalAggregates:
             )
         with pytest.raises(ValueError, match="non-mergeable"):
             merge_aggregates(spark.range(1), spark.range(1), ["id"], {"x": "avg"})
+
+
+def test_snapshot_diff_classifies_and_null_safe(spark):
+    from etl_notifier_pipeline_spark.operators import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "C", 30.0), (4, "d", 41.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: (r["change"], r["old_row"], r["new_row"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    # k=2 unchanged (NULL payload equals NULL payload — eqNullSafe)
+    assert set(got) == {1, 3, 4, 5}
+    assert got[1][0] == "delete" and got[1][2] is None
+    assert got[3][0] == "update" and got[3][2]["s"] == "C"
+    assert got[4][0] == "update" and got[4][2]["v"] == 41.0
+    assert got[5][0] == "insert" and got[5][1] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schemas differ"):
+        snapshot_diff(old, new.withColumnRenamed("v", "w"), ["k"])
