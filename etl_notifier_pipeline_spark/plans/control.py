@@ -488,3 +488,56 @@ def m10_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_row.event_type").alias("new_event_type"),
         F.col("new_row.value").alias("new_value"),
     )
+
+
+@register(
+    "m12_zone_map_scan",
+    category="mutation",
+    oracle="""
+SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS ship_month,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '2000-01-01 00:00:00'
+                     AND TIMESTAMP '2000-12-31 23:59:59'
+GROUP BY 1
+""",
+)
+def m12_zone_map_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping scan over the engine's own store: lineitem is
+    committed, OPTIMIZE-clustered on l_shipdate (range repartition +
+    intra-file sort — each file owns a disjoint date slice), then a
+    one-year range is read through ``read_where``, which consults the
+    per-file zone maps harvested from parquet footers at commit and
+    opens only the files whose [min,max] admit the range (~3 of 8 here;
+    on a 100 TB table this is the difference between a full scan and a
+    handful of files — Delta/Iceberg data skipping earned from plain
+    parquet + a stats sidecar). Equality with the oracle's full-scan
+    filter is exactly the soundness claim of min/max pruning; the
+    skipping ratio itself is asserted in tests/test_bucketed_store.py.
+    """
+    import tempfile
+
+    from etl_notifier_pipeline_spark.storage import TableStore
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice"
+    )
+    store = TableStore(spark, tempfile.mkdtemp(prefix="m12_"))
+    store.overwrite("li", li)
+    store.optimize_layout("li", "l_shipdate", n_files=8)
+    import datetime
+
+    lo = datetime.datetime(2000, 1, 1)
+    hi = datetime.datetime(2000, 12, 31, 23, 59, 59)
+    pruned = store.read_where("li", [("l_shipdate", "between", (lo, hi))])
+    return pruned.groupBy(
+        F.date_format(
+            F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM-dd"
+        ).alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

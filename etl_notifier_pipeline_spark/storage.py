@@ -19,12 +19,16 @@ atomicity from the classic versioned-directory + pointer-file swap:
 
 from __future__ import annotations
 
+import datetime
+import decimal
+import json
 import os
 import shutil
 import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -197,6 +201,7 @@ class TableStore:
             mpath = os.path.join(target, "_manifest.txt")
             with open(mpath, "w") as f:
                 f.write("\n".join(manifest))
+            _harvest_zone_maps(target)
             tmp = self._pointer(table) + ".tmp"
             with open(tmp, "w") as f:
                 f.write(f"v={v}")
@@ -246,6 +251,93 @@ class TableStore:
         self._commit(table, v, manifest, staging)
         return v
 
+    def _version_files(self, table: str, v: int) -> list[tuple[str, dict | None]]:
+        """Every parquet file version ``v`` references, paired with its
+        zone-map stats (None when the file's version dir predates stats
+        or footer harvesting was unavailable — such files are always
+        scanned, never pruned)."""
+        out: list[tuple[str, dict | None]] = []
+        for d in self._manifest(table, v):
+            dpath = os.path.join(self._dir(table), d)
+            spath = os.path.join(dpath, _STATS_NAME)
+            stats: dict = {}
+            if os.path.exists(spath):
+                with open(spath) as f:
+                    stats = json.load(f)
+            for name in sorted(os.listdir(dpath)):
+                if name.endswith(".parquet"):
+                    out.append((os.path.join(dpath, name), stats.get(name)))
+        return out
+
+    def pruned_files(
+        self,
+        table: str,
+        predicates: list[tuple],
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """File list after zone-map pruning, plus the unpruned total —
+        the observable data-skipping ratio (`(kept, total)`); the
+        engine's analog of Delta's `numFilesSkipped` metric."""
+        v = self.current_version(table) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no such table: {table}")
+        files = self._version_files(table, v)
+        kept = [p for p, st in files if _file_may_match(st, predicates)]
+        return kept, len(files)
+
+    def read_where(
+        self,
+        table: str,
+        predicates: list[tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Data-skipping scan: rows satisfying the conjunction of
+        ``predicates`` (``(col, op, value)`` with op in
+        ``< <= > >= =`` or ``("col", "between", (lo, hi))``), opening
+        ONLY the files whose zone maps admit a match. The same
+        min/max-vs-predicate test Delta/Iceberg run against their
+        transaction-log stats, applied to the store's per-file footer
+        harvest — on a 100 TB table clustered by the predicate column
+        (see ``optimize_layout``) a narrow range touches a handful of
+        files instead of every byte. Pruning is conservative: files
+        without stats (pre-stats versions, exotic types) are scanned,
+        and the predicate is still applied to every surviving row, so
+        the result is identical to ``read().where(...)`` by
+        construction. All listed ops reject NULLs (SQL comparison
+        semantics), which is what makes min/max pruning sound — a file
+        of only NULLs in the predicate column can never contribute."""
+        kept, _total = self.pruned_files(table, predicates, version)
+        cond = _predicates_to_column(predicates)
+        if not kept:
+            empty = self.read(table, version=version).where(F.lit(False))
+            return empty
+        v = self.current_version(table) if version is None else version
+        reader = self.spark.read
+        if "#mergeSchema" in self._manifest_flags(table, v):
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*kept)
+        return df.where(cond) if cond is not None else df
+
+    def optimize_layout(
+        self, table: str, cluster_by: str | list[str], n_files: int = 8
+    ) -> int:
+        """OPTIMIZE-style clustering rewrite: range-repartition the
+        current version on ``cluster_by`` and sort within partitions,
+        so each output file owns a (near-)disjoint slice of the
+        column's domain — the layout that turns zone maps from
+        bookkeeping into skipping. Multi-column lists cluster
+        lexicographically (the linear special case of Z-ordering; a
+        bit-interleaved Z-order key would slot in here unchanged).
+        Returns the new version; readers see old-or-new atomically like
+        any overwrite."""
+        cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+        clustered = (
+            self.read(table)
+            .repartitionByRange(n_files, *[F.col(c) for c in cols])
+            .sortWithinPartitions(*cols)
+        )
+        return self.overwrite(table, clustered)
+
     def _vacuum(self, table: str, keep: int) -> None:
         """Delete version dirs neither recent nor referenced by any of
         the last ``keep`` versions' manifests (readers resolving an
@@ -262,6 +354,133 @@ class TableStore:
                     shutil.rmtree(os.path.join(self._dir(table), name), ignore_errors=True)
             elif name.startswith(".staging-"):
                 _sweep_stale_staging(os.path.join(self._dir(table), name))
+
+
+_STATS_NAME = "_stats.json"
+
+
+def _stat_enc(v):
+    """JSON-encode a footer min/max with a type tag so decode restores
+    the comparable Python value. Unknown types (binary, nested) return
+    None — the column simply gets no zone map."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return {"__type": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"__type": "date", "v": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"__type": "dec", "v": str(v)}
+    return None
+
+
+def _stat_dec(v):
+    if isinstance(v, dict):
+        t = v.get("__type")
+        if t == "ts":
+            return datetime.datetime.fromisoformat(v["v"])
+        if t == "date":
+            return datetime.date.fromisoformat(v["v"])
+        if t == "dec":
+            return decimal.Decimal(v["v"])
+    return v
+
+
+def _harvest_zone_maps(target: str) -> None:
+    """Per-file column min/max harvested from the parquet footers the
+    write just produced — Delta-style data-skipping stats at zero extra
+    scan cost (the writer already computed row-group statistics; this
+    only reads footers, never data pages). Written as ``_stats.json``
+    inside the version dir BEFORE the pointer swap, so any committed
+    version either has complete stats or (import/IO failure) none —
+    readers treat a missing file as "scan everything", keeping stats a
+    pure optimization. On a real deployment this map lives in the
+    Delta/Iceberg log; the per-version sidecar is the same contract
+    without the log."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return
+    stats: dict[str, dict] = {}
+    for name in sorted(os.listdir(target)):
+        if not name.endswith(".parquet"):
+            continue
+        try:
+            md = pq.ParquetFile(os.path.join(target, name)).metadata
+        except Exception:
+            continue
+        cols: dict[str, dict] = {}
+        for j in range(md.num_columns):
+            col = md.schema.column(j)
+            if "." in col.path:
+                continue  # nested leaf: no single top-level range
+            mins, maxs, nulls = [], [], 0
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(j).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+                nulls += st.null_count or 0
+            if mins:
+                lo, hi = _stat_enc(min(mins)), _stat_enc(max(maxs))
+                if lo is not None and hi is not None:
+                    cols[col.path] = {"min": lo, "max": hi, "nulls": nulls}
+        stats[name] = cols
+    with open(os.path.join(target, _STATS_NAME), "w") as f:
+        json.dump(stats, f)
+
+
+def _file_may_match(stats: dict | None, predicates: list[tuple]) -> bool:
+    """Can any row of a file with these zone maps satisfy the
+    conjunction? Conservative in every uncertain direction: no stats,
+    no map for the column, or incomparable types all answer yes."""
+    if not stats:
+        return True
+    for col, op, val in predicates:
+        cs = stats.get(col)
+        if not cs:
+            continue
+        lo, hi = _stat_dec(cs["min"]), _stat_dec(cs["max"])
+        try:
+            if op == "<=" and not lo <= val:
+                return False
+            if op == "<" and not lo < val:
+                return False
+            if op == ">=" and not hi >= val:
+                return False
+            if op == ">" and not hi > val:
+                return False
+            if op == "=" and not (lo <= val <= hi):
+                return False
+            if op == "between" and not (hi >= val[0] and lo <= val[1]):
+                return False
+        except TypeError:
+            continue
+    return True
+
+
+def _predicates_to_column(predicates: list[tuple]):
+    cond = None
+    for col, op, val in predicates:
+        c = F.col(col)
+        if op == "between":
+            e = c.between(F.lit(val[0]), F.lit(val[1]))
+        elif op == "<=":
+            e = c <= F.lit(val)
+        elif op == "<":
+            e = c < F.lit(val)
+        elif op == ">=":
+            e = c >= F.lit(val)
+        elif op == ">":
+            e = c > F.lit(val)
+        elif op == "=":
+            e = c == F.lit(val)
+        else:
+            raise ValueError(f"unsupported predicate op: {op!r}")
+        cond = e if cond is None else (cond & e)
+    return cond
 
 
 def _sweep_stale_staging(path: str, stale_s: float = 300.0) -> None:

@@ -554,3 +554,77 @@ def test_cross_process_concurrent_writer_cas(spark, tmp_path, flavor):
     # contention OR every interleaving happened to serialize — either
     # way the store never raised past its retry loop; sanity-log only.
     assert retries >= 0
+
+
+class TestZoneMaps:
+    """Data-skipping scan (TableStore.read_where): per-file footer
+    min/max must PRUNE files a clustered range query cannot touch,
+    while never changing any result (pruning soundness)."""
+
+    @pytest.fixture()
+    def zstore(self, spark, tmp_path):
+        store = TableStore(spark, str(tmp_path / "zstore"))
+        df = spark.range(10_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("m"),
+            F.concat(F.lit("v"), F.col("id")).alias("s"),
+        )
+        store.overwrite("t", df)
+        store.optimize_layout("t", "k", n_files=10)
+        return store
+
+    def test_range_prunes_files_and_matches_full_scan(self, spark, zstore):
+        preds = [("k", "between", (2_000, 2_999))]
+        kept, total = zstore.pruned_files("t", preds)
+        assert total == 10
+        # 1000 contiguous keys of 10k over 10 range-clustered files:
+        # at most 2 files can own a slice of [2000, 3000)
+        assert 1 <= len(kept) <= 2
+        got = zstore.read_where("t", preds)
+        want = zstore.read("t").where(F.col("k").between(2_000, 2_999))
+        assert got.count() == 1_000
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    def test_point_and_inequality_ops(self, zstore):
+        kept_eq, _ = zstore.pruned_files("t", [("k", "=", 9_999)])
+        assert len(kept_eq) == 1
+        assert zstore.read_where("t", [("k", "=", 9_999)]).count() == 1
+        kept_gt, _ = zstore.pruned_files("t", [("k", ">", 8_999)])
+        assert len(kept_gt) == 1
+        assert zstore.read_where("t", [("k", ">=", 9_000)]).count() == 1_000
+
+    def test_empty_range_prunes_everything_keeps_schema(self, zstore):
+        preds = [("k", ">", 1_000_000)]
+        kept, total = zstore.pruned_files("t", preds)
+        assert kept == [] and total == 10
+        out = zstore.read_where("t", preds)
+        assert out.count() == 0
+        assert out.columns == ["k", "m", "s"]
+
+    def test_unclustered_column_never_loses_rows(self, zstore):
+        # m cycles 0..6 in every file: zone maps cannot prune (every
+        # file's [min,max] covers the value) but results stay exact
+        kept, total = zstore.pruned_files("t", [("m", "=", 3)])
+        assert len(kept) == total
+        assert zstore.read_where("t", [("m", "=", 3)]).count() == 10_000 // 7 + 1
+
+    def test_missing_stats_falls_back_to_full_scan(self, spark, tmp_path):
+        store = TableStore(spark, str(tmp_path / "nostats"))
+        df = spark.range(100).select(F.col("id").alias("k"))
+        store.overwrite("t", df)
+        # simulate a pre-stats version: drop the sidecar
+        os.remove(os.path.join(store.path("t"), "_stats.json"))
+        kept, total = store.pruned_files("t", [("k", "<", 10)])
+        assert len(kept) == total  # conservative: no stats, no pruning
+        assert store.read_where("t", [("k", "<", 10)]).count() == 10
+
+    def test_append_keeps_old_stats_and_adds_new(self, spark, tmp_path):
+        store = TableStore(spark, str(tmp_path / "appstats"))
+        lo = spark.range(1_000).select(F.col("id").alias("k"))
+        hi = spark.range(1_000_000, 1_001_000).select(F.col("id").alias("k"))
+        store.overwrite("t", lo.coalesce(1))
+        store.append("t", hi.coalesce(1))
+        kept, total = store.pruned_files("t", [("k", ">=", 1_000_000)])
+        assert total == 2 and len(kept) == 1  # only the appended file
+        assert store.read_where("t", [("k", ">=", 1_000_000)]).count() == 1_000
