@@ -1,5 +1,7 @@
 from etl_notifier_pipeline_spark.operators.mutations import (
     MissingKeyError,
+    apply_change_feed,
+    change_feed,
     delete_by_keys,
     deleted_count,
     filter_new_deletes,
@@ -10,6 +12,8 @@ from etl_notifier_pipeline_spark.operators.mutations import (
 
 __all__ = [
     "MissingKeyError",
+    "apply_change_feed",
+    "change_feed",
     "delete_by_keys",
     "deleted_count",
     "filter_new_deletes",

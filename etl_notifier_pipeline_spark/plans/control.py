@@ -491,6 +491,118 @@ def m10_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m13_change_feed",
+    category="mutation",
+    oracle=f"""
+WITH ev AS ({_EV_SQL}),
+s1 AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'purchase') WHERE rn = 1
+),
+last_click AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'click') WHERE rn = 1
+),
+s2 AS (
+  SELECT t.* FROM s1 t
+  WHERE NOT EXISTS (SELECT 1 FROM last_click l WHERE l.user_id = t.user_id)
+  UNION ALL
+  SELECT * FROM last_click
+),
+s3 AS (
+  SELECT * FROM s2 t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ev d WHERE d.event_type = 'error' AND d.user_id = t.user_id)
+),
+d12 AS (
+  SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+         CASE WHEN o.user_id IS NULL THEN 'insert'
+              WHEN n.user_id IS NULL THEN 'delete'
+              ELSE 'update' END AS change,
+         o.event_id AS old_event_id, o.event_type AS old_event_type,
+         o.value AS old_value,
+         n.event_id AS new_event_id, n.event_type AS new_event_type,
+         n.value AS new_value,
+         CAST(2 AS BIGINT) AS commit_version
+  FROM s1 o FULL OUTER JOIN s2 n ON o.user_id = n.user_id
+  WHERE o.user_id IS NULL OR n.user_id IS NULL
+     OR o.event_id IS DISTINCT FROM n.event_id
+     OR o.event_type IS DISTINCT FROM n.event_type
+     OR o.value IS DISTINCT FROM n.value
+),
+d23 AS (
+  SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+         CASE WHEN o.user_id IS NULL THEN 'insert'
+              WHEN n.user_id IS NULL THEN 'delete'
+              ELSE 'update' END AS change,
+         o.event_id, o.event_type, o.value,
+         n.event_id, n.event_type, n.value,
+         CAST(3 AS BIGINT)
+  FROM s2 o FULL OUTER JOIN s3 n ON o.user_id = n.user_id
+  WHERE o.user_id IS NULL OR n.user_id IS NULL
+     OR o.event_id IS DISTINCT FROM n.event_id
+     OR o.event_type IS DISTINCT FROM n.event_type
+     OR o.value IS DISTINCT FROM n.value
+)
+SELECT * FROM d12 UNION ALL SELECT * FROM d23
+""",
+)
+def m13_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-commit CHANGE DATA FEED over the versioned store — Delta's
+    ``table_changes(t, from, to)``: three commits are written through
+    TableStore (v1 = last purchase per user; v2 = v1 after the click
+    MERGE; v3 = v2 after the error-user delete, retain_versions=3 so
+    the whole history stays diffable), then ``change_feed`` unions the
+    per-commit snapshot diffs, each row tagged with the
+    ``commit_version`` that produced it. The oracle replays all three
+    states declaratively and unions the two IS DISTINCT FROM diffs.
+    The replayability invariant (applying the feed to v1 reconstructs
+    v3 exactly) is pinned in tests/test_mutations.py."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from etl_notifier_pipeline_spark.operators import change_feed
+    from etl_notifier_pipeline_spark.storage import TableStore
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    s1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    s2 = upsert(
+        s1, ev.filter(F.col("event_type") == "click"), ["user_id"], ["event_id"]
+    )
+    s3 = delete_by_keys(
+        s2,
+        ev.filter(F.col("event_type") == "error").select("user_id"),
+        ["user_id"],
+    )
+    store = TableStore(
+        spark, tempfile.mkdtemp(prefix="m13_"), retain_versions=3
+    )
+    for state in (s1, s2, s3):
+        store.overwrite("t", state)
+    feed = change_feed(store, "t", ["user_id"])
+    return feed.select(
+        "user_id",
+        "change",
+        F.col("old_row.event_id").alias("old_event_id"),
+        F.col("old_row.event_type").alias("old_event_type"),
+        F.col("old_row.value").alias("old_value"),
+        F.col("new_row.event_id").alias("new_event_id"),
+        F.col("new_row.event_type").alias("new_event_type"),
+        F.col("new_row.value").alias("new_value"),
+        "commit_version",
+    )
+
+
+@register(
     "m12_zone_map_scan",
     category="mutation",
     oracle="""

@@ -99,9 +99,15 @@ class _CommitLock:
 
 
 class TableStore:
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self, spark: SparkSession, root: str, retain_versions: int = 2
+    ) -> None:
+        # retain_versions = the time-travel horizon (same contract as
+        # BucketedTableStore): every retained version stays readable
+        # via read(table, version=n) and diffable via change feeds.
         self.spark = spark
         self.root = root
+        self.retain_versions = max(1, retain_versions)
         os.makedirs(root, exist_ok=True)
 
     def _dir(self, table: str) -> str:
@@ -206,7 +212,7 @@ class TableStore:
             with open(tmp, "w") as f:
                 f.write(f"v={v}")
             os.replace(tmp, self._pointer(table))
-            self._vacuum(table, keep=2)
+            self._vacuum(table, keep=self.retain_versions)
 
     def overwrite(self, table: str, df: DataFrame) -> int:
         """Write a complete new version, then atomically swap the
@@ -250,6 +256,21 @@ class TableStore:
             manifest = ["#mergeSchema", *manifest]
         self._commit(table, v, manifest, staging)
         return v
+
+    def versions(self, table: str) -> list[int]:
+        """Versions still fully readable (their own dir plus every
+        manifest-referenced dir survive on disk), ascending — the
+        time-travel/change-feed horizon."""
+        d = self._dir(table)
+        if not os.path.isdir(d):
+            return []
+        on_disk = {n for n in os.listdir(d) if n.startswith("v=")}
+        out = []
+        for name in sorted(on_disk, key=lambda s: int(s.removeprefix("v="))):
+            v = int(name.removeprefix("v="))
+            if set(self._manifest(table, v)) <= on_disk:
+                out.append(v)
+        return out
 
     def _version_files(self, table: str, v: int) -> list[tuple[str, dict | None]]:
         """Every parquet file version ``v`` references, paired with its

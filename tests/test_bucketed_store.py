@@ -587,11 +587,14 @@ class TestZoneMaps:
         assert want.exceptAll(got).count() == 0
 
     def test_point_and_inequality_ops(self, zstore):
-        kept_eq, _ = zstore.pruned_files("t", [("k", "=", 9_999)])
-        assert len(kept_eq) == 1
+        # repartitionByRange SAMPLES split points, so a narrow slice may
+        # straddle one boundary — assert "a couple of files", never the
+        # sampled exact count, and pin exact row counts for soundness
+        kept_eq, total = zstore.pruned_files("t", [("k", "=", 9_999)])
+        assert 1 <= len(kept_eq) <= 2 < total
         assert zstore.read_where("t", [("k", "=", 9_999)]).count() == 1
         kept_gt, _ = zstore.pruned_files("t", [("k", ">", 8_999)])
-        assert len(kept_gt) == 1
+        assert 1 <= len(kept_gt) <= 2
         assert zstore.read_where("t", [("k", ">=", 9_000)]).count() == 1_000
 
     def test_empty_range_prunes_everything_keeps_schema(self, zstore):
