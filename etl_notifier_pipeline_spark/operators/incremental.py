@@ -82,3 +82,44 @@ def merge_aggregates(
     return both.groupBy(*keys).agg(
         *[_MERGE[kind](name).alias(name) for name, kind in kinds.items()]
     )
+
+
+def cdc_agg_delta(
+    feed: DataFrame,
+    group_col: str,
+    value_col: str,
+    value_cast: str = "decimal(12,2)",
+) -> DataFrame:
+    """Per-group (count, sum) delta implied by a ``change_feed``: every
+    change row RETRACTS its old_row contribution (−1, −value) and
+    ASSERTS its new_row contribution (+1, +value) — inserts have only
+    the assertion, deletes only the retraction, and updates carry both
+    (possibly against different groups, so group migrations are exact).
+    This extends append-only ``agg_delta`` maintenance to the full
+    insert/update/delete mutation stream: the classic incremental
+    view-maintenance delta over CDC, costing O(changes), never
+    O(table). Returns ``group_col, d_count, d_sum`` (signed);
+    ``merge_aggregates`` folds it into a stored summary with kinds
+    ``{"d_count": "count", "d_sum": "sum"}`` — groups whose count
+    reaches zero should then be dropped by the caller (the
+    retraction analog of "new groups appear")."""
+    val = lambda side: F.col(f"{side}.{value_col}").cast(value_cast)  # noqa: E731
+    grp = lambda side: F.col(f"{side}.{group_col}").alias(group_col)  # noqa: E731
+    retract = feed.where(F.col("old_row").isNotNull()).select(
+        grp("old_row"),
+        F.lit(-1).cast("long").alias("d_count"),
+        (-val("old_row")).alias("d_sum"),
+    )
+    assert_ = feed.where(F.col("new_row").isNotNull()).select(
+        grp("new_row"),
+        F.lit(1).cast("long").alias("d_count"),
+        val("new_row").alias("d_sum"),
+    )
+    return (
+        retract.unionByName(assert_)
+        .groupBy(group_col)
+        .agg(
+            F.sum("d_count").alias("d_count"),
+            F.sum("d_sum").alias("d_sum"),
+        )
+    )

@@ -603,6 +603,119 @@ def m13_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m14_cdc_incremental_view",
+    category="mutation",
+    oracle=f"""
+WITH ev AS ({_EV_SQL}),
+s1 AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'purchase') WHERE rn = 1
+),
+last_click AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'click' AND user_id % 2 = 0) WHERE rn = 1
+),
+s2 AS (
+  SELECT t.* FROM s1 t
+  WHERE NOT EXISTS (SELECT 1 FROM last_click l WHERE l.user_id = t.user_id)
+  UNION ALL
+  SELECT * FROM last_click
+),
+s3 AS (
+  SELECT * FROM s2 t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ev d WHERE d.event_type = 'error'
+      AND d.user_id % 7 = 0 AND d.user_id = t.user_id)
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM s3 GROUP BY event_type
+""",
+)
+def m14_cdc_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VIEW MAINTENANCE from the change data feed: a
+    per-event_type (count, sum) aggregate is seeded from commit 1 and
+    then maintained purely from each commit's CDC delta —
+    ``cdc_agg_delta`` retracts old_row contributions and asserts
+    new_row contributions (updates handle group migration exactly;
+    groups retracted to zero rows are dropped), ``merge_aggregates``
+    folds the signed delta into the stored summary. Per commit the
+    work is O(changes + groups), never O(table) — the materialized-
+    view-over-CDF pattern (Delta CDF + MERGE-maintained gold table).
+    The oracle aggregates the FINAL state directly; equality proves
+    the maintained view never drifted across an update-heavy MERGE
+    commit and a delete commit. Same three-commit history as m13."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from etl_notifier_pipeline_spark.operators import change_feed
+    from etl_notifier_pipeline_spark.operators.incremental import (
+        agg_delta,
+        cdc_agg_delta,
+        merge_aggregates,
+    )
+    from etl_notifier_pipeline_spark.storage import TableStore
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    s1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    s2 = upsert(
+        s1,
+        ev.filter(
+            (F.col("event_type") == "click") & (F.col("user_id") % 2 == 0)
+        ),
+        ["user_id"],
+        ["event_id"],
+    )
+    s3 = delete_by_keys(
+        s2,
+        ev.filter(
+            (F.col("event_type") == "error") & (F.col("user_id") % 7 == 0)
+        ).select("user_id"),
+        ["user_id"],
+    )
+    store = TableStore(
+        spark, tempfile.mkdtemp(prefix="m14_"), retain_versions=3
+    )
+    for state in (s1, s2, s3):
+        store.overwrite("t", state)
+
+    kinds = {"d_count": "count", "d_sum": "sum"}
+    view = agg_delta(
+        store.read("t", version=1),
+        ["event_type"],
+        {
+            "d_count": ("count", F.count(F.lit(1))),
+            "d_sum": ("sum", F.sum(F.col("value").cast("decimal(12,2)"))),
+        },
+    )
+    store.overwrite("view", view)
+    for v in (2, 3):
+        feed = change_feed(
+            store, "t", ["user_id"], from_version=v - 1, to_version=v
+        )
+        delta = cdc_agg_delta(feed, "event_type", "value")
+        merged = merge_aggregates(
+            store.read("view"), delta, ["event_type"], kinds
+        ).filter(F.col("d_count") > 0)
+        store.overwrite("view", merged)
+    return store.read("view").select(
+        "event_type",
+        F.col("d_count").alias("n_rows"),
+        F.col("d_sum").cast("double").alias("total_value"),
+    )
+
+
+@register(
     "m12_zone_map_scan",
     category="mutation",
     oracle="""

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from etl_notifier_pipeline_spark.operators import (
     MissingKeyError,
     delete_by_keys,
@@ -260,3 +262,55 @@ class TestChangeFeed:
         # the retained window still feeds fine
         ok = change_feed(store, "t", ["k"], from_version=3, to_version=4)
         assert ok.count() == 2  # one delete + one insert
+
+
+class TestCdcViewMaintenance:
+    """cdc_agg_delta: maintained view == full recompute after every
+    commit, including update-driven group migration and a group
+    retracted to zero rows."""
+
+    def test_view_tracks_recompute_per_commit(self, spark, tmp_path):
+        from etl_notifier_pipeline_spark.operators import change_feed
+        from etl_notifier_pipeline_spark.operators.incremental import (
+            agg_delta,
+            cdc_agg_delta,
+            merge_aggregates,
+        )
+        from etl_notifier_pipeline_spark.storage import TableStore
+
+        store = TableStore(spark, str(tmp_path / "ivm"), retain_versions=5)
+        states = [
+            # k, grp, v
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)],
+            # update k=2 migrates a->b; insert k=4 in a
+            [(1, "a", 10.0), (2, "b", 21.0), (3, "b", 5.0), (4, "a", 1.0)],
+            # delete all of group b (retract to zero), null-value insert
+            [(1, "a", 10.0), (4, "a", 1.0), (5, "a", None)],
+        ]
+        for rows in states:
+            store.overwrite(
+                "t", spark.createDataFrame(rows, "k long, grp string, v double")
+            )
+        aggs = {
+            "d_count": ("count", F.count(F.lit(1))),
+            "d_sum": ("sum", F.sum(F.col("v").cast("decimal(12,2)"))),
+        }
+        kinds = {"d_count": "count", "d_sum": "sum"}
+        view = agg_delta(store.read("t", version=1), ["grp"], aggs)
+        for v in (2, 3):
+            feed = change_feed(
+                store, "t", ["k"], from_version=v - 1, to_version=v
+            )
+            delta = cdc_agg_delta(feed, "grp", "v")
+            view = merge_aggregates(view, delta, ["grp"], kinds).filter(
+                F.col("d_count") > 0
+            )
+            recomputed = agg_delta(store.read("t", version=v), ["grp"], aggs)
+            assert view.exceptAll(recomputed).count() == 0
+            assert recomputed.exceptAll(view).count() == 0
+        final = {
+            r["grp"]: (r["d_count"], float(r["d_sum"]))
+            for r in view.collect()
+        }
+        # group b fully retracted; null-value row counts but adds no sum
+        assert final == {"a": (3, 11.0)}
