@@ -340,23 +340,41 @@ class TableStore:
         return df.where(cond) if cond is not None else df
 
     def optimize_layout(
-        self, table: str, cluster_by: str | list[str], n_files: int = 8
+        self,
+        table: str,
+        cluster_by: str | list[str],
+        n_files: int = 8,
+        zorder: bool = False,
     ) -> int:
         """OPTIMIZE-style clustering rewrite: range-repartition the
         current version on ``cluster_by`` and sort within partitions,
         so each output file owns a (near-)disjoint slice of the
-        column's domain — the layout that turns zone maps from
+        clustering key's domain — the layout that turns zone maps from
         bookkeeping into skipping. Multi-column lists cluster
-        lexicographically (the linear special case of Z-ordering; a
-        bit-interleaved Z-order key would slot in here unchanged).
-        Returns the new version; readers see old-or-new atomically like
-        any overwrite."""
+        lexicographically by default (selective on the LEADING column
+        only); ``zorder=True`` clusters on a bit-interleaved Z-order
+        key instead (Delta's OPTIMIZE ZORDER BY), which keeps every
+        listed column's per-file range narrow simultaneously — a box
+        predicate on ANY subset of the columns then prunes files. The
+        key is built JVM-side (min/max scale to 16-bit lattice cells +
+        static shift/or interleave tree, whole-stage codegen) and
+        dropped before the write; only the layout changes. Returns the
+        new version; readers see old-or-new atomically like any
+        overwrite."""
         cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
-        clustered = (
-            self.read(table)
-            .repartitionByRange(n_files, *[F.col(c) for c in cols])
-            .sortWithinPartitions(*cols)
-        )
+        df = self.read(table)
+        if zorder and len(cols) > 1:
+            z = _zorder_column(df, cols)
+            clustered = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            clustered = df.repartitionByRange(
+                n_files, *[F.col(c) for c in cols]
+            ).sortWithinPartitions(*cols)
         return self.overwrite(table, clustered)
 
     def _vacuum(self, table: str, keep: int) -> None:
@@ -451,6 +469,46 @@ def _harvest_zone_maps(target: str) -> None:
         stats[name] = cols
     with open(os.path.join(target, _STATS_NAME), "w") as f:
         json.dump(stats, f)
+
+
+def _zorder_column(df: DataFrame, cols: list[str], bits: int | None = None):
+    """Bit-interleaved Z-order key over ``cols`` as one codegen-able
+    Column: each column is min/max-scaled onto a ``bits``-wide integer
+    lattice (one tiny driver-side agg for the 2k boundary scalars —
+    Delta samples range boundaries for the same purpose), then the
+    lattice coordinates are interleaved bit-by-bit with a static
+    shift/or tree, so Hilbert-adjacent rows land near each other in
+    ONE sort dimension. ``bits`` defaults to the most that fit a
+    signed 64-bit key (16 for ≤3 columns). Nulls and non-numeric
+    casts quantize to cell 0 (clustered together, never lost)."""
+    k = len(cols)
+    if bits is None:
+        bits = min(16, 62 // k)
+    mx_cell = (1 << bits) - 1
+    row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx{i}") for i, c in enumerate(cols)],
+    ).head()
+    cells = []
+    for i, c in enumerate(cols):
+        mn, mx = row[f"mn{i}"], row[f"mx{i}"]
+        if mn is None or mx is None or mx == mn:
+            cells.append(F.lit(0).cast("long"))
+            continue
+        scaled = (F.col(c).cast("double") - F.lit(float(mn))) * F.lit(
+            mx_cell / (mx - mn)
+        )
+        cell = F.least(
+            F.lit(mx_cell).cast("long"),
+            F.greatest(F.lit(0).cast("long"), scaled.cast("long")),
+        )
+        cells.append(F.coalesce(cell, F.lit(0).cast("long")))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, cell in enumerate(cells):
+            bit = F.shiftright(cell, b).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, b * k + i))
+    return z
 
 
 def _file_may_match(stats: dict | None, predicates: list[tuple]) -> bool:

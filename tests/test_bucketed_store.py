@@ -631,3 +631,54 @@ class TestZoneMaps:
         kept, total = store.pruned_files("t", [("k", ">=", 1_000_000)])
         assert total == 2 and len(kept) == 1  # only the appended file
         assert store.read_where("t", [("k", ">=", 1_000_000)]).count() == 1_000
+
+
+class TestZOrderLayout:
+    """optimize_layout(zorder=True): bit-interleaved clustering must
+    keep BOTH dimensions' per-file ranges narrow — a filter on the
+    non-leading column prunes files, which lexicographic clustering
+    cannot do — while never changing any result."""
+
+    def test_zorder_prunes_both_dims(self, spark, tmp_path):
+        n = 300
+        df = spark.range(n * n).select(
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        )
+        store = TableStore(spark, str(tmp_path / "zo"))
+        store.overwrite("t", df)
+        box = [("x", "between", (100, 129)), ("y", "between", (100, 129))]
+        y_only = [("y", "between", (100, 129))]
+
+        store.optimize_layout("t", ["x", "y"], n_files=16)
+        kept_lex_y, total = store.pruned_files("t", y_only)
+        assert total == 16
+        assert len(kept_lex_y) == 16  # lexicographic: y is unclustered
+
+        store.optimize_layout("t", ["x", "y"], n_files=16, zorder=True)
+        kept_z_box, _ = store.pruned_files("t", box)
+        kept_z_y, _ = store.pruned_files("t", y_only)
+        assert len(kept_z_box) <= 4  # 10% x 10% box: a few files
+        assert len(kept_z_y) <= 8  # non-leading dim now prunes too
+        got = store.read_where("t", box)
+        assert got.count() == 30 * 30
+        want = store.read("t").where(
+            F.col("x").between(100, 129) & F.col("y").between(100, 129)
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    def test_zorder_constant_and_null_columns(self, spark, tmp_path):
+        # a constant column and nulls quantize to cell 0 without error
+        df = spark.range(1_000).select(
+            F.col("id").alias("x"),
+            F.lit(7).alias("c"),
+            F.when(F.col("id") % 2 == 0, F.col("id")).alias("maybe"),
+        )
+        store = TableStore(spark, str(tmp_path / "zo2"))
+        store.overwrite("t", df)
+        store.optimize_layout("t", ["x", "c", "maybe"], n_files=4, zorder=True)
+        assert store.read("t").count() == 1_000
+        kept, total = store.pruned_files("t", [("x", "<", 100)])
+        assert len(kept) < total  # x still clusters despite degenerate cols
