@@ -405,6 +405,11 @@ def _stat_enc(v):
     if v is None or isinstance(v, (bool, int, float, str)):
         return v
     if isinstance(v, datetime.datetime):
+        # normalize tz-aware stats (parquet isAdjustedToUTC=true) to
+        # UTC-naive so they compare with naive predicate values — the
+        # engine's session timezone is pinned to UTC, so naive == UTC
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return {"__type": "ts", "v": v.isoformat()}
     if isinstance(v, datetime.date):
         return {"__type": "date", "v": v.isoformat()}
@@ -417,7 +422,10 @@ def _stat_dec(v):
     if isinstance(v, dict):
         t = v.get("__type")
         if t == "ts":
-            return datetime.datetime.fromisoformat(v["v"])
+            ts = datetime.datetime.fromisoformat(v["v"])
+            if ts.tzinfo is not None:  # sidecar written pre-normalization
+                ts = ts.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            return ts
         if t == "date":
             return datetime.date.fromisoformat(v["v"])
         if t == "dec":

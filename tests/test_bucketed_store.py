@@ -578,8 +578,10 @@ class TestZoneMaps:
         kept, total = zstore.pruned_files("t", preds)
         assert total == 10
         # 1000 contiguous keys of 10k over 10 range-clustered files:
-        # at most 2 files can own a slice of [2000, 3000)
-        assert 1 <= len(kept) <= 2
+        # the range spans ~1 file plus the boundary files on either
+        # side of two SAMPLED split points (repartitionByRange) — a
+        # few files, never most of them
+        assert 1 <= len(kept) <= 3
         got = zstore.read_where("t", preds)
         want = zstore.read("t").where(F.col("k").between(2_000, 2_999))
         assert got.count() == 1_000

