@@ -603,6 +603,76 @@ def m13_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m15_metadata_agg",
+    category="mutation",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       MIN(l_shipdate) AS min_l_shipdate,
+       MAX(l_shipdate) AS max_l_shipdate,
+       MIN(l_extendedprice) AS min_l_extendedprice,
+       MAX(l_extendedprice) AS max_l_extendedprice
+FROM lineitem
+""",
+)
+def m15_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregate — COUNT(*)/MIN/MAX answered purely from
+    the store's per-file stats sidecar, zero data files opened (the
+    Delta/Iceberg log-only fast path; footer row counts are exact and
+    footer min/max ignore NULLs exactly like SQL MIN/MAX). The oracle
+    must scan; at 100 TB the engine answers from kilobytes of
+    manifest. Incomplete stats transparently fall back to a real scan
+    with the identical answer (pinned in tests)."""
+    import tempfile
+
+    from etl_notifier_pipeline_spark.storage import TableStore
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice"
+    )
+    store = TableStore(spark, tempfile.mkdtemp(prefix="m15_"))
+    store.overwrite("li", li)
+    return store.stats_aggregate("li", ["l_shipdate", "l_extendedprice"])
+
+
+@register(
+    "m16_keyed_point_read",
+    category="mutation",
+    oracle="""
+SELECT CAST(c_custkey AS BIGINT) AS ckey, c_name AS name,
+       c_mktsegment AS seg
+FROM customer
+WHERE c_custkey % 10 = 0 AND c_custkey <= 200
+""",
+)
+def m16_keyed_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key point read on the bucketed store: the requested keys
+    hash to their owning buckets, ONLY those buckets' files are opened
+    (path-level pruning, the read-side twin of apply_keyed_mutation),
+    and a broadcast semi-join selects the rows — O(table·min(k,B)/B)
+    bytes for k keys, the engine's answer to the reference's Postgres
+    PK-btree point SELECT. The bytes bound is pinned in
+    tests/test_bucketed_store.py."""
+    import tempfile
+
+    from etl_notifier_pipeline_spark.storage import BucketedTableStore
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("ckey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    store = BucketedTableStore(
+        spark, tempfile.mkdtemp(prefix="m16_"), keys={"cust": ["ckey"]},
+        n_buckets=16,
+    )
+    store.overwrite("cust", cust)
+    wanted = cust.filter(
+        (F.col("ckey") % 10 == 0) & (F.col("ckey") <= 200)
+    ).select("ckey")
+    return store.read_keyed("cust", wanted)
+
+
+@register(
     "m14_cdc_incremental_view",
     category="mutation",
     oracle=f"""

@@ -339,6 +339,65 @@ class TableStore:
         df = reader.parquet(*kept)
         return df.where(cond) if cond is not None else df
 
+    def stats_aggregate(
+        self, table: str, cols: list[str], version: int | None = None
+    ) -> DataFrame:
+        """Metadata-only aggregate: ``n_rows`` plus ``min_<c>`` /
+        ``max_<c>`` for each requested column, answered purely from
+        the stats sidecar — zero files opened, zero Spark jobs (the
+        Delta/Iceberg SELECT COUNT(*)/MIN/MAX log-only fast path). The
+        fold is exact because footer row counts are exact and footer
+        min/max ignore NULLs exactly like SQL MIN/MAX. Transparently
+        falls back to a real scan when any referenced file predates
+        stats or lacks min/max for a requested column (all-NULL row
+        groups, exotic types) — the answer is identical either way,
+        only the cost differs."""
+        v = self.current_version(table) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no such table: {table}")
+        files = self._version_files(table, v)
+        n_rows = 0
+        lo: dict[str, object] = {}
+        hi: dict[str, object] = {}
+        complete = bool(files)
+        for _p, st in files:
+            meta = (st or {}).get("#meta")
+            if not st or not meta:
+                complete = False
+                break
+            n_rows += int(meta["rows"])
+            for c in cols:
+                cs = st.get(c)
+                if not cs:
+                    complete = False
+                    break
+                fmn, fmx = _stat_dec(cs["min"]), _stat_dec(cs["max"])
+                lo[c] = fmn if c not in lo or fmn < lo[c] else lo[c]
+                hi[c] = fmx if c not in hi or fmx > hi[c] else hi[c]
+            if not complete:
+                break
+        base = self.read(table, version=version)
+        exprs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            exprs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        if not complete:
+            return base.agg(*exprs)  # fallback: one real scan
+        schema = base.select(
+            F.lit(0).cast("long").alias("n_rows"),
+            *[
+                e
+                for c in cols
+                for e in (
+                    F.col(c).alias(f"min_{c}"),
+                    F.col(c).alias(f"max_{c}"),
+                )
+            ],
+        ).schema
+        row = [n_rows]
+        for c in cols:
+            row += [lo[c], hi[c]]
+        return self.spark.createDataFrame([tuple(row)], schema)
+
     def optimize_layout(
         self,
         table: str,
@@ -456,7 +515,10 @@ def _harvest_zone_maps(target: str) -> None:
             md = pq.ParquetFile(os.path.join(target, name)).metadata
         except Exception:
             continue
-        cols: dict[str, dict] = {}
+        # "#meta" is a reserved sidecar entry ("#" keeps it clear of
+        # parquet column names): exact per-file row count, the currency
+        # of metadata-only COUNT(*) (see TableStore.stats_aggregate)
+        cols: dict[str, dict] = {"#meta": {"rows": md.num_rows}}
         for j in range(md.num_columns):
             col = md.schema.column(j)
             if "." in col.path:
@@ -780,6 +842,34 @@ class BucketedTableStore:
         swap, so a reader holding version N sees a consistent snapshot
         regardless of concurrent mutations (snapshot isolation)."""
         return self._read_paths(table, None, version)
+
+    def read_keyed(
+        self, table: str, key_df: DataFrame, version: int | None = None
+    ) -> DataFrame:
+        """Point/selective read by primary key: hash the requested keys
+        with the table's bucketing function, open ONLY the owning
+        buckets' files, and semi-join the requested keys within them —
+        the read-side twin of ``apply_keyed_mutation``'s write-side
+        pruning. Looking up k keys costs O(table · min(k, B)/B) bytes
+        (hash-index point-read semantics from plain parquet); the
+        reference got this from a Postgres PK btree, Delta/Iceberg from
+        MERGE-style partition pruning. ``key_df`` carries exactly the
+        declared key columns; the tiny distinct-bucket collect is
+        key-count-sized, never table-sized."""
+        keys = self.keys.get(table)
+        if not keys:
+            raise ValueError(
+                f"read_keyed({table!r}): no declared bucket keys"
+            )
+        probe = key_df.select(*keys).distinct()
+        ids = {
+            r["b"]
+            for r in probe.select(
+                self._bucket_col(table, probe).alias("b")
+            ).distinct().collect()
+        }
+        part = self._read_paths(table, ids, version)
+        return part.join(F.broadcast(probe), list(keys), "left_semi")
 
     def overwrite(self, table: str, df: DataFrame) -> int:
         return self._write_version(table, df, carry=None, affected=None)
