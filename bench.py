@@ -128,58 +128,21 @@ def _q01_deployment(spark, sf_dir: str):
 
 
 def _q05_deployment(spark, sf_dir: str):
-    # Mirrors DuckDB's single-box algorithm: build a hash table of the
-    # qualifying orders, stream lineitem through it once. The orders
-    # leg is narrowed to its 12-byte minimum — (o_orderkey,
-    # n_nationkey) — and explicitly broadcast; the nation NAME joins
-    # in AFTER aggregation against the 25-row dim. The fact table
-    # never shuffles. Measured against the alternatives at sf100
-    # (600 M lineitem, 30 M qualifying orders): explicit broadcast
-    # 17.9 s; AQE-decided sort-merge 31.5 s (9.3 GB shuffle + 25 GB
-    # sort spill); the residual gap to DuckDB (~2.6 s) is its
-    # PARALLEL shared-memory hash build vs Spark's serial driver-side
-    # broadcast construction — a single-box architectural constant,
-    # not a numeric-profile or data-scaling term. At cluster scale the
-    # oracle profile's shuffle plan is the one that survives; benching
-    # both documents the single-box-vs-cluster plan gap explicitly.
-    from pyspark.sql import functions as F
+    # Storage-partitioned star join (operators/starjoin.py): the fact
+    # is read from its ingest-time bucket layout (bucketBy l_orderkey),
+    # so the scan IS the join partitioning — zero exchange, zero sort,
+    # zero driver-side build. r6 measured the alternatives at sf100
+    # (600 M lineitem, 30 M qualifying orders): driver-serial broadcast
+    # build 17.9 s (~13 s serial on the driver, impossible at another
+    # 100x dim growth); AQE sort-merge 31.5 s (25 GB sort spill). The
+    # bucketed plan's one-time layout build is ingest cost, reported
+    # separately in the bench artifact (starjoin.LAST_BUILD_SECS) —
+    # never hidden in the per-query number.
+    from etl_notifier_pipeline_spark.operators.starjoin import (
+        q05_plan_bucketed,
+    )
 
-    from etl_notifier_pipeline_spark.catalog import load_table
-
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name").isin("AMERICA", "ASIA")
-    )
-    revenue = F.col("l_extendedprice").cast("double") * (
-        F.lit(1.0) - F.col("l_discount").cast("double")
-    )
-    dims = F.broadcast(
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
-            F.broadcast(r), n.n_regionkey == r.r_regionkey
-        )
-    )
-    order_nk = F.broadcast(
-        o.join(dims, o.o_custkey == dims.c_custkey).select(
-            "o_orderkey", F.col("n_nationkey").alias("nk")
-        )
-    )
-    per_nk = (
-        li.select("l_orderkey", revenue.alias("rev"))
-        .join(order_nk, F.col("l_orderkey") == order_nk.o_orderkey)
-        .groupBy("nk")
-        .agg(
-            F.sum("rev").alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
-        )
-    )
-    return per_nk.join(
-        F.broadcast(n), per_nk.nk == n.n_nationkey
-    ).select(
-        F.col("n_name").alias("nation"), "revenue", "n_lineitems"
-    )
+    return q05_plan_bucketed(spark, sf_dir)
 
 
 DEPLOYMENT_SPARK = {

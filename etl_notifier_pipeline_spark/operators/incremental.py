@@ -98,28 +98,45 @@ def cdc_agg_delta(
     This extends append-only ``agg_delta`` maintenance to the full
     insert/update/delete mutation stream: the classic incremental
     view-maintenance delta over CDC, costing O(changes), never
-    O(table). Returns ``group_col, d_count, d_sum`` (signed);
+    O(table). Returns ``group_col, d_count, d_sum, d_nn`` (all
+    signed); ``d_nn`` is the non-NULL value
+    count — the standard IVM fix for NULL retraction: when a group's
+    last non-NULL value is retracted but rows remain (e.g. an update
+    sets the only value to NULL), the folded ``d_sum`` is 0 while
+    SQL's SUM over the surviving all-NULL group is NULL, so readers
+    must report SUM as ``CASE WHEN d_nn > 0 THEN d_sum END``.
     ``merge_aggregates`` folds it into a stored summary with kinds
-    ``{"d_count": "count", "d_sum": "sum"}`` — groups whose count
-    reaches zero should then be dropped by the caller (the
-    retraction analog of "new groups appear")."""
+    ``{"d_count": "count", "d_sum": "sum", "d_nn": "count"}`` —
+    groups whose count reaches zero should then be dropped by the
+    caller (the retraction analog of "new groups appear")."""
     val = lambda side: F.col(f"{side}.{value_col}").cast(value_cast)  # noqa: E731
     grp = lambda side: F.col(f"{side}.{group_col}").alias(group_col)  # noqa: E731
+    nn = lambda side, sign: (  # noqa: E731
+        F.when(val(side).isNotNull(), F.lit(sign)).otherwise(F.lit(0))
+    ).cast("long")
     retract = feed.where(F.col("old_row").isNotNull()).select(
         grp("old_row"),
         F.lit(-1).cast("long").alias("d_count"),
         (-val("old_row")).alias("d_sum"),
+        nn("old_row", -1).alias("d_nn"),
     )
     assert_ = feed.where(F.col("new_row").isNotNull()).select(
         grp("new_row"),
         F.lit(1).cast("long").alias("d_count"),
         val("new_row").alias("d_sum"),
+        nn("new_row", 1).alias("d_nn"),
     )
     return (
         retract.unionByName(assert_)
         .groupBy(group_col)
         .agg(
             F.sum("d_count").alias("d_count"),
-            F.sum("d_sum").alias("d_sum"),
+            # coalesce: a delta whose contributions are all NULL (e.g.
+            # insert of NULL values) must fold as +0, not poison the
+            # stored sum to NULL through merge_aggregates' SUM
+            F.coalesce(F.sum("d_sum"), F.lit(0).cast(value_cast)).alias(
+                "d_sum"
+            ),
+            F.sum("d_nn").alias("d_nn"),
         )
     )

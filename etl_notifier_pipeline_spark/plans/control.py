@@ -620,8 +620,10 @@ def m15_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta/Iceberg log-only fast path; footer row counts are exact and
     footer min/max ignore NULLs exactly like SQL MIN/MAX). The oracle
     must scan; at 100 TB the engine answers from kilobytes of
-    manifest. Incomplete stats transparently fall back to a real scan
-    with the identical answer (pinned in tests)."""
+    manifest. The timestamp column rides the metadata path; the
+    double column deliberately exercises the NaN-safe fallback
+    (footer max excludes NaN while SQL MAX returns it, so float
+    columns always re-scan — identical answer, honest cost)."""
     import tempfile
 
     from etl_notifier_pipeline_spark.storage import TableStore
@@ -631,7 +633,11 @@ def m15_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = TableStore(spark, tempfile.mkdtemp(prefix="m15_"))
     store.overwrite("li", li)
-    return store.stats_aggregate("li", ["l_shipdate", "l_extendedprice"])
+    meta_side = store.stats_aggregate("li", ["l_shipdate"])
+    scan_side = store.stats_aggregate("li", ["l_extendedprice"]).select(
+        "min_l_extendedprice", "max_l_extendedprice"
+    )
+    return meta_side.crossJoin(scan_side)
 
 
 @register(
@@ -759,13 +765,22 @@ def m14_cdc_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     for state in (s1, s2, s3):
         store.overwrite("t", state)
 
-    kinds = {"d_count": "count", "d_sum": "sum"}
+    kinds = {"d_count": "count", "d_sum": "sum", "d_nn": "count"}
     view = agg_delta(
         store.read("t", version=1),
         ["event_type"],
         {
             "d_count": ("count", F.count(F.lit(1))),
-            "d_sum": ("sum", F.sum(F.col("value").cast("decimal(12,2)"))),
+            "d_sum": (
+                "sum",
+                F.coalesce(
+                    F.sum(F.col("value").cast("decimal(12,2)")),
+                    F.lit(0).cast("decimal(12,2)"),
+                ),
+            ),
+            # non-NULL value count: lets the reader report SUM as NULL
+            # when a group's values are all NULL (see cdc_agg_delta)
+            "d_nn": ("count", F.count(F.col("value"))),
         },
     )
     store.overwrite("view", view)
@@ -781,7 +796,9 @@ def m14_cdc_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read("view").select(
         "event_type",
         F.col("d_count").alias("n_rows"),
-        F.col("d_sum").cast("double").alias("total_value"),
+        F.when(F.col("d_nn") > 0, F.col("d_sum"))
+        .cast("double")
+        .alias("total_value"),
     )
 
 

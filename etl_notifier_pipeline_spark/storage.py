@@ -260,15 +260,24 @@ class TableStore:
     def versions(self, table: str) -> list[int]:
         """Versions still fully readable (their own dir plus every
         manifest-referenced dir survive on disk), ascending — the
-        time-travel/change-feed horizon."""
+        time-travel/change-feed horizon. Clamped to the committed
+        ``_CURRENT`` pointer: a writer that crashed after staging but
+        before the pointer swap leaves an orphan v-dir above the
+        pointer, which was never committed (``_commit``'s sweep will
+        delete it) and must not surface as a readable version —
+        otherwise ``change_feed``'s default ``to_version`` would diff
+        a phantom commit."""
         d = self._dir(table)
         if not os.path.isdir(d):
+            return []
+        cur = self.current_version(table)
+        if cur is None:
             return []
         on_disk = {n for n in os.listdir(d) if n.startswith("v=")}
         out = []
         for name in sorted(on_disk, key=lambda s: int(s.removeprefix("v="))):
             v = int(name.removeprefix("v="))
-            if set(self._manifest(table, v)) <= on_disk:
+            if v <= cur and set(self._manifest(table, v)) <= on_disk:
                 out.append(v)
         return out
 
@@ -326,7 +335,11 @@ class TableStore:
         the result is identical to ``read().where(...)`` by
         construction. All listed ops reject NULLs (SQL comparison
         semantics), which is what makes min/max pruning sound — a file
-        of only NULLs in the predicate column can never contribute."""
+        of only NULLs in the predicate column can never contribute.
+        Float/double columns may hold NaN (which Spark orders above
+        every value but parquet footers exclude from min/max), so they
+        prune only in the NaN-sound directions — see
+        ``_file_may_match``."""
         kept, _total = self.pruned_files(table, predicates, version)
         cond = _predicates_to_column(predicates)
         if not kept:
@@ -337,6 +350,15 @@ class TableStore:
         if "#mergeSchema" in self._manifest_flags(table, v):
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(*kept)
+        # Schema-evolved tables: files predating an added column carry
+        # no stats for it (kept conservatively), but if every file that
+        # CONTAINS the column was pruned away, the kept files' merged
+        # schema lacks the predicate column and where() would fail to
+        # resolve where read().where() returns rows with NULLs filtered
+        # out. Fall back to the full snapshot read in that case — same
+        # answer, pruning just didn't apply.
+        if any(c not in df.columns for c, _op, _v in predicates):
+            df = self.read(table, version=version)
         return df.where(cond) if cond is not None else df
 
     def stats_aggregate(
@@ -350,8 +372,9 @@ class TableStore:
         min/max ignore NULLs exactly like SQL MIN/MAX. Transparently
         falls back to a real scan when any referenced file predates
         stats or lacks min/max for a requested column (all-NULL row
-        groups, exotic types) — the answer is identical either way,
-        only the cost differs."""
+        groups, exotic types), and for float/double columns (footer
+        max excludes NaN; SQL MAX returns NaN when present) — the
+        answer is identical either way, only the cost differs."""
         v = self.current_version(table) if version is None else version
         if v is None:
             raise FileNotFoundError(f"no such table: {table}")
@@ -368,7 +391,10 @@ class TableStore:
             n_rows += int(meta["rows"])
             for c in cols:
                 cs = st.get(c)
-                if not cs:
+                # float/double: footer max excludes NaN but SQL MAX
+                # returns NaN when one is present — the sidecar cannot
+                # answer exactly, so fall back to a real scan
+                if not cs or cs.get("float"):
                     complete = False
                     break
                 fmn, fmx = _stat_dec(cs["min"]), _stat_dec(cs["max"])
@@ -534,8 +560,21 @@ def _harvest_zone_maps(target: str) -> None:
                 nulls += st.null_count or 0
             if mins:
                 lo, hi = _stat_enc(min(mins)), _stat_enc(max(maxs))
+                if isinstance(lo, float) and (lo != lo or hi != hi):
+                    continue  # writer folded NaN into the stats: unusable
                 if lo is not None and hi is not None:
-                    cols[col.path] = {"min": lo, "max": hi, "nulls": nulls}
+                    entry = {"min": lo, "max": hi, "nulls": nulls}
+                    # Parquet float/double footer min/max EXCLUDE NaN,
+                    # but Spark SQL orders NaN above every value — so a
+                    # file whose non-NaN max fails ('x','>',v) may still
+                    # hold NaN rows that satisfy it. The footer cannot
+                    # say whether NaN is present, so flag the column and
+                    # let _file_may_match/stats_aggregate restrict
+                    # themselves to the NaN-sound directions (the same
+                    # reason Delta restricts skipping on NaN columns).
+                    if col.physical_type in ("FLOAT", "DOUBLE"):
+                        entry["float"] = True
+                    cols[col.path] = entry
         stats[name] = cols
     with open(os.path.join(target, _STATS_NAME), "w") as f:
         json.dump(stats, f)
@@ -592,6 +631,22 @@ def _file_may_match(stats: dict | None, predicates: list[tuple]) -> bool:
         if not cs:
             continue
         lo, hi = _stat_dec(cs["min"]), _stat_dec(cs["max"])
+        if cs.get("float"):
+            # NaN-capable column: footer min/max exclude NaN while
+            # Spark orders NaN above everything. Rows satisfying '<',
+            # '<=', '=' (non-NaN literal) or 'between (a, non-NaN b)'
+            # are necessarily non-NaN (NaN <= b and NaN = v are both
+            # false), so those ops prune exactly as usual; '>' / '>='
+            # could be satisfied by an unrecorded NaN row — never
+            # prune on them. NaN literals defeat pruning entirely
+            # (x < NaN matches every non-NaN row; x = NaN matches
+            # NaN rows the stats can't see).
+            def _is_nan(x):
+                return isinstance(x, float) and x != x
+
+            vals = list(val) if op == "between" else [val]
+            if any(_is_nan(x) for x in vals) or op in (">", ">="):
+                continue
         try:
             if op == "<=" and not lo <= val:
                 return False
@@ -814,8 +869,14 @@ class BucketedTableStore:
     def versions(self, table: str) -> list[int]:
         """Retained (time-travel-readable) versions, oldest first. A
         version is readable while its dir survives vacuum — the last
-        ``retain_versions`` commits (Delta/Iceberg snapshot listing)."""
+        ``retain_versions`` commits (Delta/Iceberg snapshot listing).
+        Clamped to the committed ``_CURRENT`` pointer so a crashed
+        writer's orphan v-dir (staged + manifest written, pointer
+        never swapped) is never surfaced as readable."""
         if not os.path.isdir(self._dir(table)):
+            return []
+        cur = self.current_version(table)
+        if cur is None:
             return []
         out = []
         for name in os.listdir(self._dir(table)):
@@ -830,6 +891,8 @@ class BucketedTableStore:
             # survived vacuum (an old dir can outlive its closure when
             # a newer manifest carries forward just some of its data)
             v = int(name.removeprefix("v="))
+            if v > cur:
+                continue  # orphan above the pointer: never committed
             m = self._manifest(table, v)
             refs = [m["schema"]] + [d for dirs in m["buckets"].values() for d in dirs]
             if all(os.path.exists(os.path.join(self._dir(table), d)) for d in refs):

@@ -684,3 +684,149 @@ class TestZOrderLayout:
         assert store.read("t").count() == 1_000
         kept, total = store.pruned_files("t", [("x", "<", 100)])
         assert len(kept) < total  # x still clusters despite degenerate cols
+
+
+class TestZoneMapNaN:
+    """Float/double zone maps and NaN (r6 ADVICE): parquet footers
+    exclude NaN from min/max while Spark orders NaN above every value,
+    so pruning/metadata-aggregation must never use a float column's
+    stats in a NaN-unsound direction. read_where must stay identical
+    to read().where() even when NaN rows exist."""
+
+    @pytest.fixture()
+    def nanstore(self, spark, tmp_path):
+        store = TableStore(spark, str(tmp_path / "nan"))
+        # two files: low values [0,99], and a file whose only large
+        # value is NaN (non-NaN range [100,199]) — the trap file
+        lo = spark.range(100).select(
+            F.col("id").alias("k"), F.col("id").cast("double").alias("x")
+        )
+        hi = spark.range(100, 200).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") == 150, F.lit(float("nan")))
+            .otherwise(F.col("id").cast("double"))
+            .alias("x"),
+        )
+        store.overwrite("t", lo.coalesce(1))
+        store.append("t", hi.coalesce(1))
+        return store
+
+    def test_gt_never_prunes_float_columns(self, nanstore):
+        # non-NaN max of every file is < 1e6, but the NaN row
+        # satisfies x > 1e6 under Spark ordering — no file may prune
+        preds = [("x", ">", 1e6)]
+        kept, total = nanstore.pruned_files("t", preds)
+        assert len(kept) == total == 2
+        got = nanstore.read_where("t", preds)
+        want = nanstore.read("t").where(F.col("x") > 1e6)
+        assert got.count() == want.count() == 1  # exactly the NaN row
+        assert [r["k"] for r in got.collect()] == [150]
+
+    def test_lower_bound_ops_still_prune_floats(self, nanstore):
+        # the writer (parquet-mr) folds NaN into the max, so the
+        # NaN-bearing file gets NO x stats (unusable) and is kept
+        # conservatively for everything; the clean file's float stats
+        # still prune in the NaN-sound directions ('<', '<=', '=',
+        # 'between' with non-NaN literals)
+        kept, total = nanstore.pruned_files("t", [("x", "=", 151.0)])
+        assert total == 2 and len(kept) == 1  # clean [0,99] file pruned
+        assert nanstore.read_where("t", [("x", "=", 151.0)]).count() == 1
+        kept_lt, _ = nanstore.pruned_files("t", [("x", "<", -1.0)])
+        assert len(kept_lt) == 1  # clean file pruned; NaN file kept
+        assert nanstore.read_where("t", [("x", "<", -1.0)]).count() == 0
+        # int column stats on the NaN-bearing file are unaffected
+        kept_k, _ = nanstore.pruned_files("t", [("k", ">=", 100)])
+        assert len(kept_k) == 1
+        assert nanstore.read_where("t", [("k", ">=", 100)]).count() == 100
+
+    def test_nan_literal_defeats_pruning(self, nanstore):
+        nan = float("nan")
+        kept, total = nanstore.pruned_files("t", [("x", "<", nan)])
+        assert len(kept) == total  # x < NaN matches every non-NaN row
+        got = nanstore.read_where("t", [("x", "<", nan)])
+        want = nanstore.read("t").where(F.col("x") < F.lit(nan))
+        assert got.count() == want.count() == 199
+
+    def test_stats_aggregate_returns_nan_max(self, spark, nanstore):
+        # footer max is 199.0 (NaN excluded) but SQL MAX is NaN —
+        # float columns must fall back to a real scan
+        row = nanstore.stats_aggregate("t", ["x"]).head()
+        assert row["n_rows"] == 200
+        assert row["max_x"] != row["max_x"]  # NaN
+        # int columns keep the metadata-only path and exact answers
+        row_k = nanstore.stats_aggregate("t", ["k"]).head()
+        assert (row_k["min_k"], row_k["max_k"]) == (0, 199)
+
+
+class TestCrashOrphanVersions:
+    """versions() must clamp to the committed pointer (r6 ADVICE): a
+    writer that crashed after materializing v-dir + manifest but
+    before the pointer swap leaves an orphan that was never committed
+    and must not surface as readable (change_feed would otherwise
+    diff a phantom commit)."""
+
+    def test_tablestore_orphan_above_pointer_hidden(self, spark, tmp_path):
+        import shutil
+
+        from etl_notifier_pipeline_spark.operators import change_feed
+
+        store = TableStore(spark, str(tmp_path / "orph"), retain_versions=5)
+        for n in (3, 5):
+            store.overwrite(
+                "t",
+                spark.range(n).select(F.col("id").alias("k"), F.lit(1).alias("v")),
+            )
+        assert store.versions("t") == [1, 2]
+        # simulate the crash: clone v=2 as v=3 (complete closure, no
+        # pointer swap) — exactly what a writer dying between
+        # os.replace and the pointer write leaves behind
+        d = store._dir("t")
+        shutil.copytree(os.path.join(d, "v=2"), os.path.join(d, "v=3"))
+        assert store.current_version("t") == 2
+        assert store.versions("t") == [1, 2]  # phantom v=3 hidden
+        # change_feed's default to_version resolves to the committed
+        # head, not the orphan
+        feed = change_feed(store, "t", ["k"], from_version=1)
+        assert feed.select("commit_version").distinct().collect()[0][0] == 2
+
+    def test_bucketed_orphan_above_pointer_hidden(self, spark, tmp_path):
+        import shutil
+
+        store = BucketedTableStore(
+            spark, str(tmp_path / "borph"), keys={"t": ["k"]}, n_buckets=4
+        )
+        df = spark.range(10).select(F.col("id").alias("k"))
+        store.overwrite("t", df)
+        store.overwrite("t", df)
+        d = store._dir("t")
+        shutil.copytree(os.path.join(d, "v=2"), os.path.join(d, "v=3"))
+        assert store.current_version("t") == 2
+        assert store.versions("t") == [1, 2]
+
+
+class TestReadWhereSchemaEvolution:
+    """read_where on a mergeSchema-evolved table (r6 ADVICE): when
+    every file CONTAINING the predicate column is pruned, the kept
+    files' merged schema lacks the column — the scan must fall back to
+    the full read instead of failing to resolve, keeping the
+    'identical to read().where()' contract."""
+
+    def test_pruned_away_evolved_column_falls_back(self, spark, tmp_path):
+        store = TableStore(spark, str(tmp_path / "evo"))
+        base = spark.range(100).select(F.col("id").alias("k"))
+        store.overwrite("t", base.coalesce(1))
+        # evolve: the appended file adds column `add` with range [0,99]
+        added = spark.range(100, 200).select(
+            F.col("id").alias("k"), (F.col("id") - 100).alias("add")
+        )
+        store.append("t", added.coalesce(1), merge_schema=True)
+        # predicate on `add` outside its range: the ONLY file carrying
+        # the column prunes away; the old file has no stats for it
+        preds = [("add", ">=", 1_000)]
+        got = store.read_where("t", preds)
+        want = store.read("t").where(F.col("add") >= 1_000)
+        assert got.count() == want.count() == 0
+        assert set(got.columns) == {"k", "add"}
+        # and an in-range predicate still prunes to the evolved file
+        got2 = store.read_where("t", [("add", "<=", 10)])
+        assert got2.count() == 11

@@ -71,3 +71,78 @@ def test_bucketed_matches_plain_join(bucketed):
         .select("event_id")
     )
     assert sorted(r[0] for r in a.collect()) == sorted(r[0] for r in b.collect())
+
+
+class TestStarJoinNoDriverBuild:
+    """q05's scale-safe plan (operators/starjoin.py): with broadcast
+    forced off (the regime where the dim side outgrew any driver),
+    the bucketed storage-partitioned plan must run the fact-side join
+    with ZERO exchange and ZERO sort on the fact, build hash tables
+    only on executors (ShuffledHashJoin), and still produce exactly
+    the registry q05 answer."""
+
+    @pytest.fixture(scope="class")
+    def no_broadcast(self, spark):
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        yield spark
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+    def test_bucketed_plan_shape(self, no_broadcast):
+        from etl_notifier_pipeline_spark.operators.starjoin import (
+            bucketed_table_name,
+            q05_plan_bucketed,
+        )
+
+        spark = no_broadcast
+        df = q05_plan_bucketed(spark, SF_DIR, n_buckets=8)
+        df.collect()  # finalize AQE so the executed plan is real
+        # AQE's toString appends the pre-adaptive "Initial Plan" —
+        # assert on the final (executed) section only
+        plan = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        li_table = bucketed_table_name(SF_DIR, "lineitem")
+        # fact side: scan feeds the join with no exchange and no sort
+        # in between — split the plan at the lineitem scan and check
+        # everything above it on the fact leg
+        assert li_table in plan
+        assert "SortMergeJoin" not in plan  # nothing sorts the fact
+        assert plan.count("ShuffledHashJoin") == 2  # custkey + orderkey
+        # the only broadcast is the 25-row nation/region map: every
+        # BroadcastExchange in the plan must sit on the nation leg
+        for chunk in plan.split("BroadcastExchange")[1:]:
+            scan = chunk.split("FileScan", 1)[1][:200] if "FileScan" in chunk else ""
+            assert "customer" not in scan and "orders" not in scan
+        # exchanges: one for the onk->fact alignment, one for the
+        # final 25-group aggregate; the custkey join is co-bucketed
+        # (zero exchange) and the fact never moves
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges <= 2, plan
+
+    def test_bucketed_matches_registry_q05(self, no_broadcast):
+        from etl_notifier_pipeline_spark.operators.starjoin import (
+            q05_plan_bucketed,
+            q05_plan_shuffle_hash,
+        )
+        from etl_notifier_pipeline_spark.plans import get
+
+        spark = no_broadcast
+        want = {
+            r["nation"]: (round(float(r["revenue"]), 2), r["n_lineitems"])
+            for r in get("q05_revenue_by_nation").fn(spark, SF_DIR).collect()
+        }
+        for fn in (q05_plan_bucketed, q05_plan_shuffle_hash):
+            got = {
+                r["nation"]: (round(float(r["revenue"]), 2), r["n_lineitems"])
+                for r in fn(spark, SF_DIR).collect()
+            }
+            assert got == want, fn.__name__

@@ -280,12 +280,21 @@ class TestCdcViewMaintenance:
 
         store = TableStore(spark, str(tmp_path / "ivm"), retain_versions=5)
         states = [
-            # k, grp, v
-            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)],
+            # k, grp, v — k=6/grp=c is the NULL-retraction trap: its
+            # only non-NULL value gets updated to NULL while the row
+            # survives, so SUM must flip to NULL, not 0 (r6 ADVICE)
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0), (6, "c", 10.0)],
             # update k=2 migrates a->b; insert k=4 in a
-            [(1, "a", 10.0), (2, "b", 21.0), (3, "b", 5.0), (4, "a", 1.0)],
-            # delete all of group b (retract to zero), null-value insert
-            [(1, "a", 10.0), (4, "a", 1.0), (5, "a", None)],
+            [
+                (1, "a", 10.0),
+                (2, "b", 21.0),
+                (3, "b", 5.0),
+                (4, "a", 1.0),
+                (6, "c", 10.0),
+            ],
+            # delete all of group b (retract to zero), null-value
+            # insert in a, group c's last value retracted to NULL
+            [(1, "a", 10.0), (4, "a", 1.0), (5, "a", None), (6, "c", None)],
         ]
         for rows in states:
             store.overwrite(
@@ -293,9 +302,24 @@ class TestCdcViewMaintenance:
             )
         aggs = {
             "d_count": ("count", F.count(F.lit(1))),
-            "d_sum": ("sum", F.sum(F.col("v").cast("decimal(12,2)"))),
+            "d_sum": (
+                "sum",
+                F.coalesce(
+                    F.sum(F.col("v").cast("decimal(12,2)")),
+                    F.lit(0).cast("decimal(12,2)"),
+                ),
+            ),
+            "d_nn": ("count", F.count(F.col("v"))),
         }
-        kinds = {"d_count": "count", "d_sum": "sum"}
+        kinds = {"d_count": "count", "d_sum": "sum", "d_nn": "count"}
+
+        def reported(df):  # what a reader of the maintained view sees
+            return df.select(
+                "grp",
+                F.col("d_count").alias("n"),
+                F.when(F.col("d_nn") > 0, F.col("d_sum")).alias("s"),
+            )
+
         view = agg_delta(store.read("t", version=1), ["grp"], aggs)
         for v in (2, 3):
             feed = change_feed(
@@ -305,12 +329,21 @@ class TestCdcViewMaintenance:
             view = merge_aggregates(view, delta, ["grp"], kinds).filter(
                 F.col("d_count") > 0
             )
-            recomputed = agg_delta(store.read("t", version=v), ["grp"], aggs)
-            assert view.exceptAll(recomputed).count() == 0
-            assert recomputed.exceptAll(view).count() == 0
+            recomputed = (
+                store.read("t", version=v)
+                .groupBy("grp")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("v").cast("decimal(12,2)")).alias("s"),
+                )
+            )
+            assert reported(view).exceptAll(recomputed).count() == 0
+            assert recomputed.exceptAll(reported(view)).count() == 0
         final = {
-            r["grp"]: (r["d_count"], float(r["d_sum"]))
-            for r in view.collect()
+            r["grp"]: (r["n"], None if r["s"] is None else float(r["s"]))
+            for r in reported(view).collect()
         }
-        # group b fully retracted; null-value row counts but adds no sum
-        assert final == {"a": (3, 11.0)}
+        # group b fully retracted; null-value row counts but adds no
+        # sum; group c survives with an all-NULL value column -> SUM
+        # is NULL (the pre-fix code reported 0.00 here)
+        assert final == {"a": (3, 11.0), "c": (1, None)}

@@ -193,6 +193,8 @@ def main() -> None:
         v["sec"] for n, v in out.items() if duck.get(n) is not None
     )
     duck_total = sum(t for t in duck.values() if t is not None)
+    from etl_notifier_pipeline_spark.operators import starjoin
+
     doc = {
         "metric": "scale_headline_total",
         "value": round(spark_total, 3),
@@ -202,6 +204,14 @@ def main() -> None:
             "warm": not no_warm,
             "symmetric": True,  # DuckDB twins use the same warm+runs
             "numeric_profile": profile,
+            # one-time ingest-layout builds (bucketed star tables)
+            # paid during this process, reported so the steady-state
+            # per-query numbers never hide them
+            **(
+                {"ingest_build_secs": dict(starjoin.LAST_BUILD_SECS)}
+                if starjoin.LAST_BUILD_SECS
+                else {}
+            ),
         },
         "sf_dir": sf_dir,
         "queries": out,
