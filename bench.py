@@ -50,6 +50,28 @@ HEADLINE = [
 
 N_RUNS = 3
 
+
+def host_canary_ms(reps: int = 3) -> float:
+    """Pinned single-thread compute kernel, stamped into every bench
+    artifact. This is a shared VM whose effective CPU speed was
+    measured varying 3.5x within one day (docs/SCALE.md) — without a
+    canary, a round-over-round wall-clock delta on identical plans is
+    unadjudicable noise (r6: q01 +42% with zero hot-path changes).
+    Best-of-``reps`` of a fixed numpy sort+cumsum over 4M floats
+    (deterministic input, BLAS-free so thread-count config can't skew
+    it). Compare artifacts as sec * (canary_ref / canary_this)."""
+    import numpy as np
+
+    x0 = np.random.default_rng(42).random(1 << 22)
+    best = float("inf")
+    for _ in range(reps):
+        x = x0.copy()
+        t0 = time.perf_counter()
+        np.sort(x)
+        np.cumsum(x)
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1000, 2)
+
 # DuckDB twins for headline queries whose registry entry is rows-only
 # (no ANSI oracle): the twin runs the SAME TASK the way an exact SQL
 # engine would, so ratio_vs_duckdb covers the whole headline set.
@@ -251,6 +273,7 @@ def main() -> None:
             raise SystemExit(f"unknown numeric profile {profile!r}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    canary = host_canary_ms()
     # Same config as every production path (session.py): AQE on. It
     # costs ~0.2s/query in stage bookkeeping on scan-heavy queries at
     # this tiny scale but wins it back on the multi-stage ones
@@ -284,6 +307,14 @@ def main() -> None:
                 ),
                 "numeric_profile": profile,
                 "sf": float(sf),
+                # host-speed canary, measured immediately before the
+                # sweep AND immediately after: cross-round deltas are
+                # only meaningful canary-normalized (shared-VM CPU
+                # varies 3.5x/day, docs/SCALE.md); disagreement
+                # between the two stamps means the host shifted
+                # MID-SWEEP and the artifact itself is noisy
+                "host_canary_ms_pre": canary,
+                "host_canary_ms_post": host_canary_ms(),
             }
         )
     )

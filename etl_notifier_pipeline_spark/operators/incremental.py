@@ -140,3 +140,48 @@ def cdc_agg_delta(
             F.sum("d_nn").alias("d_nn"),
         )
     )
+
+
+def cdc_touched_groups(feed: DataFrame, group_col: str) -> DataFrame:
+    """Distinct groups a change feed touches — either side of any
+    change row (update-driven group migration touches two groups)."""
+    old_g = feed.where(F.col("old_row").isNotNull()).select(
+        F.col(f"old_row.{group_col}").alias(group_col)
+    )
+    new_g = feed.where(F.col("new_row").isNotNull()).select(
+        F.col(f"new_row.{group_col}").alias(group_col)
+    )
+    return old_g.unionByName(new_g).distinct()
+
+
+def refresh_aggregates(
+    stored: DataFrame,
+    current: DataFrame,
+    feed: DataFrame,
+    group_col: str,
+    exprs: dict[str, F.Column],
+) -> DataFrame:
+    """Maintain NON-INVERTIBLE aggregates (min/max — any aggregate
+    without a retraction) from a change feed: the standard IVM answer
+    is per-affected-group re-aggregation. A deleted row that WAS the
+    group max cannot be subtracted from the stored max, but the set of
+    groups whose answer can have changed is exactly
+    ``cdc_touched_groups(feed)`` — so re-aggregate ONLY those groups
+    from the current snapshot (a semi-join the store prunes to the
+    groups' partitions/buckets) and carry every untouched group's
+    stored row forward verbatim. Cost per commit:
+    O(changes + rows of touched groups), never O(table). Groups
+    retracted to zero rows vanish (no current rows -> no refreshed
+    row, and the anti-join drops their stored row). Works for ANY
+    aggregate expression — min/max/avg/count_distinct — because the
+    touched groups are literally recomputed; invertible aggregates
+    should keep using the cheaper ``cdc_agg_delta`` fold (no base-
+    table read at all)."""
+    touched = cdc_touched_groups(feed, group_col)
+    refreshed = (
+        current.join(touched, [group_col], "left_semi")
+        .groupBy(group_col)
+        .agg(*[e.alias(n) for n, e in exprs.items()])
+    )
+    kept = stored.join(touched, [group_col], "left_anti")
+    return kept.unionByName(refreshed)

@@ -252,13 +252,28 @@ def change_feed(
             f"change_feed({table!r}, {lo}..{hi}): versions {missing} "
             f"not retained (horizon: {vs}); raise retain_versions"
         )
+    cdc_dir = getattr(store, "cdc_dir", None)
     out = None
     for v in range(lo, hi):
-        d = snapshot_diff(
-            store.read(table, version=v),
-            store.read(table, version=v + 1),
-            keys,
-        ).withColumn("commit_version", F.lit(v + 1).cast("long"))
+        # write-time CDC fast path (store built with capture_cdc=True,
+        # Delta's enableChangeDataFeed): the commit already persisted
+        # its change rows, so reading the feed costs O(changes) for
+        # that commit — no snapshot join. Commits without a sidecar
+        # (overwrites, pre-capture history) fall back to the diff;
+        # both paths produce the identical feed (pinned in
+        # tests/test_mutations.py).
+        sidecar = cdc_dir(table, v + 1) if cdc_dir else None
+        if sidecar:
+            d = store.spark.read.parquet(sidecar).select(
+                *keys, "change", "old_row", "new_row"
+            )
+        else:
+            d = snapshot_diff(
+                store.read(table, version=v),
+                store.read(table, version=v + 1),
+                keys,
+            )
+        d = d.withColumn("commit_version", F.lit(v + 1).cast("long"))
         out = d if out is None else out.unionByName(d)
     if out is None:  # single-version range: empty feed, full schema
         empty = snapshot_diff(

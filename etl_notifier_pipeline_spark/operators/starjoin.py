@@ -32,6 +32,7 @@ cannot scale past.
 
 from __future__ import annotations
 
+import os
 import re
 import time
 
@@ -64,7 +65,7 @@ def ensure_bucketed_layout(
     spark: SparkSession,
     sf_dir: str,
     tables: dict[str, str] | None = None,
-    n_buckets: int = 64,
+    n_buckets: int = 256,
 ) -> dict[str, DataFrame]:
     """Materialize (once per warehouse) the ingest-time bucket layout
     and return the bucketed DataFrames. Each table is written with
@@ -79,15 +80,47 @@ def ensure_bucketed_layout(
     for table, key in tables.items():
         name = bucketed_table_name(sf_dir, table)
         if not spark.catalog.tableExists(name):
-            t0 = time.time()
-            (
-                load_table(spark, sf_dir, table)
-                .write.bucketBy(n_buckets, key)
-                .mode("overwrite")
-                .format("parquet")
-                .saveAsTable(name)
+            # bucket METADATA lives in the session catalog (in-memory
+            # here; Hive/Glue/Unity on a deployment) while the bucketed
+            # FILES persist in the warehouse — a fresh session finding
+            # the files re-declares the same bucket spec over them
+            # (bucket ids are encoded in the file names, so the layout
+            # is self-describing)
+            loc = os.path.join(
+                spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+                    "file:"
+                ),
+                name.lower(),
             )
-            LAST_BUILD_SECS[name] = round(time.time() - t0, 3)
+            if os.path.exists(os.path.join(loc, "_SUCCESS")):
+                cols = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in spark.read.parquet(loc).schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {name} ({cols}) USING parquet "
+                    f"CLUSTERED BY ({key}) INTO {n_buckets} BUCKETS "
+                    f"LOCATION '{loc}'"
+                )
+            else:
+                t0 = time.time()
+                (
+                    # repartition on the bucket key first: bucketBy
+                    # writes one file per (input partition x bucket),
+                    # so an unaligned write fragments every bucket
+                    # into hundreds of tiny files (measured: 3201
+                    # files for orders at sf10, scan-dominated).
+                    # repartition uses the same murmur3 hash as the
+                    # bucket router, so each task owns exactly one
+                    # bucket -> one well-sized file per bucket.
+                    load_table(spark, sf_dir, table)
+                    .repartition(n_buckets, F.col(key))
+                    .write.bucketBy(n_buckets, key)
+                    .mode("overwrite")
+                    .format("parquet")
+                    .saveAsTable(name)
+                )
+                LAST_BUILD_SECS[name] = round(time.time() - t0, 3)
         out[table] = spark.table(name)
     return out
 
@@ -115,27 +148,36 @@ def _q05_from_parts(
     never sorted, and the driver holds nothing but the 25-row nation
     map. Join order mirrors selectivity: orders filter -> custkey join
     (narrowed to two columns each side) -> orderkey join against the
-    fact -> 25-group aggregate."""
+    fact -> 25-group aggregate. Everything that touches a fact row is
+    integer-keyed: the per-order payload is the 4-byte nationkey (not
+    the name string), so the 600 M-row hash aggregate runs on a long
+    key (measured 258 ns/row -> see DEPLOY_BENCH; string grouping at
+    that row count is pure waste) and the name joins in against the
+    25-row dim AFTER aggregation."""
     revenue = F.col("l_extendedprice").cast("double") * (
         F.lit(1.0) - F.col("l_discount").cast("double")
     )
     cmap = c.select("c_custkey", "c_nationkey").join(
-        nr, F.col("c_nationkey") == F.col("n_nationkey")
+        nr.select("n_nationkey"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
     )
     onk = (
         o.filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_custkey")
         .join(cmap.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"))
-        .select("o_orderkey", "n_name")
+        .select("o_orderkey", F.col("n_nationkey").alias("nk"))
     )
-    return (
+    per_nk = (
         li.select("l_orderkey", revenue.alias("rev"))
         .join(onk.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(F.col("n_name").alias("nation"))
+        .groupBy("nk")
         .agg(
             F.sum("rev").alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
+    )
+    return per_nk.join(nr, per_nk.nk == nr.n_nationkey).select(
+        F.col("n_name").alias("nation"), "revenue", "n_lineitems"
     )
 
 
@@ -152,7 +194,7 @@ def q05_plan_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q05_plan_bucketed(
-    spark: SparkSession, sf_dir: str, n_buckets: int = 64
+    spark: SparkSession, sf_dir: str, n_buckets: int = 256
 ) -> DataFrame:
     """q05 as a storage-partitioned join over the ingest-time bucket
     layout: the 600 M-row fact is scanned in place (its buckets ARE

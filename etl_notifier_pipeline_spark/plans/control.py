@@ -678,6 +678,39 @@ def m16_keyed_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read_keyed("cust", wanted)
 
 
+def _three_commit_history(spark: SparkSession, sf_dir: str):
+    """The shared m13/m14/m17 mutation history: commit 1 = last
+    purchase per user, commit 2 = MERGE of even-user clicks (update-
+    heavy), commit 3 = delete of error-flagged users. Mirrors the
+    oracle CTEs s1/s2/s3."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    s1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    s2 = upsert(
+        s1,
+        ev.filter(
+            (F.col("event_type") == "click") & (F.col("user_id") % 2 == 0)
+        ),
+        ["user_id"],
+        ["event_id"],
+    )
+    s3 = delete_by_keys(
+        s2,
+        ev.filter(
+            (F.col("event_type") == "error") & (F.col("user_id") % 7 == 0)
+        ).select("user_id"),
+        ["user_id"],
+    )
+    return s1, s2, s3
+
+
 @register(
     "m14_cdc_incremental_view",
     category="mutation",
@@ -736,33 +769,10 @@ def m14_cdc_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from etl_notifier_pipeline_spark.storage import TableStore
 
-    ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
-    s1 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-    s2 = upsert(
-        s1,
-        ev.filter(
-            (F.col("event_type") == "click") & (F.col("user_id") % 2 == 0)
-        ),
-        ["user_id"],
-        ["event_id"],
-    )
-    s3 = delete_by_keys(
-        s2,
-        ev.filter(
-            (F.col("event_type") == "error") & (F.col("user_id") % 7 == 0)
-        ).select("user_id"),
-        ["user_id"],
-    )
     store = TableStore(
         spark, tempfile.mkdtemp(prefix="m14_"), retain_versions=3
     )
-    for state in (s1, s2, s3):
+    for state in _three_commit_history(spark, sf_dir):
         store.overwrite("t", state)
 
     kinds = {"d_count": "count", "d_sum": "sum", "d_nn": "count"}
@@ -852,4 +862,109 @@ def m12_zone_map_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("revenue"),
+    )
+
+
+@register(
+    "m17_cdc_minmax_view",
+    category="mutation",
+    oracle=f"""
+WITH ev AS ({_EV_SQL}),
+s1 AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'purchase') WHERE rn = 1
+),
+last_click AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'click' AND user_id % 2 = 0) WHERE rn = 1
+),
+s2 AS (
+  SELECT t.* FROM s1 t
+  WHERE NOT EXISTS (SELECT 1 FROM last_click l WHERE l.user_id = t.user_id)
+  UNION ALL
+  SELECT * FROM last_click
+),
+s3 AS (
+  SELECT * FROM s2 t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ev d WHERE d.event_type = 'error'
+      AND d.user_id % 7 = 0 AND d.user_id = t.user_id)
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(CAST(AVG(CAST(value AS DECIMAL(12,2))) AS DECIMAL(16,6)) AS DOUBLE)
+         AS avg_value
+FROM s3 GROUP BY event_type
+""",
+)
+def m17_cdc_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for NON-INVERTIBLE aggregates
+    (min/max, plus avg re-derived from sum/count): m14 handles
+    count/sum by signed retraction, but a deleted row that WAS the
+    group max has no retraction — the engine's answer is
+    ``refresh_aggregates`` (operators/incremental.py): re-aggregate
+    ONLY the CDC-touched groups from the current snapshot, carry all
+    untouched groups' stored rows forward. Per commit:
+    O(changes + touched-group rows), never O(table). Same three-commit
+    history as m13/m14 — commit 2's MERGE moves values up (max-
+    affecting) and commit 3's delete removes users whose rows may hold
+    a group extreme; the oracle aggregates the final state directly,
+    so equality proves the maintained min/max never drifted."""
+    import tempfile
+
+    from etl_notifier_pipeline_spark.operators import change_feed
+    from etl_notifier_pipeline_spark.operators.incremental import (
+        refresh_aggregates,
+    )
+    from etl_notifier_pipeline_spark.storage import TableStore
+
+    store = TableStore(
+        spark, tempfile.mkdtemp(prefix="m17_"), retain_versions=3
+    )
+    for state in _three_commit_history(spark, sf_dir):
+        store.overwrite("t", state)
+
+    exprs = {
+        "n_rows": F.count(F.lit(1)),
+        "min_value": F.min("value"),
+        "max_value": F.max("value"),
+        "sum_value": F.coalesce(
+            F.sum(F.col("value").cast("decimal(12,2)")),
+            F.lit(0).cast("decimal(12,2)"),
+        ),
+        "nn_value": F.count(F.col("value")),
+    }
+    view = (
+        store.read("t", version=1)
+        .groupBy("event_type")
+        .agg(*[e.alias(n) for n, e in exprs.items()])
+    )
+    store.overwrite("view", view)
+    for v in (2, 3):
+        feed = change_feed(
+            store, "t", ["user_id"], from_version=v - 1, to_version=v
+        )
+        refreshed = refresh_aggregates(
+            store.read("view"),
+            store.read("t", version=v),
+            feed,
+            "event_type",
+            exprs,
+        )
+        store.overwrite("view", refreshed)
+    return store.read("view").select(
+        "event_type",
+        "n_rows",
+        "min_value",
+        "max_value",
+        F.when(
+            F.col("nn_value") > 0,
+            (F.col("sum_value") / F.col("nn_value")).cast("decimal(16,6)"),
+        )
+        .cast("double")
+        .alias("avg_value"),
     )

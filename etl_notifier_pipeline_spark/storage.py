@@ -736,6 +736,7 @@ class BucketedTableStore:
         keys: dict[str, list[str]] | None = None,
         n_buckets: int = 64,
         retain_versions: int = 2,
+        capture_cdc: bool = False,
     ) -> None:
         self.spark = spark
         self.root = root
@@ -746,6 +747,14 @@ class BucketedTableStore:
         # ``read(table, version=n)`` (snapshot isolation: a version dir
         # is immutable once the pointer moves past it).
         self.retain_versions = max(1, retain_versions)
+        # capture_cdc=True is Delta's enableChangeDataFeed: every
+        # keyed mutation ALSO writes its change rows (snapshot_diff
+        # schema) into the version dir at commit time, so
+        # change_feed() reads O(changes) per commit instead of
+        # re-deriving the diff from two O(table) snapshot scans. The
+        # capture itself costs O(affected buckets) at write time —
+        # bounded by work the mutation already does.
+        self.capture_cdc = capture_cdc
         os.makedirs(root, exist_ok=True)
 
     # -- layout helpers ------------------------------------------------------
@@ -780,15 +789,23 @@ class BucketedTableStore:
 
     def _write_version(
         self, table: str, df: DataFrame, carry: dict[str, list[str]] | None,
-        affected: set[int] | None,
+        affected: set[int] | None, cdc_df: DataFrame | None = None,
     ) -> int:
         """Write ``df``'s rows bucket-partitioned into the next version
         dir and commit a manifest that is ``carry`` (prior entries for
         unaffected buckets) plus the freshly written buckets. ``affected
-        = None`` means a full rewrite (no carried entries)."""
+        = None`` means a full rewrite (no carried entries). ``cdc_df``
+        (change rows for THIS commit) is staged alongside the data, so
+        the CDC sidecar commits atomically with the version it
+        describes — a version either has its complete change set or
+        none (readers fall back to snapshot_diff)."""
         v = (self.current_version(table) or 0) + 1
         vrel = f"v={v}"
         staging = self._bstage(table, df)
+        if cdc_df is not None:
+            cdc_df.write.mode("overwrite").parquet(
+                os.path.join(staging, "cdc")
+            )
         buckets: dict[str, list[str]] = {}
         for k, dirs in (carry or {}).items():
             if affected is None or int(k) not in affected:
@@ -1017,9 +1034,35 @@ class BucketedTableStore:
             result = delete_by_keys(current, incoming.select(*keys), keys)
         else:
             raise ValueError(f"unknown operation {op!r}")
+        cdc_df = None
+        if self.capture_cdc:
+            from etl_notifier_pipeline_spark.operators.mutations import (
+                snapshot_diff,
+            )
+
+            # change rows can only involve the batch's keys: diff the
+            # key-matched slices of old vs new affected-bucket
+            # contents — O(batch + matched rows), never O(table)
+            batch_keys = incoming.select(*keys).distinct()
+            cdc_df = snapshot_diff(
+                current.join(batch_keys, list(keys), "left_semi"),
+                result.join(batch_keys, list(keys), "left_semi"),
+                keys,
+            )
         v = self.current_version(table)
         carry = self._manifest(table, v)["buckets"]
-        return self._write_version(table, result, carry=carry, affected=affected)
+        return self._write_version(
+            table, result, carry=carry, affected=affected, cdc_df=cdc_df
+        )
+
+    def cdc_dir(self, table: str, v: int) -> str | None:
+        """Path of commit ``v``'s write-time CDC sidecar, or None when
+        the commit predates capture / wasn't a keyed mutation — the
+        signal for ``change_feed`` to fall back to snapshot_diff."""
+        p = os.path.join(self._dir(table), f"v={v}", "cdc")
+        if os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS")):
+            return p
+        return None
 
     def compact(self, table: str, max_dirs_per_bucket: int = 1) -> int | None:
         """Compact buckets whose manifest references more than

@@ -347,3 +347,151 @@ class TestCdcViewMaintenance:
         # sum; group c survives with an all-NULL value column -> SUM
         # is NULL (the pre-fix code reported 0.00 here)
         assert final == {"a": (3, 11.0), "c": (1, None)}
+
+
+class TestWriteTimeCdc:
+    """capture_cdc=True (Delta's enableChangeDataFeed): keyed
+    mutations persist their change rows at commit time, change_feed
+    reads them back O(changes) per commit, and the sidecar feed is
+    bit-identical to the snapshot_diff it replaces."""
+
+    def _store(self, spark, tmp_path):
+        from etl_notifier_pipeline_spark.storage import BucketedTableStore
+
+        return BucketedTableStore(
+            spark,
+            str(tmp_path / "cdcstore"),
+            keys={"t": ["k"]},
+            n_buckets=4,
+            retain_versions=10,
+            capture_cdc=True,
+        )
+
+    def test_sidecar_feed_matches_snapshot_diff(self, spark, tmp_path):
+        from etl_notifier_pipeline_spark.operators import change_feed
+        from etl_notifier_pipeline_spark.operators.mutations import (
+            snapshot_diff,
+        )
+
+        store = self._store(spark, tmp_path)
+        base = spark.createDataFrame(
+            [(i, "g%d" % (i % 3), float(i)) for i in range(100)],
+            "k long, grp string, v double",
+        )
+        store.overwrite("t", base)  # v1: no sidecar (not a mutation)
+        # v2: upsert — 10 real updates, 5 no-op rows (unchanged
+        # payload, must NOT appear in the feed), 5 inserts
+        batch = spark.createDataFrame(
+            [(i, "g%d" % (i % 3), float(i) + 1000) for i in range(10)]
+            + [(i, "g%d" % (i % 3), float(i)) for i in range(20, 25)]
+            + [(i, "gX", -1.0) for i in range(100, 105)],
+            "k long, grp string, v double",
+        )
+        store.apply_keyed_mutation("t", batch, ["k"], ["v"], "update")
+        # v3: delete 7 keys (2 of them already absent)
+        dels = spark.createDataFrame(
+            [(i,) for i in range(5)] + [(900,), (901,)], "k long"
+        )
+        store.apply_keyed_mutation("t", dels, ["k"], [], "delete")
+
+        assert store.cdc_dir("t", 1) is None
+        assert store.cdc_dir("t", 2) is not None
+        assert store.cdc_dir("t", 3) is not None
+
+        feed = change_feed(store, "t", ["k"], from_version=1, to_version=3)
+        want = None
+        for v in (1, 2):
+            d = snapshot_diff(
+                store.read("t", version=v),
+                store.read("t", version=v + 1),
+                ["k"],
+            ).withColumn("commit_version", F.lit(v + 1).cast("long"))
+            want = d if want is None else want.unionByName(d)
+        assert feed.exceptAll(want).count() == 0
+        assert want.exceptAll(feed).count() == 0
+        by_commit = {
+            (r["commit_version"], r["change"]): r["n"]
+            for r in feed.groupBy("commit_version", "change")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert by_commit == {(2, "update"): 10, (2, "insert"): 5, (3, "delete"): 5}
+
+    def test_replay_reconstructs_snapshot(self, spark, tmp_path):
+        from etl_notifier_pipeline_spark.operators import change_feed
+        from etl_notifier_pipeline_spark.operators.mutations import (
+            apply_change_feed,
+        )
+
+        store = self._store(spark, tmp_path)
+        base = spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "k long, v double"
+        )
+        store.overwrite("t", base)
+        up = spark.createDataFrame(
+            [(i, float(i) * 2) for i in range(0, 20, 2)], "k long, v double"
+        )
+        store.apply_keyed_mutation("t", up, ["k"], ["v"], "update")
+        store.apply_keyed_mutation(
+            "t",
+            spark.createDataFrame([(i,) for i in range(5)], "k long"),
+            ["k"],
+            [],
+            "delete",
+        )
+        feed = change_feed(store, "t", ["k"], from_version=1, to_version=3)
+        rebuilt = apply_change_feed(store.read("t", version=1), feed, ["k"])
+        final = store.read("t", version=3)
+        assert rebuilt.exceptAll(final).count() == 0
+        assert final.exceptAll(rebuilt).count() == 0
+
+
+class TestRefreshAggregates:
+    """refresh_aggregates: non-invertible IVM by touched-group
+    re-aggregation — a deleted group max is recomputed, untouched
+    groups are carried forward WITHOUT touching the base table."""
+
+    def test_deleted_max_and_carry_forward(self, spark, tmp_path):
+        from etl_notifier_pipeline_spark.operators import change_feed
+        from etl_notifier_pipeline_spark.operators.incremental import (
+            refresh_aggregates,
+        )
+        from etl_notifier_pipeline_spark.storage import TableStore
+
+        store = TableStore(spark, str(tmp_path / "mmx"), retain_versions=5)
+        v1 = [
+            (1, "a", 10.0),
+            (2, "a", 99.0),  # group a's max — deleted in v2
+            (3, "b", 5.0),
+            (4, "c", 7.0),   # group c: never touched again
+            (5, "d", 1.0),   # group d: fully deleted in v2
+        ]
+        v2 = [(1, "a", 10.0), (3, "b", 50.0), (4, "c", 7.0), (6, "e", 2.0)]
+        for rows in (v1, v2):
+            store.overwrite(
+                "t", spark.createDataFrame(rows, "k long, grp string, v double")
+            )
+        exprs = {"mx": F.max("v"), "mn": F.min("v"), "n": F.count(F.lit(1))}
+        view = (
+            store.read("t", version=1)
+            .groupBy("grp")
+            .agg(*[e.alias(n) for n, e in exprs.items()])
+        )
+        # poison group c's stored row: if refresh recomputed untouched
+        # groups, the poison would vanish — its survival proves the
+        # carry-forward never reads those groups
+        poisoned = view.withColumn(
+            "mx", F.when(F.col("grp") == "c", F.lit(-777.0)).otherwise(F.col("mx"))
+        )
+        feed = change_feed(store, "t", ["k"], from_version=1, to_version=2)
+        out = {
+            r["grp"]: (r["mx"], r["mn"], r["n"])
+            for r in refresh_aggregates(
+                poisoned, store.read("t", version=2), feed, "grp", exprs
+            ).collect()
+        }
+        assert out["a"] == (10.0, 10.0, 1)  # max 99 deleted -> recomputed
+        assert out["b"] == (50.0, 50.0, 1)  # update raised the max
+        assert out["c"] == (-777.0, 7.0, 1)  # untouched: poison survives
+        assert "d" not in out  # group retracted to zero rows vanishes
+        assert out["e"] == (2.0, 2.0, 1)  # new group appears

@@ -134,6 +134,7 @@ def main() -> None:
     import bench  # noqa: E402  (HEADLINE + TWIN_SQL live there)
 
     names = only or bench.HEADLINE
+    canary_pre = bench.host_canary_ms()
     # The engine session disables the UI (serving threads cost memory
     # in a 164-query sweep); the metrics REST API lives on the UI
     # server, so this harness turns it back on for its own session.
@@ -220,6 +221,10 @@ def main() -> None:
         "ratio_vs_duckdb": (
             round(spark_paired / duck_total, 4) if duck_total else None
         ),
+        # host-speed canary (bench.host_canary_ms): shared-VM CPU
+        # varies 3.5x/day — compare artifacts canary-normalized
+        "host_canary_ms_pre": canary_pre,
+        "host_canary_ms_post": bench.host_canary_ms(),
     }
     print(json.dumps(doc))
     if json_out:
