@@ -1,0 +1,405 @@
+"""Minimal stdlib+numpy baseline JPEG codec (grayscale, no
+subsampling) — the lossy twin of ``pngio``.
+
+Why it exists: the container has no Pillow, but the engine's
+multimodal layer (SURVEY §2.10 X4) must exercise LOSSY-format routing
+with genuine bytes, not renamed text files. This module encodes and
+decodes real ITU T.81 baseline JPEGs:
+
+- ``encode_gray``: level shift -> 8x8 DCT-II -> Annex-K-style
+  luminance quantization -> zigzag -> DC-difference + AC run-length
+  Huffman coding -> JFIF byte stream (SOI/APP0/DQT/SOF0/DHT/SOS/EOI,
+  0xFF byte stuffing).
+- ``decode_gray``: parses DQT/SOF0/DHT/SOS from the stream (tables
+  are read from the FILE, per the standard — any self-consistent
+  table set is a valid JPEG), Huffman-decodes, dequantizes, inverse
+  DCT, clamps.
+
+The committed ``tests/fixtures/media/*.jpg`` fixtures are produced by
+this encoder and decode in any JPEG reader (PIL, libjpeg, browsers):
+baseline JPEG's validity depends only on the declared tables being
+internally consistent, which the encode->decode roundtrip test pins
+(pixel error bounded by the quantization table, exactly the lossy
+contract). Scope gates are explicit: progressive (SOF2), arithmetic
+coding, and >1 component raise ``NotImplementedError`` with the gate
+message the multimodal layer surfaces (PIL handles those when
+installed).
+
+Reference parity note: the reference repo has no media path at all —
+this extends the engine's training-data-pipeline surface (brief §X4).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- tables ---------------------------------------------------------------
+
+# Annex-K-style luminance quantization at a mid quality point.
+QUANT = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+# standard luminance DC table (bits per code length 1..16, then symbols)
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+
+# standard luminance AC table
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            m[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return m
+
+
+_DCT = _dct_matrix()
+
+
+def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical per T.81 Annex C."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_CODES = _huffman_codes(DC_BITS, DC_VALS)
+_AC_CODES = _huffman_codes(AC_BITS, AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-padding per spec
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _amplitude(v: int, size: int) -> int:
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def encode_gray(pixels: list[int], width: int, height: int) -> bytes:
+    """8-bit grayscale pixels (row-major, len == width*height) ->
+    baseline JFIF bytes."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel count != width*height")
+    img = np.asarray(pixels, dtype=np.float64).reshape(height, width)
+    # pad to 8x8 multiples by edge replication (standard practice)
+    ph = (height + 7) // 8 * 8
+    pw = (width + 7) // 8 * 8
+    padded = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge")
+
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coef = _DCT @ block @ _DCT.T
+            q = np.round(coef / QUANT).astype(np.int64)
+            zz = q.flatten()[ZIGZAG]
+            # DC
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            size = _category(diff)
+            code, length = _DC_CODES[size]
+            w.write(code, length)
+            if size:
+                w.write(_amplitude(diff, size), size)
+            # AC
+            run = 0
+            for v in zz[1:]:
+                v = int(v)
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = _AC_CODES[0xF0]  # ZRL
+                    w.write(code, length)
+                    run -= 16
+                size = _category(v)
+                code, length = _AC_CODES[(run << 4) | size]
+                w.write(code, length)
+                w.write(_amplitude(v, size), size)
+                run = 0
+            if run:
+                code, length = _AC_CODES[0x00]  # EOB
+                w.write(code, length)
+    data = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(QUANT.flatten()[ZIGZAG].tolist()))
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    out += seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decode ---------------------------------------------------------------
+
+
+def is_jpeg(blob: bytes) -> bool:
+    return bool(blob) and blob[:3] == b"\xff\xd8\xff"
+
+
+def _segments(blob: bytes):
+    """Yield (marker, payload, offset_after) for each segment until SOS."""
+    i = 2
+    while i + 4 <= len(blob):
+        if blob[i] != 0xFF:
+            raise ValueError(f"bad marker alignment at {i}")
+        marker = (blob[i] << 8) | blob[i + 1]
+        if marker == 0xFFD9:
+            return
+        ln = (blob[i + 2] << 8) | blob[i + 3]
+        payload = blob[i + 4 : i + 2 + ln]
+        yield marker, payload, i + 2 + ln
+        if marker == 0xFFDA:
+            return
+        i = i + 2 + ln
+
+
+def dimensions(blob: bytes) -> tuple[int, int, int]:
+    """(width, height, n_components) from any SOFn marker — metadata
+    extraction without a full decode (the catalog path)."""
+    for marker, payload, _ in _segments(blob):
+        if 0xFFC0 <= marker <= 0xFFCF and marker not in (0xFFC4, 0xFFC8, 0xFFCC):
+            h, w = struct.unpack(">HH", payload[1:5])
+            return w, h, payload[5]
+    raise ValueError("no SOF marker found")
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.i = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.data):
+                raise EOFError("entropy stream exhausted")
+            b = self.data[self.i]
+            self.i += 1
+            if b == 0xFF:
+                # stuffed zero or marker; EOI handled by caller length
+                if self.i < len(self.data) and self.data[self.i] == 0x00:
+                    self.i += 1
+                else:
+                    raise EOFError("marker in entropy stream")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_gray(blob: bytes) -> tuple[int, int, list[int]]:
+    """Baseline grayscale JPEG -> (width, height, row-major pixels).
+
+    Raises ``NotImplementedError`` for progressive/arithmetic/
+    multi-component streams (PIL's territory when installed) and
+    ``ValueError`` for malformed bytes."""
+    if not is_jpeg(blob):
+        raise ValueError("not a JPEG stream")
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = 0
+    sos_at = None
+    dc_id = ac_id = qt_id = 0
+    for marker, payload, end in _segments(blob):
+        if marker == 0xFFDB:
+            j = 0
+            while j < len(payload):
+                pq, tq = payload[j] >> 4, payload[j] & 0xF
+                if pq != 0:
+                    raise NotImplementedError(
+                        "16-bit quantization tables not supported by the "
+                        "stdlib JPEG codec"
+                    )
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[ZIGZAG] = np.frombuffer(
+                    payload[j + 1 : j + 65], dtype=np.uint8
+                )
+                quant[tq] = tbl.reshape(8, 8)
+                j += 65
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise NotImplementedError(
+                "only baseline (SOF0) JPEG is supported by the stdlib "
+                "codec — progressive/extended streams need Pillow"
+            )
+        elif marker == 0xFFC0:
+            prec, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "only single-component (grayscale) JPEG is supported "
+                    "by the stdlib codec — color needs Pillow"
+                )
+            qt_id = payload[8]
+        elif marker == 0xFFC4:
+            j = 0
+            while j < len(payload):
+                tc, th = payload[j] >> 4, payload[j] & 0xF
+                bits = list(payload[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(payload[j + 17 : j + 17 + nv])
+                huff[(tc, th)] = _decode_table(bits, vals)
+                j += 17 + nv
+        elif marker == 0xFFDA:
+            dc_id, ac_id = payload[2] >> 4, payload[2] & 0xF
+            sos_at = end
+    if sos_at is None or not width:
+        raise ValueError("truncated JPEG: no SOS/SOF")
+    dc_tbl, ac_tbl = huff[(0, dc_id)], huff[(1, ac_id)]
+    q = quant[qt_id]
+    r = _BitReader(blob[sos_at:])
+    ph, pw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
+    img = np.zeros((ph, pw))
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            zz = np.zeros(64, dtype=np.int64)
+            size = _read_symbol(r, dc_tbl)
+            diff = _extend(r.bits(size), size) if size else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _read_symbol(r, ac_tbl)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                zz[k] = _extend(r.bits(size), size)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[ZIGZAG] = zz
+            block = _DCT.T @ (coef.reshape(8, 8) * q) @ _DCT
+            img[by : by + 8, bx : bx + 8] = block + 128.0
+    out = np.clip(np.round(img[:height, :width]), 0, 255).astype(np.uint8)
+    return width, height, out.flatten().tolist()

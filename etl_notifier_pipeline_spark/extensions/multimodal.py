@@ -110,7 +110,7 @@ def _decode_impl(blob: bytes, modality: str, codec: str) -> list[float]:
     otherwise — the mode registered queries use so committed genuine
     PNG rows exercise the real branch while text-byte stand-ins keep
     their deterministic features."""
-    from etl_notifier_pipeline_spark.extensions import pngio
+    from etl_notifier_pipeline_spark.extensions import jpegio, pngio
 
     if codec == "fake":
         return _fake_features(blob)
@@ -135,11 +135,22 @@ def _decode_impl(blob: bytes, modality: str, codec: str) -> list[float]:
         if pngio.is_png(blob):
             width, height, px = pngio.gray_pixels(blob)
             return _block_mean_pool(px, width, height)
+        if jpegio.is_jpeg(blob):
+            # lossy route: stdlib baseline-grayscale codec; streams it
+            # can't express (progressive, color) gate clearly — PIL's
+            # territory when installed
+            try:
+                width, height, px = jpegio.decode_gray(blob)
+            except NotImplementedError:
+                if codec == "auto":
+                    return _fake_features(blob)
+                raise
+            return _block_mean_pool(px, width, height)
         if codec == "auto":
             return _fake_features(blob)
         raise NotImplementedError(
-            "decoding 'image' requires Pillow for non-PNG formats "
-            "(the stdlib codec handles PNG only)"
+            "decoding 'image' requires Pillow for non-PNG/JPEG formats "
+            "(the stdlib codecs handle PNG and baseline grayscale JPEG)"
         )
     if codec == "auto":
         return _fake_features(blob)
@@ -213,12 +224,17 @@ def media_from_dir(
     from pyspark.sql import Window as W
 
     rank = F.row_number().over(W.orderBy("path")) - 1
+    mime = (
+        F.when(F.lower("path").rlike(r"\.jpe?g$"), F.lit("image/jpeg"))
+        .when(F.lower("path").rlike(r"\.png$"), F.lit("image/png"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
     return raw.select(
         (F.lit(id_offset) + rank).cast("long").alias("media_id"),
         F.lit("image").alias("modality"),
         F.col("content"),
         F.struct(
-            F.lit("image/png").alias("mime"),
+            mime.alias("mime"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),

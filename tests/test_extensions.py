@@ -165,7 +165,7 @@ class TestMultimodal:
         assert os.path.isdir(M.MEDIA_FIXTURE_DIR), "fixture not committed"
         media = M.media_from_dir(spark, M.MEDIA_FIXTURE_DIR)
         rows = media.select("media_id", "content").collect()
-        assert len(rows) == 8
+        assert len(rows) == 12  # 8 PNG + 4 JPEG
         feats = {
             r["media_id"]: r["features"]
             for r in M.extract_features(media, codec="real").collect()
@@ -223,6 +223,9 @@ class TestMultimodal:
         from etl_notifier_pipeline_spark.extensions import pngio
 
         for name in sorted(os.listdir(M.MEDIA_FIXTURE_DIR)):
+            if not name.endswith(".png"):
+                continue  # lossless contract is PNG-only; JPEG has its
+                # own +/-1-tolerance PIL test below
             blob = open(os.path.join(M.MEDIA_FIXTURE_DIR, name), "rb").read()
             via_stdlib = MM._block_mean_pool(*(
                 lambda w, h, px: (px, w, h)
@@ -236,6 +239,96 @@ class TestMultimodal:
                 list(img.getdata()), img.width, img.height
             )
             assert via_stdlib == via_pil, name
+
+    def test_jpeg_roundtrip_and_fixture_decode(self):
+        """The stdlib JPEG codec: encode->decode roundtrip error is
+        bounded by the quantization table (the lossy contract: flat
+        and block-aligned images are exact, smooth gradients within a
+        few levels RMS), and every committed .jpg fixture decodes for
+        real with its declared dimensions."""
+        import math
+
+        from etl_notifier_pipeline_spark.extensions import jpegio
+
+        w = h = 32
+        grad = [min(255, 3 * x + 4 * y) for y in range(h) for x in range(w)]
+        blob = jpegio.encode_gray(grad, w, h)
+        assert jpegio.is_jpeg(blob) and blob[-2:] == b"\xff\xd9"
+        w2, h2, out = jpegio.decode_gray(blob)
+        assert (w2, h2) == (w, h)
+        rmse = math.sqrt(
+            sum((a - b) ** 2 for a, b in zip(grad, out)) / len(grad)
+        )
+        assert rmse < 4.0
+        _, _, flat = jpegio.decode_gray(jpegio.encode_gray([140] * 64, 8, 8))
+        assert flat == [140] * 64  # flat blocks are lossless
+        jpgs = [
+            n for n in sorted(os.listdir(M.MEDIA_FIXTURE_DIR))
+            if n.endswith(".jpg")
+        ]
+        assert len(jpgs) == 4
+        for name in jpgs:
+            blob = open(os.path.join(M.MEDIA_FIXTURE_DIR, name), "rb").read()
+            fw, fh, px = jpegio.decode_gray(blob)
+            assert (fw, fh) == jpegio.dimensions(blob)[:2] == (32, 32)
+            assert all(0 <= p <= 255 for p in px)
+        # non-8-multiple dimensions: edge padding round-trips the
+        # declared size, not the padded one
+        ww, hh, _ = jpegio.decode_gray(
+            jpegio.encode_gray([100] * (10 * 6), 10, 6)
+        )
+        assert (ww, hh) == (10, 6)
+
+    def test_jpeg_routing_real_fake_and_gate(self, monkeypatch):
+        """codec routing for lossy bytes (r6 verdict ask #6), pinned
+        in a test that RUNS in this sandbox: baseline grayscale JPEG
+        decodes for REAL through the stdlib codec; progressive (SOF2)
+        JPEG — which the stdlib codec cannot express — falls back to
+        the deterministic fake under codec='auto' and raises the PIL
+        gate under codec='real'. Pillow is forced absent so the
+        assertion is environment-independent."""
+        import pytest as _pytest
+
+        from etl_notifier_pipeline_spark.extensions import jpegio
+        from etl_notifier_pipeline_spark.extensions import multimodal as MM
+
+        monkeypatch.setattr(MM, "_pil_module", lambda: None)
+        baseline = jpegio.encode_gray([10 * i for i in range(8)] * 8, 8, 8)
+        real = MM._decode_impl(baseline, "image", "real")
+        assert real == MM._decode_impl(baseline, "image", "auto")
+        assert real != MM._fake_features(baseline)
+        # craft a progressive stream: flip SOF0 (FFC0) to SOF2 (FFC2)
+        progressive = baseline.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        assert MM._decode_impl(progressive, "image", "auto") == (
+            MM._fake_features(progressive)
+        )
+        with _pytest.raises(NotImplementedError, match="baseline .SOF0."):
+            MM._decode_impl(progressive, "image", "real")
+
+    @pytest.mark.skipif(
+        M._pil_module() is None, reason="Pillow not installed"
+    )
+    def test_pil_decodes_stdlib_jpegs_within_tolerance(self):
+        """Where Pillow IS installed: the committed fixture JPEGs are
+        genuine enough for libjpeg — PIL must decode them with the
+        same dimensions and pixels within +/-1 of the stdlib decoder
+        (IDCT rounding is implementation-defined; the standard allows
+        unit differences)."""
+        import io
+
+        from PIL import Image
+
+        from etl_notifier_pipeline_spark.extensions import jpegio
+
+        for name in sorted(os.listdir(M.MEDIA_FIXTURE_DIR)):
+            if not name.endswith(".jpg"):
+                continue
+            blob = open(os.path.join(M.MEDIA_FIXTURE_DIR, name), "rb").read()
+            w, h, px = jpegio.decode_gray(blob)
+            img = Image.open(io.BytesIO(blob)).convert("L")
+            assert (img.width, img.height) == (w, h), name
+            pil_px = list(img.getdata())
+            assert max(abs(a - b) for a, b in zip(px, pil_px)) <= 1, name
 
     def test_frame_sampling_explodes_by_duration(self, spark, media):
         frames = M.sample_frames(media, every_ms=1000, deterministic_fake=True).collect()

@@ -99,7 +99,7 @@ def main() -> None:
         root,
         keys={"t": ["k"]},
         n_buckets=64,
-        retain_versions=3,  # feed is consumed per commit: short horizon
+        retain_versions=4,  # each round = 3 commits + its base version
         capture_cdc=True,
     )
     base = spark.range(n_rows).select(
