@@ -618,8 +618,10 @@ class TestZoneMaps:
         store = TableStore(spark, str(tmp_path / "nostats"))
         df = spark.range(100).select(F.col("id").alias("k"))
         store.overwrite("t", df)
-        # simulate a pre-stats version: drop the sidecar
+        # simulate a pre-stats version: drop BOTH stats sources (the
+        # per-dir sidecar and the manifest-level aggregate)
         os.remove(os.path.join(store.path("t"), "_stats.json"))
+        os.remove(os.path.join(store.path("t"), "_stats_agg.json"))
         kept, total = store.pruned_files("t", [("k", "<", 10)])
         assert len(kept) == total  # conservative: no stats, no pruning
         assert store.read_where("t", [("k", "<", 10)]).count() == 10
@@ -830,3 +832,37 @@ class TestReadWhereSchemaEvolution:
         # and an in-range predicate still prunes to the evolved file
         got2 = store.read_where("t", [("add", "<=", 10)])
         assert got2.count() == 11
+
+
+class TestManifestStatsAgg:
+    """Manifest-level aggregated stats (r6 ask #5): planning reads ONE
+    object; the per-dir fallback (pre-agg versions) must produce the
+    identical (file, stats) set; appends fold prior dirs' stats in."""
+
+    def test_agg_matches_per_dir_fallback(self, spark, tmp_path):
+        from etl_notifier_pipeline_spark.storage import _STATS_AGG_NAME
+
+        store = TableStore(spark, str(tmp_path / "agg"))
+        store.overwrite(
+            "t", spark.range(1_000).select(F.col("id").alias("k")).coalesce(2)
+        )
+        store.append(
+            "t",
+            spark.range(1_000_000, 1_001_000)
+            .select(F.col("id").alias("k"))
+            .coalesce(1),
+        )
+        v = store.current_version("t")
+        apath = os.path.join(store.path("t"), _STATS_AGG_NAME)
+        assert os.path.exists(apath)
+        via_agg = store._version_files("t", v)
+        os.rename(apath, apath + ".bak")
+        try:
+            via_dirs = store._version_files("t", v)
+        finally:
+            os.rename(apath + ".bak", apath)
+        assert sorted(via_agg) == sorted(via_dirs)
+        assert len(via_agg) == 3  # 2 base files + 1 appended
+        # and pruning through the agg keeps only the appended file
+        kept, total = store.pruned_files("t", [("k", ">=", 1_000_000)])
+        assert total == 3 and len(kept) == 1

@@ -71,7 +71,7 @@ def main() -> None:
         "layouts": {},
     }
     preds = [("l_shipdate", "between", (LO, HI))]
-    for n_files in (64, 512):
+    for n_files in (64, 512, 4096):
         table = f"li{n_files}"
         t0 = time.perf_counter()
         if not store.exists(table):
@@ -82,6 +82,33 @@ def main() -> None:
             store.optimize_layout(table, "l_shipdate", n_files=n_files)
         setup_s = round(time.perf_counter() - t0, 3)
         kept, total = store.pruned_files(table, preds)
+
+        # planning cost (r6 ask #5): the manifest-level _stats_agg
+        # answers file list + stats in ONE object read; the fallback
+        # pays a directory listing + per-dir sidecar parse. Both paths
+        # must keep the identical file set.
+        from etl_notifier_pipeline_spark.storage import _STATS_AGG_NAME
+
+        def _plan_ms(reps: int = 5) -> float:
+            best = float("inf")
+            for _ in range(reps):
+                p0 = time.perf_counter()
+                store.pruned_files(table, preds)
+                best = min(best, time.perf_counter() - p0)
+            return round(best * 1000, 2)
+
+        plan_agg_ms = _plan_ms()
+        v = store.current_version(table)
+        apath = os.path.join(
+            store_root, table, f"v={v}", _STATS_AGG_NAME
+        )
+        os.rename(apath, apath + ".bak")
+        try:
+            kept_fb, total_fb = store.pruned_files(table, preds)
+            plan_fallback_ms = _plan_ms()
+        finally:
+            os.rename(apath + ".bak", apath)
+        assert (sorted(kept_fb), total_fb) == (sorted(kept), total)
 
         def full_scan(spark, _sf, table=table):
             return _agg(
@@ -97,6 +124,9 @@ def main() -> None:
             "files_kept": len(kept),
             "files_total": total,
             "setup_s": setup_s,
+            "plan_agg_ms": plan_agg_ms,  # 1 object read
+            "plan_fallback_ms": plan_fallback_ms,  # listing + sidecars
+            "plan_objects_read": 1,
         }
         for name, fn in (
             ("full_scan", full_scan),
@@ -117,6 +147,69 @@ def main() -> None:
             cell["full_scan"]["sec"] / cell["pruned_scan"]["sec"], 2
         )
         out["layouts"][str(n_files)] = cell
+    # --- the many-commits rung: planning cost is O(dirs) without the
+    # manifest-level aggregate ------------------------------------------
+    # optimize_layout tables hold ONE dir, so the per-dir fallback is
+    # already a single listing there; the layout that actually bleeds
+    # on object storage is a long-lived APPEND table — every commit
+    # adds a dir, and a reader without the aggregate pays a listing +
+    # sidecar GET per dir per query. 256 key-clustered appends model a
+    # streaming-ingest table; the aggregate answers planning from ONE
+    # object at any history length.
+    table = "liappend"
+    n_appends, chunk = 256, 100_000
+    t0 = time.perf_counter()
+    if not store.exists(table):
+        for i in range(n_appends):
+            df = (
+                spark.range(i * chunk, (i + 1) * chunk)
+                .select(
+                    F.col("id").alias("k"),
+                    (F.col("id") % 997).cast("double").alias("v"),
+                )
+                .coalesce(1)
+            )
+            store.append(table, df)
+    setup_s = round(time.perf_counter() - t0, 3)
+    apreds = [("k", "between", (42 * chunk, 45 * chunk - 1))]
+
+    def _plan_ms_append(reps: int = 5) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            p0 = time.perf_counter()
+            store.pruned_files(table, apreds)
+            best = min(best, time.perf_counter() - p0)
+        return round(best * 1000, 2)
+
+    kept_a, total_a = store.pruned_files(table, apreds)
+    plan_agg = _plan_ms_append()
+    from etl_notifier_pipeline_spark.storage import _STATS_AGG_NAME as _SAN
+
+    va = store.current_version(table)
+    apath2 = os.path.join(store_root, table, f"v={va}", _SAN)
+    os.rename(apath2, apath2 + ".bak")
+    try:
+        kept_fb2, total_fb2 = store.pruned_files(table, apreds)
+        plan_fb = _plan_ms_append()
+    finally:
+        os.rename(apath2 + ".bak", apath2)
+    assert (sorted(kept_fb2), total_fb2) == (sorted(kept_a), total_a)
+    got = store.read_where(table, apreds).count()
+    out["append_table"] = {
+        "n_commits": n_appends,
+        "n_dirs": n_appends,
+        "files_kept": len(kept_a),
+        "files_total": total_a,
+        "setup_s": setup_s,
+        "plan_agg_ms": plan_agg,
+        "plan_objects_read_agg": 1,
+        "plan_fallback_ms": plan_fb,
+        "plan_objects_read_fallback": 2 * n_appends,  # listing + sidecar per dir
+        "rows_read": got,
+        "results_equal": got == 3 * chunk,
+    }
+    print("append_table:", out["append_table"], flush=True)
+
     out["interpretation"] = (
         "Once clustered, parquet row-group pushdown already skips "
         "non-matching DATA pages, so zone maps save the per-file "
