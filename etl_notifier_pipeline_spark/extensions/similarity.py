@@ -534,11 +534,12 @@ def blocked_near_dup_pairs_arrow(
 def pq_codebooks(
     corpus: DataFrame,
     m: int = 8,
-    n_codes: int = 16,
+    n_codes: int = 256,
     *,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Per-subspace PQ codebooks: split unit vectors into ``m``
     contiguous subvectors, k-means each subspace to ``n_codes``
@@ -554,20 +555,33 @@ def pq_codebooks(
     int64 BEFORE the cross-partition sum (the s06 determinism trick) —
     identical codebooks regardless of partition order.
 
-    Seeding is deterministic (the ``n_codes`` lowest-id vectors), so
-    the whole build is reproducible; a production corpus would train
-    on a sample and reuse the codebook across runs.
+    Seeding is deterministic AND corpus-spread: the ``n_codes``
+    lowest xxhash64(id) vectors — a reproducible uniform sample that
+    Spark executes as TakeOrdered (per-partition top-n, driver merge
+    of n_codes rows; no global sort). Lowest-id seeding is fragile on
+    any corpus with locality in its id order (every real ingest).
+    Defaults follow the PQ literature: 256 codes = 8-bit
+    subquantizers. Measured limit (ANN_RECALL_sf100.json): on 2 M
+    near-random unit vectors, whole-vector PQ's quantization error
+    exceeds the tiny cosine gaps that separate true neighbors from
+    the bulk, so ADC ranking degenerates regardless of seeding or
+    code count — the scale path is ``ivfpq_topk`` (PQ on coarse-cell
+    RESIDUALS), which restores resolution.
     """
     import numpy as np
     import pandas as pd
 
     seeds = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect()
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_codes)
+        .collect()
     )
     if not seeds:
         raise ValueError("pq_codebooks: corpus is empty")
     V = np.array([list(map(float, r[vec_col])) for r in seeds], dtype=np.float64)
-    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    if normalize:
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
     dim = V.shape[1]
     if dim % m:
         raise ValueError(f"pq_codebooks: dim {dim} not divisible by m {m}")
@@ -583,7 +597,8 @@ def pq_codebooks(
         def partial_sums(batches):
             for pdf in batches:
                 X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-                X /= np.linalg.norm(X, axis=1, keepdims=True)
+                if normalize:
+                    X /= np.linalg.norm(X, axis=1, keepdims=True)
                 rows = []
                 for s in range(m):
                     Xs = X[:, s * d_sub : (s + 1) * d_sub]
@@ -770,6 +785,191 @@ def pq_topk(
 
 
 # -- Semantic dedup (cluster-blocked near-dup keep-one) --------------------
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
+    m: int = 8,
+    n_codes: int = 256,
+    n_iter: int = 3,
+    cand_mult: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jegou et al. 2011): coarse IVF quantizer + product
+    quantization of the RESIDUALS, the composition production ANN
+    systems actually deploy — and the fix for the failure the r7
+    recall harness measured on plain PQ. On near-random unit vectors
+    (2 M at dim 64, true-neighbor cosine ~0.5 vs bulk ~0.45),
+    whole-vector PQ's quantization error swamps the cosine gaps and
+    ADC ranking degenerates to noise (measured recall@5 = 0.04).
+    Quantizing residuals r = x - c(cell) shrinks the quantized
+    spread to WITHIN-cell scale, restoring resolution:
+    ||q - x||^2 = ||(q - c) - r||^2 exactly, up to r's quantization
+    (measured recall@5 = 0.65 at n_probe = n_cells/8, 200k vectors —
+    above both the LSH and exact-probed-IVF operating points).
+    Defaults: sqrt-n cells, n_cells/8 probes (~12% of the corpus
+    ADC-scanned, never exact-scanned), 3 Lloyd iterations,
+    cand_mult*k exact reranks.
+
+    Scale shape: centroids and codebooks are KB-sized driver tables
+    (trained by Arrow partial-sum passes, shuffles carry scalars);
+    encoding is one Arrow pass; the search joins the encoded corpus to
+    the exploded (query, probed-cell) frame ON THE CELL KEY — the
+    per-query candidate set is n_probe cells, never the corpus — then
+    ADC-ranks candidates JVM-side and exact-reranks the top
+    ``cand_mult * k``. Approximate by construction -> rows-only driver
+    check + recall property test."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    n = corpus.count()
+    if n_cells is None:
+        n_cells = max(8, int(math.sqrt(n)))  # the r6 sqrt-n balance law
+    if n_probe is None:
+        n_probe = max(4, n_cells // 8)
+    cents = ivf_centroids(
+        corpus, n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    Cc = np.array(cents, dtype=np.float64)  # (cells, dim)
+    c_sq = (Cc * Cc).sum(axis=1)
+    asg = ivf_assign_frame(
+        corpus.select(id_col, vec_col), cents, vec_col=vec_col
+    )
+
+    # train the PQ codebooks on residuals (normalize=False: residual
+    # magnitude IS the signal)
+    resid_schema = T.StructType(
+        list(asg.schema.fields)
+        + [T.StructField("resid", T.ArrayType(T.DoubleType()))]
+    )
+
+    def with_resid(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            R = X - Cc[pdf["cell"].to_numpy()]
+            pdf = pdf.copy()
+            pdf["resid"] = list(R.tolist())
+            yield pdf
+
+    books = pq_codebooks(
+        asg.mapInPandas(with_resid, resid_schema),
+        m,
+        n_codes,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col="resid",
+        normalize=False,
+    )
+    C = np.array(books, dtype=np.float64)  # (m, n_codes, d_sub)
+    m_, _, d_sub = C.shape
+
+    def encode(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            R = X - Cc[pdf["cell"].to_numpy()]
+            codes = np.empty((len(X), m_), dtype=np.int32)
+            for s in range(m_):
+                Rs = R[:, s * d_sub : (s + 1) * d_sub]
+                d2 = ((Rs[:, None, :] - C[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col],
+                    "c_vec": pdf[vec_col],
+                    "c_norm": np.linalg.norm(X, axis=1),
+                    "cell": pdf["cell"],
+                    "codes": list(codes.tolist()),
+                }
+            )
+
+    enc = asg.mapInPandas(
+        encode,
+        "neighbor_id long, c_vec array<float>, c_norm double, "
+        "cell int, codes array<int>",
+    )
+
+    def qluts(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(X, axis=1)
+            near = np.argsort(
+                c_sq[None, :] - 2.0 * (X @ Cc.T), axis=1, kind="stable"
+            )[:, :n_probe]
+            rows = []
+            for i in range(len(X)):
+                for cell in near[i]:
+                    Rq = X[i] - Cc[cell]
+                    lut = [
+                        ((Rq[s * d_sub : (s + 1) * d_sub] - C[s]) ** 2)
+                        .sum(-1)
+                        .tolist()
+                        for s in range(m_)
+                    ]
+                    rows.append(
+                        (
+                            int(pdf[id_col].iloc[i]),
+                            list(map(float, pdf[vec_col].iloc[i])),
+                            float(norms[i]),
+                            int(cell),
+                            lut,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["query_id", "q_vec", "q_norm", "cell", "luts"]
+            )
+
+    q = queries.select(id_col, vec_col).mapInPandas(
+        qluts,
+        "query_id long, q_vec array<float>, q_norm double, cell int, "
+        "luts array<array<double>>",
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("luts"),
+            lambda c, lut: F.element_at(lut, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        enc.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", "q_vec", "c_vec", "q_norm", "c_norm",
+            adc.alias("adc"),
+        )
+    )
+    wa = W.partitionBy("query_id").orderBy(F.col("adc"), F.col("neighbor_id"))
+    cand = scored.withColumn("arank", F.row_number().over(wa)).filter(
+        F.col("arank") <= cand_mult * k
+    )
+    exact = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
 
 
 def semantic_dedup(

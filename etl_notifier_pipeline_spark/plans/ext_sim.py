@@ -353,6 +353,22 @@ def s08_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(emb, queries, k=5)
 
 
+@register("s14_ivfpq_topk", category="similarity")
+def s14_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC approximate top-5 (Jegou et al. 2011): sqrt-n coarse
+    cells, product quantization of the RESIDUALS, per-cell ADC scan of
+    n_cells/8 probed cells, exact rerank of the best candidates — the
+    composition that survives where flat PQ degenerates (measured at
+    2 M vectors: flat-PQ recall@5 0.04, IVFADC 0.65;
+    ANN_RECALL_sf100.json). The corpus is never exact-scanned and
+    never shuffled: candidates resolve through a broadcast equi-join
+    on the cell key. Approximate by construction -> rows-only driver
+    check; recall property test is the value gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.ivfpq_topk(emb, queries, k=5, n_codes=16)
+
+
 @register(
     "s10_radius_search",
     category="similarity",

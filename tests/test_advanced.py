@@ -39,6 +39,28 @@ def test_ann_recall_vs_bruteforce(spark):
     assert all(q != n for q, n in a)
 
 
+def test_ivfpq_recall_vs_bruteforce(spark):
+    """IVFADC: PQ on coarse-cell residuals — must beat flat PQ's
+    operating point on the same near-orthogonal vectors (the regime
+    where whole-vector quantization error swamps cosine gaps; see
+    ANN_RECALL_sf100.json for the 2M-vector measurement)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = S.topk_cosine(emb, queries, k=5)
+    approx = S.ivfpq_topk(
+        emb, queries, k=5, n_cells=8, n_probe=4, n_codes=16, n_iter=2
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVFADC recall {recall:.2f} too low"
+    assert all(q != n for q, n in a)
+    counts = {}
+    for q, _ in a:
+        counts[q] = counts.get(q, 0) + 1
+    assert all(c <= 5 for c in counts.values())
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)

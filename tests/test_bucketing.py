@@ -146,3 +146,22 @@ class TestStarJoinNoDriverBuild:
                 for r in fn(spark, SF_DIR).collect()
             }
             assert got == want, fn.__name__
+
+
+def test_registry_q05_adaptive_strategies_agree(spark, monkeypatch):
+    """The registry q05 picks its join strategy by dim size; both
+    strategies must produce the identical decimal-exact oracle answer
+    (values, not approximations — the bit-exact hash contract)."""
+    from etl_notifier_pipeline_spark.plans import relational as R
+
+    def run():
+        return {
+            r["nation"]: (float(r["revenue"]), r["n_lineitems"])
+            for r in R.q05_revenue_by_nation(spark, SF_DIR).collect()
+        }
+
+    assert R._table_bytes(SF_DIR, "customer") < R.BROADCAST_DIM_LIMIT
+    small = run()
+    monkeypatch.setattr(R, "BROADCAST_DIM_LIMIT", -1)  # force scale path
+    big = run()
+    assert small == big and len(small) > 0
