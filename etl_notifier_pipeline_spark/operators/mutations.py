@@ -253,19 +253,36 @@ def change_feed(
             f"not retained (horizon: {vs}); raise retain_versions"
         )
     cdc_dir = getattr(store, "cdc_dir", None)
+    app_dirs = getattr(store, "appended_dirs", None)
     out = None
     for v in range(lo, hi):
-        # write-time CDC fast path (store built with capture_cdc=True,
-        # Delta's enableChangeDataFeed): the commit already persisted
-        # its change rows, so reading the feed costs O(changes) for
-        # that commit — no snapshot join. Commits without a sidecar
-        # (overwrites, pre-capture history) fall back to the diff;
-        # both paths produce the identical feed (pinned in
-        # tests/test_mutations.py).
+        # Fast paths, cheapest first — all three produce the identical
+        # feed (pinned in tests/test_mutations.py):
+        # 1. write-time CDC sidecar (capture_cdc=True keyed mutations,
+        #    Delta's enableChangeDataFeed): O(changes) read.
+        # 2. pure-append commit: the manifest says exactly which dirs
+        #    were added — their rows ARE the inserts, O(new bytes)
+        #    (Delta CDF's insert-only-commit treatment; assumes the
+        #    append-stream contract that appends add new keys, the
+        #    same precondition snapshot CDC-by-key already has).
+        # 3. snapshot_diff: the O(table) general case.
         sidecar = cdc_dir(table, v + 1) if cdc_dir else None
+        added = app_dirs(table, v + 1) if (app_dirs and not sidecar) else None
         if sidecar:
             d = store.spark.read.parquet(sidecar).select(
                 *keys, "change", "old_row", "new_row"
+            )
+        elif added:
+            base = store.read(table, version=v + 1)
+            nonkey = [c for c in base.columns if c not in keys]
+            struct_t = base.select(
+                F.struct(*nonkey).alias("s")
+            ).schema["s"].dataType
+            d = store.spark.read.parquet(*added).select(
+                *keys,
+                F.lit("insert").alias("change"),
+                F.lit(None).cast(struct_t).alias("old_row"),
+                F.struct(*nonkey).alias("new_row"),
             )
         else:
             d = snapshot_diff(

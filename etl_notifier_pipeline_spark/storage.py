@@ -282,6 +282,31 @@ class TableStore:
                 out.append(v)
         return out
 
+    def appended_dirs(self, table: str, v: int) -> list[str] | None:
+        """If commit ``v`` was a PURE APPEND of version ``v-1`` (its
+        manifest is the prior manifest plus new dirs, same schema
+        flags), return the new dirs' absolute paths — the commit's
+        change rows are exactly those dirs' rows as inserts, readable
+        in O(new bytes). Returns None for overwrites/evolved commits
+        (``change_feed`` falls back to snapshot_diff). Mirrors how
+        Delta CDF serves insert-only commits from the added data files
+        without writing change files."""
+        if v <= 0:
+            return None
+        try:
+            prev = [d for d in self._manifest(table, v - 1) if not d.startswith("#")]
+            cur = [d for d in self._manifest(table, v) if not d.startswith("#")]
+            prev_flags = self._manifest_flags(table, v - 1)
+            cur_flags = self._manifest_flags(table, v)
+        except FileNotFoundError:
+            return None
+        if prev_flags != cur_flags or not set(prev) <= set(cur):
+            return None
+        new = [d for d in cur if d not in set(prev)]
+        if not new:
+            return None
+        return [os.path.join(self._dir(table), d) for d in new]
+
     def _write_stats_agg(
         self, table: str, v: int, manifest: list[str], target: str
     ) -> None:
@@ -1107,6 +1132,31 @@ class BucketedTableStore:
         if os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS")):
             return p
         return None
+
+    def appended_dirs(self, table: str, v: int) -> list[str] | None:
+        """Pure-append detection, the bucketed twin of
+        ``TableStore.appended_dirs``: commit ``v`` kept every prior
+        bucket dir and only ADDED dirs -> those dirs' rows are the
+        commit's inserts, readable in O(new bytes)."""
+        if v <= 0:
+            return None
+        try:
+            prev = self._manifest(table, v - 1)["buckets"]
+            cur = self._manifest(table, v)["buckets"]
+        except FileNotFoundError:
+            return None
+        new: list[str] = []
+        for k, dirs in prev.items():
+            cd = cur.get(k, [])
+            if not set(dirs) <= set(cd):
+                return None  # a prior dir was dropped: not an append
+        for k, dirs in cur.items():
+            for d in dirs:
+                if d not in set(prev.get(k, [])):
+                    new.append(d)
+        if not new:
+            return None
+        return [os.path.join(self._dir(table), d) for d in new]
 
     def compact(self, table: str, max_dirs_per_bucket: int = 1) -> int | None:
         """Compact buckets whose manifest references more than

@@ -495,3 +495,76 @@ class TestRefreshAggregates:
         assert out["c"] == (-777.0, 7.0, 1)  # untouched: poison survives
         assert "d" not in out  # group retracted to zero rows vanishes
         assert out["e"] == (2.0, 2.0, 1)  # new group appears
+
+
+class TestAppendFastPath:
+    """Pure-append commits feed change_feed from the appended dirs
+    only (O(new bytes)) — identical rows to the snapshot_diff path,
+    on both store backends."""
+
+    def test_tablestore_append_feed(self, spark, tmp_path):
+        from etl_notifier_pipeline_spark.operators import change_feed
+        from etl_notifier_pipeline_spark.operators.mutations import (
+            snapshot_diff,
+        )
+        from etl_notifier_pipeline_spark.storage import TableStore
+
+        store = TableStore(spark, str(tmp_path / "afp"), retain_versions=5)
+        store.overwrite(
+            "t", spark.range(100).select(F.col("id").alias("k"),
+                                         (F.col("id") * 2).alias("v"))
+        )
+        store.append(
+            "t",
+            spark.range(100, 130).select(F.col("id").alias("k"),
+                                         (F.col("id") * 2).alias("v")),
+        )
+        assert store.appended_dirs("t", 2) is not None
+        assert store.appended_dirs("t", 1) is None  # overwrite
+        feed = change_feed(store, "t", ["k"], from_version=1, to_version=2)
+        want = snapshot_diff(
+            store.read("t", version=1), store.read("t", version=2), ["k"]
+        ).withColumn("commit_version", F.lit(2).cast("long"))
+        assert feed.exceptAll(want).count() == 0
+        assert want.exceptAll(feed).count() == 0
+        assert feed.count() == 30
+        assert feed.select("change").distinct().collect()[0][0] == "insert"
+        # the fast path scans ONLY the appended dirs: one file, not
+        # the v=1 base files
+        scans = feed._jdf.queryExecution().executedPlan().toString()
+        assert "v=1" not in scans
+
+    def test_bucketed_append_feed(self, spark, tmp_path):
+        from etl_notifier_pipeline_spark.operators import change_feed
+        from etl_notifier_pipeline_spark.operators.mutations import (
+            snapshot_diff,
+        )
+        from etl_notifier_pipeline_spark.storage import BucketedTableStore
+
+        store = BucketedTableStore(
+            spark, str(tmp_path / "bafp"), keys={"t": ["k"]},
+            n_buckets=4, retain_versions=5,
+        )
+        store.overwrite(
+            "t", spark.range(50).select(F.col("id").alias("k"),
+                                        F.lit("a").alias("v"))
+        )
+        store.append(
+            "t",
+            spark.range(50, 70).select(F.col("id").alias("k"),
+                                       F.lit("b").alias("v")),
+        )
+        assert store.appended_dirs("t", 2) is not None
+        feed = change_feed(store, "t", ["k"], from_version=1, to_version=2)
+        want = snapshot_diff(
+            store.read("t", version=1), store.read("t", version=2), ["k"]
+        ).withColumn("commit_version", F.lit(2).cast("long"))
+        assert feed.exceptAll(want).count() == 0
+        assert want.exceptAll(feed).count() == 0
+        # a keyed mutation is NOT a pure append (affected buckets'
+        # dirs are replaced) — the fast path must decline
+        inc = spark.createDataFrame([(1, "Z")], ["k", "v"]).withColumn(
+            "__o", F.monotonically_increasing_id()
+        )
+        store.apply_keyed_mutation("t", inc, ["k"], ["__o"], "update")
+        assert store.appended_dirs("t", 3) is None
