@@ -603,6 +603,104 @@ def m13_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m18_restore",
+    category="mutation",
+    oracle=f"""
+WITH ev AS ({_EV_SQL}),
+s1 AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'purchase') WHERE rn = 1
+),
+last_click AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'click') WHERE rn = 1
+),
+s2 AS (
+  SELECT t.* FROM (
+    SELECT t.* FROM s1 t
+    WHERE NOT EXISTS (SELECT 1 FROM last_click l WHERE l.user_id = t.user_id)
+    UNION ALL
+    SELECT * FROM last_click) t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ev d WHERE d.event_type = 'error' AND d.user_id = t.user_id)
+)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'insert'
+            WHEN n.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       o.event_id AS old_event_id, o.event_type AS old_event_type,
+       o.value AS old_value,
+       n.event_id AS new_event_id, n.event_type AS new_event_type,
+       n.value AS new_value,
+       CAST(3 AS BIGINT) AS commit_version
+FROM s2 o FULL OUTER JOIN s1 n ON o.user_id = n.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL
+   OR o.event_id IS DISTINCT FROM n.event_id
+   OR o.event_type IS DISTINCT FROM n.event_type
+   OR o.value IS DISTINCT FROM n.value
+""",
+)
+def m18_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF — Delta's rollback — on the
+    engine's own store: v1 = last purchase per user; v2 = v1 after a
+    click MERGE plus an error-user delete (a bad batch to undo);
+    ``store.restore("t", 1)`` then commits v3 as a METADATA-ONLY
+    rollback (v3's manifest re-references v1's immutable files — zero
+    data bytes move, O(1) whatever the table size, pinned in
+    tests/test_mutations.py). The returned frame is the restore
+    commit's own change feed — the reverse diff that undid the bad
+    batch, read via real time travel on both sides — so the oracle
+    (s2 full-outer-join s1, IS DISTINCT FROM) checks both that the
+    rollback happened and that the store serves v1's exact contents
+    afterwards."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from etl_notifier_pipeline_spark.operators import change_feed
+    from etl_notifier_pipeline_spark.storage import TableStore
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    s1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    s2 = delete_by_keys(
+        upsert(
+            s1,
+            ev.filter(F.col("event_type") == "click"),
+            ["user_id"],
+            ["event_id"],
+        ),
+        ev.filter(F.col("event_type") == "error").select("user_id"),
+        ["user_id"],
+    )
+    store = TableStore(
+        spark, tempfile.mkdtemp(prefix="m18_"), retain_versions=3
+    )
+    store.overwrite("t", s1)
+    store.overwrite("t", s2)
+    store.restore("t", 1)
+    feed = change_feed(store, "t", ["user_id"], from_version=2, to_version=3)
+    return feed.select(
+        "user_id",
+        "change",
+        F.col("old_row.event_id").alias("old_event_id"),
+        F.col("old_row.event_type").alias("old_event_type"),
+        F.col("old_row.value").alias("old_value"),
+        F.col("new_row.event_id").alias("new_event_id"),
+        F.col("new_row.event_type").alias("new_event_type"),
+        F.col("new_row.value").alias("new_value"),
+        "commit_version",
+    )
+
+
+@register(
     "m15_metadata_agg",
     category="mutation",
     oracle="""

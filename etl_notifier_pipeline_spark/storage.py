@@ -282,6 +282,32 @@ class TableStore:
                 out.append(v)
         return out
 
+    def restore(self, table: str, version: int) -> int:
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF`` / Iceberg
+        rollback as a METADATA-ONLY commit: the new version's manifest
+        is ``version``'s manifest verbatim (flags included), so zero
+        data bytes move — version dirs are immutable after commit, and
+        the restore simply re-references them. The rollback is itself
+        a commit: the mis-written versions it undoes stay
+        time-travelable (and ``change_feed``-diffable, surfacing the
+        restore's deletes/updates) until retention vacuums them, which
+        is exactly Delta's RESTORE contract. O(1) whatever the table
+        size."""
+        if version not in self.versions(table):
+            raise FileNotFoundError(
+                f"{table!r} version {version} not restorable "
+                f"(retained: {self.versions(table)})"
+            )
+        manifest = [
+            *sorted(self._manifest_flags(table, version)),
+            *self._manifest(table, version),
+        ]
+        os.makedirs(self._dir(table), exist_ok=True)
+        staging = tempfile.mkdtemp(dir=self._dir(table), prefix=".staging-")
+        new_v = (self.current_version(table) or 0) + 1
+        self._commit(table, new_v, manifest, staging)
+        return new_v
+
     def appended_dirs(self, table: str, v: int) -> list[str] | None:
         """If commit ``v`` was a PURE APPEND of version ``v-1`` (its
         manifest is the prior manifest plus new dirs, same schema
@@ -1132,6 +1158,26 @@ class BucketedTableStore:
         if os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS")):
             return p
         return None
+
+    def restore(self, table: str, version: int) -> int:
+        """Metadata-only rollback, the bucketed twin of
+        ``TableStore.restore``: commit a new version whose manifest
+        (schema anchor + per-bucket dir lists) is ``version``'s
+        verbatim. Zero data movement; undone versions stay
+        time-travelable until vacuumed."""
+        import copy
+
+        if version not in self.versions(table):
+            raise FileNotFoundError(
+                f"{table!r} version {version} not restorable "
+                f"(retained: {self.versions(table)})"
+            )
+        manifest = copy.deepcopy(self._manifest(table, version))
+        os.makedirs(self._dir(table), exist_ok=True)
+        staging = tempfile.mkdtemp(dir=self._dir(table), prefix=".staging-")
+        new_v = (self.current_version(table) or 0) + 1
+        self._bcommit(table, new_v, manifest, staging)
+        return new_v
 
     def appended_dirs(self, table: str, v: int) -> list[str] | None:
         """Pure-append detection, the bucketed twin of

@@ -568,3 +568,73 @@ class TestAppendFastPath:
         )
         store.apply_keyed_mutation("t", inc, ["k"], ["__o"], "update")
         assert store.appended_dirs("t", 3) is None
+
+
+class TestRestore:
+    """restore() is a metadata-only rollback: the new version holds a
+    manifest and zero data files, reads serve the restored version's
+    exact contents, and undone versions stay time-travelable."""
+
+    def test_tablestore_restore(self, spark, tmp_path):
+        import os
+
+        from etl_notifier_pipeline_spark.storage import TableStore
+
+        store = TableStore(spark, str(tmp_path / "rst"), retain_versions=5)
+        a = spark.range(50).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2).alias("v"))
+        b = spark.range(30).select(F.col("id").alias("k"),
+                                   (F.col("id") * 3).alias("v"))
+        store.overwrite("t", a)
+        store.overwrite("t", b)
+        v3 = store.restore("t", 1)
+        assert v3 == 3
+        cur, v1 = store.read("t"), store.read("t", version=1)
+        assert cur.exceptAll(v1).count() == 0
+        assert v1.exceptAll(cur).count() == 0
+        # metadata-only: the restore commit wrote no data files
+        vdir = os.path.join(store._dir("t"), "v=3")
+        assert not [f for f in os.listdir(vdir) if f.endswith(".parquet")]
+        # the undone version stays time-travelable until vacuumed
+        assert store.read("t", version=2).count() == 30
+        # history continues past the restore: append then re-read
+        store.append("t", a.filter(F.col("k") >= 100))
+        assert store.read("t").count() == 50
+        with pytest.raises(FileNotFoundError):
+            store.restore("t", 99)
+
+    def test_bucketed_restore(self, spark, tmp_path):
+        import os
+
+        from etl_notifier_pipeline_spark.storage import BucketedTableStore
+
+        store = BucketedTableStore(
+            spark, str(tmp_path / "brst"), keys={"t": ["k"]},
+            n_buckets=4, retain_versions=5,
+        )
+        base = spark.range(40).select(F.col("id").alias("k"),
+                                      F.lit("ok").alias("v"))
+        store.overwrite("t", base)
+        bad = spark.createDataFrame(
+            [(i, "BAD") for i in range(10)], ["k", "v"]
+        ).withColumn("__o", F.monotonically_increasing_id())
+        store.apply_keyed_mutation("t", bad, ["k"], ["__o"], "update")
+        assert (
+            store.read("t").filter(F.col("v") == "BAD").count() == 10
+        )
+        v3 = store.restore("t", 1)
+        assert v3 == 3
+        assert store.read("t").filter(F.col("v") == "BAD").count() == 0
+        assert store.read("t").count() == 40
+        vdir = os.path.join(store._dir("t"), "v=3")
+        data = os.path.join(vdir, "data")
+        assert not os.path.isdir(data)
+        # keyed mutations keep working on the restored state
+        fix = spark.createDataFrame([(0, "fixed")], ["k", "v"]).withColumn(
+            "__o", F.monotonically_increasing_id()
+        )
+        store.apply_keyed_mutation("t", fix, ["k"], ["__o"], "update")
+        got = dict(
+            (r["k"], r["v"]) for r in store.read("t").collect()
+        )
+        assert got[0] == "fixed" and got[1] == "ok"

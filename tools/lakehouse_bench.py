@@ -202,6 +202,50 @@ def main() -> None:
         commits.append(row)
         print(row, flush=True)
 
+    # pure-append commit: change_feed serves it from the manifest's
+    # added dirs (appended_dirs fast path, no sidecar, no snapshot
+    # join) — feed input bytes should track NEW bytes, the diff
+    # contrast tracks the TABLE
+    n_app = max(1, n_rows // 100)
+    app_lo = 2_000_000_000
+    app = spark.range(app_lo, app_lo + n_app).select(
+        F.col("id").alias("k"),
+        (F.col("id") % N_GROUPS).alias("grp"),
+        F.lit(5.0).alias("v"),
+    )
+    t0 = time.perf_counter()
+    store.append("t", app)
+    app_apply_sec = time.perf_counter() - t0
+    v_hi = store.current_version("t")
+    assert store.appended_dirs("t", v_hi), "append commit not detected"
+    feed = change_feed(store, "t", ["k"], from_version=v_hi - 1, to_version=v_hi)
+    app_sec, app_m = _measure(spark, feed)
+    n_app_changes = feed.count()
+    diff = snapshot_diff(
+        store.read("t", version=v_hi - 1),
+        store.read("t", version=v_hi),
+        ["k"],
+    ).withColumn("commit_version", F.lit(v_hi).cast("long"))
+    adiff_sec, adiff_m = _measure(spark, diff)
+    t0 = time.perf_counter()
+    delta = cdc_agg_delta(feed, "grp", "v", value_cast="decimal(18,2)")
+    view = merge_aggregates(view, delta, ["grp"], KINDS).filter(
+        F.col("d_count") > 0
+    ).persist()
+    view.count()
+    app_ivm_sec = time.perf_counter() - t0
+    append_row = {
+        "commit": "append",
+        "apply_sec": round(app_apply_sec, 2),
+        "n_changes": n_app_changes,
+        "feed_fastpath_sec": round(app_sec, 2),
+        "feed_fastpath_input_mb": round(app_m["inputBytes"] / 1e6, 1),
+        "feed_diff_sec": round(adiff_sec, 2),
+        "feed_diff_input_mb": round(adiff_m["inputBytes"] / 1e6, 1),
+        "ivm_sec": round(app_ivm_sec, 2),
+    }
+    print(append_row, flush=True)
+
     # final equivalence: maintained view == full recompute
     recomputed = (
         store.read("t")
@@ -226,6 +270,7 @@ def main() -> None:
         "n_commits": n_commits,
         "seed_sec": round(seed_sec, 1),
         "commits": commits,
+        "append_commit": append_row,
         "ivm_drift_rows": drift,
         "host_canary_ms_pre": canary_pre,
         "host_canary_ms_post": bench.host_canary_ms(),
