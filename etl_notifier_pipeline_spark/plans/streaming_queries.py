@@ -801,3 +801,143 @@ def st15_streaming_semantic_dedup(
     )
     q.awaitTermination()
     return store.read("verdicts").drop("__batch_id")
+
+
+@register(
+    "st16_streaming_cdc_replication",
+    category="streaming",
+    oracle="""
+WITH ev AS (SELECT event_id, user_id, event_type,
+                   CAST(value AS DOUBLE) AS value FROM events),
+s1 AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'purchase') WHERE rn = 1
+),
+last_click AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'click') WHERE rn = 1
+),
+s2 AS (
+  SELECT t.* FROM s1 t
+  WHERE NOT EXISTS (SELECT 1 FROM last_click l WHERE l.user_id = t.user_id)
+  UNION ALL
+  SELECT * FROM last_click
+),
+s3 AS (
+  SELECT * FROM s2 t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ev d WHERE d.event_type = 'error' AND d.user_id = t.user_id
+       AND d.user_id % 3 = 0)
+)
+SELECT event_id, user_id, event_type, value FROM s3
+""",
+)
+def st16_streaming_cdc_replication(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC REPLICATION as a stream — Delta's ``readStream`` with
+    ``readChangeFeed`` plus DLT's APPLY CHANGES INTO, on the engine's
+    own store: a source table takes three commits (v1 = last purchase
+    per user; v2 = click MERGE; v3 = error-user delete — m13's exact
+    history), and a replica on a SEPARATE store is maintained purely
+    from the change feed: seeded with the v1 snapshot (initial load),
+    then each micro-batch consumes exactly ONE pending commit's feed
+    rows and folds them with ``apply_change_feed`` (insert/update
+    upserts, delete drops — latest change per key wins). Per-commit
+    feed cost is O(changes) (write-path fast paths in
+    ``operators/mutations.change_feed``), the replica never re-reads
+    the source table after the seed, and the fold carries st13's
+    txn-id idempotency (a replayed micro-batch is skipped, not
+    double-applied). The drained replica must hash-equal the oracle's
+    replayed final state — CDC replication converging to the source
+    is the operator's defining contract."""
+    import tempfile
+
+    from etl_notifier_pipeline_spark.operators import change_feed
+    from etl_notifier_pipeline_spark.operators.mutations import (
+        apply_change_feed,
+        delete_by_keys,
+        upsert,
+    )
+    from etl_notifier_pipeline_spark.storage import TableStore
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    s1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    s2 = upsert(
+        s1, ev.filter(F.col("event_type") == "click"), ["user_id"], ["event_id"]
+    )
+    s3 = delete_by_keys(
+        s2,
+        ev.filter(
+            (F.col("event_type") == "error") & (F.col("user_id") % 3 == 0)
+        ).select("user_id"),
+        ["user_id"],
+    )
+    tmp = tempfile.mkdtemp(prefix="st16_")
+    src_store = TableStore(spark, f"{tmp}/src", retain_versions=3)
+    for state in (s1, s2, s3):
+        src_store.overwrite("t", state)
+    replica = TableStore(spark, f"{tmp}/replica")
+    replica.overwrite("r", src_store.read("t", version=1))  # initial load
+    replica.overwrite(
+        "r_txn",
+        spark.createDataFrame(
+            [(1, -1)], "replicated_version int, last_batch_id long"
+        ),
+    )
+
+    # tick stream: one file per pending commit; maxFilesPerTrigger=1
+    # makes each micro-batch consume exactly one commit's feed
+    ticks = f"{tmp}/ticks"
+    for i in range(2):
+        spark.createDataFrame([(i,)], "tick int").coalesce(1).write.mode(
+            "append"
+        ).parquet(ticks)
+    stream = (
+        spark.readStream.schema("tick int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ticks)
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        txn = replica.read("r_txn").head()
+        if batch_id <= txn["last_batch_id"]:
+            return  # replayed micro-batch: already applied
+        cur = txn["replicated_version"]
+        if cur >= src_store.current_version("t"):
+            return  # tick with nothing pending
+        feed = change_feed(
+            src_store, "t", ["user_id"], from_version=cur, to_version=cur + 1
+        )
+        replica.overwrite(
+            "r", apply_change_feed(replica.read("r"), feed, ["user_id"])
+        )
+        replica.overwrite(
+            "r_txn",
+            spark.createDataFrame(
+                [(cur + 1, int(batch_id))],
+                "replicated_version int, last_batch_id long",
+            ),
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return replica.read("r").select("event_id", "user_id", "event_type", "value")
