@@ -264,6 +264,96 @@ def duckdb_twin_times(
     return out
 
 
+def _prev_round_artifact() -> tuple[int, dict] | None:
+    """Latest committed BENCH_r{N}.json in the repo root (the driver's
+    per-round record) — the baseline for canary-normalized
+    round-over-round deltas."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict] | None = None
+    for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            try:
+                with open(p) as f:
+                    doc = json.load(f)
+                # the driver wraps bench.py's JSON line under "parsed"
+                best = (n, doc.get("parsed") or doc)
+            except (OSError, json.JSONDecodeError):
+                continue
+    return best
+
+
+def vs_prev_section(
+    timings: dict[str, float], canary_pre: float, canary_post: float
+) -> dict | None:
+    """Canary-normalized round-over-round table (r6 verdict ask #2):
+    this round's seconds are rescaled to the PREVIOUS artifact's host
+    speed (``sec * prev_canary / this_canary`` — canary ms is
+    inversely proportional to host speed), so a delta that survives
+    normalization is a plan/engine change, not shared-VM weather.
+    Rounds whose artifact predates the canary get raw deltas with an
+    explicit note instead of silently wrong ones."""
+    prev = _prev_round_artifact()
+    if prev is None:
+        return None
+    n, pdoc = prev
+    pc = [
+        v
+        for v in (
+            pdoc.get("host_canary_ms_pre"),
+            pdoc.get("host_canary_ms_post"),
+        )
+        if v
+    ]
+    prev_canary = sum(pc) / len(pc) if pc else None
+    this_canary = (canary_pre + canary_post) / 2
+    scale = (prev_canary / this_canary) if prev_canary else None
+    rows: dict[str, dict] = {}
+    tot_this = tot_prev = 0.0
+    for name, sec in timings.items():
+        psec = (pdoc.get("queries") or {}).get(name)
+        if psec is None:
+            continue
+        tot_this += sec
+        tot_prev += psec
+        row = {
+            "prev_sec": psec,
+            "raw_delta_pct": round(100 * (sec - psec) / psec, 1),
+        }
+        if scale:
+            row["norm_delta_pct"] = round(
+                100 * (sec * scale - psec) / psec, 1
+            )
+        rows[name] = row
+    out = {
+        "round": n,
+        "prev_canary_ms": prev_canary,
+        "canary_scale": round(scale, 4) if scale else None,
+        "note": (
+            "norm_delta_pct = (this_sec * prev_canary/this_canary - "
+            "prev_sec) / prev_sec"
+            if scale
+            else f"BENCH_r{n:02d} predates the canary: raw deltas only"
+        ),
+        "queries": rows,
+    }
+    if tot_prev:
+        out["total_raw_delta_pct"] = round(
+            100 * (tot_this - tot_prev) / tot_prev, 1
+        )
+        if scale:
+            out["total_norm_delta_pct"] = round(
+                100 * (tot_this * scale - tot_prev) / tot_prev, 1
+            )
+    return out
+
+
 def main() -> None:
     profile = "oracle"
     if "--profile" in sys.argv:
@@ -314,7 +404,10 @@ def main() -> None:
                 # between the two stamps means the host shifted
                 # MID-SWEEP and the artifact itself is noisy
                 "host_canary_ms_pre": canary,
-                "host_canary_ms_post": host_canary_ms(),
+                "host_canary_ms_post": (post := host_canary_ms()),
+                # canary-normalized round-over-round table vs the
+                # latest committed BENCH_r{N}.json
+                "vs_prev": vs_prev_section(timings, canary, post),
             }
         )
     )

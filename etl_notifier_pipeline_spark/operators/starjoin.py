@@ -41,13 +41,29 @@ from pyspark.sql import functions as F
 
 from etl_notifier_pipeline_spark.catalog import load_table
 
-# ingest-time bucket layout for the q05 star: fact bucketed by the
-# fact-fact key, orders/customer co-bucketed on the dim key so the
-# custkey join is exchange-free on BOTH sides
-STAR_BUCKETS = {
-    "lineitem": "l_orderkey",
-    "orders": "o_custkey",
-    "customer": "c_custkey",
+# Ingest-time bucket layout for the q05 star: fact bucketed by the
+# fact-dim key, orders/customer co-bucketed on the dim key so the
+# custkey join is exchange-free on BOTH sides. Two measured layout
+# choices ride on the fact entry (ladder at sf100, 600 M rows, in
+# docs/SCALE.md):
+# - ``columns``: the fact is stored as a COVERING PROJECTION (join
+#   key + the measures the star reads) — a Vertica projection /
+#   covering index, 16 GB full-width -> 7.2 GB, fact-stage CPU
+#   137.8 s -> ~114 s (narrower row-group decode).
+# - ``buckets_mult``: the fact gets 4x the dim bucket count, so each
+#   probe task's executor-built hash map holds nb/4x fewer entries
+#   (117 k -> 29 k at 256 dims = ~1.2 MB, L2-resident under 32
+#   concurrent tasks) — fact-stage CPU ~114 s -> ~94 s. The custkey
+#   join's co-location is unaffected (dims keep one bucket count);
+#   the onk map was already being exchanged to align with the fact.
+STAR_BUCKETS: dict[str, dict] = {
+    "lineitem": {
+        "key": "l_orderkey",
+        "columns": ("l_orderkey", "l_extendedprice", "l_discount"),
+        "buckets_mult": 4,
+    },
+    "orders": {"key": "o_custkey"},
+    "customer": {"key": "c_custkey"},
 }
 
 LAST_BUILD_SECS: dict[str, float] = {}
@@ -57,8 +73,15 @@ def _tag(sf_dir: str) -> str:
     return re.sub(r"\W+", "_", sf_dir).strip("_")
 
 
-def bucketed_table_name(sf_dir: str, table: str) -> str:
-    return f"star_{_tag(sf_dir)}__{table}"
+def bucketed_table_name(sf_dir: str, table: str, n_buckets: int = 256) -> str:
+    """Layout-versioned catalog name: bucket count and projection
+    width are part of the name, so a spec change can never silently
+    reuse a stale on-disk layout."""
+    spec = STAR_BUCKETS.get(table, {})
+    nb = n_buckets * spec.get("buckets_mult", 1)
+    cols = spec.get("columns")
+    suffix = f"_b{nb}" + (f"_p{len(cols)}" if cols else "")
+    return f"star_{_tag(sf_dir)}__{table}{suffix}"
 
 
 def ensure_bucketed_layout(
@@ -77,8 +100,11 @@ def ensure_bucketed_layout(
     report it honestly rather than hide it."""
     tables = tables or STAR_BUCKETS
     out: dict[str, DataFrame] = {}
-    for table, key in tables.items():
-        name = bucketed_table_name(sf_dir, table)
+    for table, spec in tables.items():
+        key = spec["key"]
+        nb = n_buckets * spec.get("buckets_mult", 1)
+        cols = spec.get("columns")
+        name = bucketed_table_name(sf_dir, table, n_buckets)
         if not spark.catalog.tableExists(name):
             # bucket METADATA lives in the session catalog (in-memory
             # here; Hive/Glue/Unity on a deployment) while the bucketed
@@ -93,17 +119,20 @@ def ensure_bucketed_layout(
                 name.lower(),
             )
             if os.path.exists(os.path.join(loc, "_SUCCESS")):
-                cols = ", ".join(
+                ddl = ", ".join(
                     f"{f.name} {f.dataType.simpleString()}"
                     for f in spark.read.parquet(loc).schema.fields
                 )
                 spark.sql(
-                    f"CREATE TABLE {name} ({cols}) USING parquet "
-                    f"CLUSTERED BY ({key}) INTO {n_buckets} BUCKETS "
+                    f"CREATE TABLE {name} ({ddl}) USING parquet "
+                    f"CLUSTERED BY ({key}) INTO {nb} BUCKETS "
                     f"LOCATION '{loc}'"
                 )
             else:
                 t0 = time.time()
+                src = load_table(spark, sf_dir, table)
+                if cols:
+                    src = src.select(*cols)
                 (
                     # repartition on the bucket key first: bucketBy
                     # writes one file per (input partition x bucket),
@@ -113,9 +142,8 @@ def ensure_bucketed_layout(
                     # repartition uses the same murmur3 hash as the
                     # bucket router, so each task owns exactly one
                     # bucket -> one well-sized file per bucket.
-                    load_table(spark, sf_dir, table)
-                    .repartition(n_buckets, F.col(key))
-                    .write.bucketBy(n_buckets, key)
+                    src.repartition(nb, F.col(key))
+                    .write.bucketBy(nb, key)
                     .mode("overwrite")
                     .format("parquet")
                     .saveAsTable(name)
@@ -197,12 +225,15 @@ def q05_plan_bucketed(
     spark: SparkSession, sf_dir: str, n_buckets: int = 256
 ) -> DataFrame:
     """q05 as a storage-partitioned join over the ingest-time bucket
-    layout: the 600 M-row fact is scanned in place (its buckets ARE
-    the join partitioning — zero exchange, zero sort), the custkey
-    join is bucket-co-located on both sides, and the only data that
-    moves is the (o_orderkey, n_name) map. At 100 TB this is the
-    difference between shuffling the fact table's terabytes and
-    shuffling gigabytes of qualifying-order keys."""
+    layout: the 600 M-row fact is scanned in place from its covering
+    projection (its buckets ARE the join partitioning — zero
+    exchange, zero sort), the custkey join is bucket-co-located on
+    both sides, and the only data that moves is the (o_orderkey,
+    n_name) map, aligned to the fact's 4x bucket count. At 100 TB
+    this is the difference between shuffling the fact table's
+    terabytes and shuffling gigabytes of qualifying-order keys;
+    ``n_buckets`` scales with the dim side (per-task probe maps stay
+    L2-sized because the fact multiplies it by 4)."""
     b = ensure_bucketed_layout(spark, sf_dir, n_buckets=n_buckets)
     return _q05_from_parts(
         b["lineitem"], b["orders"], b["customer"], _nation_map(spark, sf_dir)

@@ -110,7 +110,7 @@ class TestStarJoinNoDriverBuild:
             .toString()
             .split("== Initial Plan ==")[0]
         )
-        li_table = bucketed_table_name(SF_DIR, "lineitem")
+        li_table = bucketed_table_name(SF_DIR, "lineitem", n_buckets=8)
         # fact side: scan feeds the join with no exchange and no sort
         # in between — split the plan at the lineitem scan and check
         # everything above it on the fact leg

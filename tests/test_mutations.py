@@ -638,3 +638,46 @@ class TestRestore:
             (r["k"], r["v"]) for r in store.read("t").collect()
         )
         assert got[0] == "fixed" and got[1] == "ok"
+
+
+class TestCdcReplicationFold:
+    """st16's replication fold (apply_change_feed into a replica +
+    txn cursor) survives a crash in its non-atomic commit window:
+    re-applying a commit's feed to a replica that already absorbed it
+    is a no-op (last-write-wins merge, not an increment), so replay
+    after ANY crash point converges to the crash-free state."""
+
+    def test_reapply_feed_is_idempotent(self, spark, tmp_path):
+        from etl_notifier_pipeline_spark.operators import change_feed
+        from etl_notifier_pipeline_spark.operators.mutations import (
+            apply_change_feed,
+        )
+        from etl_notifier_pipeline_spark.storage import TableStore
+
+        store = TableStore(spark, str(tmp_path / "src"), retain_versions=3)
+        v1 = spark.range(30).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        v2 = (
+            v1.filter(F.col("k") % 5 != 0)  # delete the multiples of 5
+            .withColumn(
+                "v",
+                F.when(F.col("k") < 10, F.col("v") + 1).otherwise(F.col("v")),
+            )
+            .unionByName(
+                spark.createDataFrame([(100, -1), (101, -2)], ["k", "v"])
+            )
+        )
+        store.overwrite("t", v1)
+        store.overwrite("t", v2)
+        feed = change_feed(store, "t", ["k"], from_version=1, to_version=2)
+        once = apply_change_feed(store.read("t", version=1), feed, ["k"])
+        # crash window: replica already holds the applied state, the
+        # stale cursor re-delivers the SAME feed
+        twice = apply_change_feed(once, feed, ["k"])
+        assert twice.exceptAll(once).count() == 0
+        assert once.exceptAll(twice).count() == 0
+        # and the applied state is exactly v2
+        cur = store.read("t", version=2)
+        assert once.exceptAll(cur).count() == 0
+        assert cur.exceptAll(once).count() == 0
