@@ -367,39 +367,62 @@ def decode_gray(blob: bytes) -> tuple[int, int, list[int]]:
                 vals = list(payload[j + 17 : j + 17 + nv])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 j += 17 + nv
+        elif marker == 0xFFDD or 0xFFD0 <= marker <= 0xFFD7:
+            # DRI / RSTn: restart intervals segment the entropy stream
+            # at markers this reader treats as end-of-stream, so a
+            # valid baseline JPEG with restarts would hit EOFError mid-
+            # decode. Gate it as a capability (NotImplementedError ->
+            # multimodal's documented fallback), not a crash
+            # (r7 advice #3).
+            raise NotImplementedError(
+                "restart intervals (DRI/RSTn) not supported by the "
+                "stdlib JPEG codec — needs Pillow"
+            )
         elif marker == 0xFFDA:
             dc_id, ac_id = payload[2] >> 4, payload[2] & 0xF
             sos_at = end
     if sos_at is None or not width:
         raise ValueError("truncated JPEG: no SOS/SOF")
-    dc_tbl, ac_tbl = huff[(0, dc_id)], huff[(1, ac_id)]
-    q = quant[qt_id]
+    try:
+        dc_tbl, ac_tbl = huff[(0, dc_id)], huff[(1, ac_id)]
+        q = quant[qt_id]
+    except KeyError as e:
+        raise ValueError(
+            f"JPEG references undeclared Huffman/quant table {e}"
+        ) from e
     r = _BitReader(blob[sos_at:])
     ph, pw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
     img = np.zeros((ph, pw))
     prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            zz = np.zeros(64, dtype=np.int64)
-            size = _read_symbol(r, dc_tbl)
-            diff = _extend(r.bits(size), size) if size else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _read_symbol(r, ac_tbl)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                zz[k] = _extend(r.bits(size), size)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[ZIGZAG] = zz
-            block = _DCT.T @ (coef.reshape(8, 8) * q) @ _DCT
-            img[by : by + 8, bx : bx + 8] = block + 128.0
+    try:
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                zz = np.zeros(64, dtype=np.int64)
+                size = _read_symbol(r, dc_tbl)
+                diff = _extend(r.bits(size), size) if size else 0
+                prev_dc += diff
+                zz[0] = prev_dc
+                k = 1
+                while k < 64:
+                    sym = _read_symbol(r, ac_tbl)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    zz[k] = _extend(r.bits(size), size)
+                    k += 1
+                coef = np.zeros(64, dtype=np.float64)
+                coef[ZIGZAG] = zz
+                block = _DCT.T @ (coef.reshape(8, 8) * q) @ _DCT
+                img[by : by + 8, bx : bx + 8] = block + 128.0
+    except (EOFError, KeyError, IndexError) as e:
+        # A malformed/truncated entropy stream is bad DATA, not a
+        # missing capability — surface it as ValueError so callers
+        # (and multimodal's per-row error column) classify it as a
+        # decode failure rather than crashing the UDF (r7 advice #3).
+        raise ValueError(f"malformed JPEG entropy stream: {e}") from e
     out = np.clip(np.round(img[:height, :width]), 0, 255).astype(np.uint8)
     return width, height, out.flatten().tolist()

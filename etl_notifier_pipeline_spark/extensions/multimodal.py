@@ -141,7 +141,12 @@ def _decode_impl(blob: bytes, modality: str, codec: str) -> list[float]:
             # territory when installed
             try:
                 width, height, px = jpegio.decode_gray(blob)
-            except NotImplementedError:
+            except (NotImplementedError, ValueError):
+                # NotImplementedError: capability gate (progressive /
+                # restart intervals / exotic layouts). ValueError:
+                # malformed entropy stream. Under "auto" both mean
+                # "these bytes are not decodable here" -> fake twin,
+                # matching the PIL branch's behavior (r7 advice #3).
                 if codec == "auto":
                     return _fake_features(blob)
                 raise

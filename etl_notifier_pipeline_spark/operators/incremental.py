@@ -178,10 +178,22 @@ def refresh_aggregates(
     should keep using the cheaper ``cdc_agg_delta`` fold (no base-
     table read at all)."""
     touched = cdc_touched_groups(feed, group_col)
+    # eqNullSafe, not an equi-join: a NULL group key is a legal group
+    # (groupBy puts all NULLs in one group), but `col = col` never
+    # matches NULL — a plain semi/anti join would silently carry the
+    # stale stored row forward for a changed NULL group (r7 advice #2).
     refreshed = (
-        current.join(touched, [group_col], "left_semi")
+        current.join(
+            touched,
+            current[group_col].eqNullSafe(touched[group_col]),
+            "left_semi",
+        )
         .groupBy(group_col)
         .agg(*[e.alias(n) for n, e in exprs.items()])
     )
-    kept = stored.join(touched, [group_col], "left_anti")
+    kept = stored.join(
+        touched,
+        stored[group_col].eqNullSafe(touched[group_col]),
+        "left_anti",
+    )
     return kept.unionByName(refreshed)

@@ -316,7 +316,15 @@ class TableStore:
         in O(new bytes). Returns None for overwrites/evolved commits
         (``change_feed`` falls back to snapshot_diff). Mirrors how
         Delta CDF serves insert-only commits from the added data files
-        without writing change files."""
+        without writing change files.
+
+        Conservatively returns None whenever either version carries
+        ``#mergeSchema``: under schema evolution the added dirs alone
+        need not contain every column of the merged v snapshot (an
+        evolved append may OMIT a pre-existing column), so reading
+        only the new dirs would fail or mis-shape the insert rows —
+        only the mergeSchema-aware full read (snapshot_diff path) is
+        guaranteed correct (r7 advice #1)."""
         if v <= 0:
             return None
         try:
@@ -325,6 +333,8 @@ class TableStore:
             prev_flags = self._manifest_flags(table, v - 1)
             cur_flags = self._manifest_flags(table, v)
         except FileNotFoundError:
+            return None
+        if "#mergeSchema" in prev_flags or "#mergeSchema" in cur_flags:
             return None
         if prev_flags != cur_flags or not set(prev) <= set(cur):
             return None
@@ -1135,6 +1145,14 @@ class BucketedTableStore:
                 snapshot_diff,
             )
 
+            # Materialize the mutation plan ONCE before anything reads
+            # it: the staged data files and the CDC sidecar are two
+            # separate actions over `result`, and if a caller's
+            # order_by has ties the two executions could pick different
+            # winners — committing data that disagrees with its own
+            # change feed (r7 advice #4). localCheckpoint pins one
+            # evaluation; both readers consume the checkpointed rows.
+            result = result.localCheckpoint(eager=True)
             # change rows can only involve the batch's keys: diff the
             # key-matched slices of old vs new affected-bucket
             # contents — O(batch + matched rows), never O(table)

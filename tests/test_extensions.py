@@ -305,6 +305,45 @@ class TestMultimodal:
         with _pytest.raises(NotImplementedError, match="baseline .SOF0."):
             MM._decode_impl(progressive, "image", "real")
 
+    def test_jpeg_restart_interval_gate_and_malformed_stream(
+        self, monkeypatch
+    ):
+        """r7 advice #3: a baseline JPEG with restart intervals
+        (DRI/RSTn) is a CAPABILITY gate (NotImplementedError -> fake
+        under codec='auto'), and a truncated/malformed entropy stream
+        is bad DATA (ValueError, also fake under 'auto') — neither may
+        crash the decode UDF with EOFError/KeyError."""
+        import pytest as _pytest
+
+        from etl_notifier_pipeline_spark.extensions import jpegio
+        from etl_notifier_pipeline_spark.extensions import multimodal as MM
+
+        monkeypatch.setattr(MM, "_pil_module", lambda: None)
+        blob = jpegio.encode_gray(
+            [min(255, 3 * x + 4 * y) for y in range(32) for x in range(32)],
+            32, 32,
+        )
+        sos = blob.find(b"\xff\xda")
+        with_dri = blob[:sos] + b"\xff\xdd\x00\x04\x00\x08" + blob[sos:]
+        with _pytest.raises(NotImplementedError, match="restart intervals"):
+            jpegio.decode_gray(with_dri)
+        assert MM._decode_impl(with_dri, "image", "auto") == (
+            MM._fake_features(with_dri)
+        )
+        # headers complete, entropy stream empty -> malformed data
+        truncated = blob[: sos + 10]
+        with _pytest.raises(ValueError, match="malformed JPEG entropy"):
+            jpegio.decode_gray(truncated)
+        assert MM._decode_impl(truncated, "image", "auto") == (
+            MM._fake_features(truncated)
+        )
+        # a stream referencing an undeclared Huffman table id is also
+        # ValueError, not KeyError (SOS table-spec byte corrupted)
+        bad_tbl = bytearray(blob)
+        bad_tbl[sos + 6] = 0x77
+        with _pytest.raises(ValueError, match="undeclared"):
+            jpegio.decode_gray(bytes(bad_tbl))
+
     @pytest.mark.skipif(
         M._pil_module() is None, reason="Pillow not installed"
     )

@@ -681,3 +681,137 @@ class TestCdcReplicationFold:
         cur = store.read("t", version=2)
         assert once.exceptAll(cur).count() == 0
         assert cur.exceptAll(once).count() == 0
+
+
+class TestRound8AdviceRegressions:
+    """r7 ADVICE regressions: evolved-append fast-path decline,
+    NULL-group refresh_aggregates, and write-time CDC vs committed
+    data agreement under order_by ties."""
+
+    def test_merge_schema_append_declines_fast_path(self, spark, tmp_path):
+        """An evolved append that OMITS an existing column used to
+        crash change_feed's append fast path (AnalysisException from
+        F.struct over a column the added files lack) once BOTH
+        versions carried #mergeSchema. appended_dirs must decline
+        whenever the flag is present; the feed then comes from the
+        mergeSchema-aware snapshot_diff (r7 advice #1)."""
+        from etl_notifier_pipeline_spark.operators import change_feed
+        from etl_notifier_pipeline_spark.operators.mutations import (
+            snapshot_diff,
+        )
+        from etl_notifier_pipeline_spark.storage import TableStore
+
+        store = TableStore(spark, str(tmp_path / "msa"), retain_versions=9)
+        store.overwrite(
+            "t",
+            spark.range(10).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2.0).alias("v")),
+        )
+        # v2: evolved append ADDS column w (flags change: none -> mergeSchema)
+        store.append(
+            "t",
+            spark.range(10, 15).select(F.col("id").alias("k"),
+                                       (F.col("id") * 2.0).alias("v"),
+                                       F.lit("w").alias("w")),
+            merge_schema=True,
+        )
+        # v3: evolved append OMITS both v and w — flags EQUAL on both
+        # sides (#mergeSchema), the exact pre-fix crash shape
+        store.append(
+            "t",
+            spark.range(15, 20).select(F.col("id").alias("k")),
+            merge_schema=True,
+        )
+        assert store.appended_dirs("t", 2) is None
+        assert store.appended_dirs("t", 3) is None
+        feed = change_feed(store, "t", ["k"], from_version=2, to_version=3)
+        want = snapshot_diff(
+            store.read("t", version=2), store.read("t", version=3), ["k"]
+        ).withColumn("commit_version", F.lit(3).cast("long"))
+        assert feed.exceptAll(want).count() == 0
+        assert want.exceptAll(feed).count() == 0
+        assert feed.count() == 5
+        # un-evolved appends still take the O(new bytes) fast path
+        store2 = TableStore(spark, str(tmp_path / "msb"), retain_versions=9)
+        store2.overwrite("t", spark.range(5).select(F.col("id").alias("k")))
+        store2.append("t", spark.range(5, 8).select(F.col("id").alias("k")))
+        assert store2.appended_dirs("t", 2) is not None
+
+    def test_refresh_aggregates_null_group_key(self, spark, tmp_path):
+        """A NULL group key is a legal groupBy group; the touched-group
+        semi/anti joins must be null-safe or a changed NULL group
+        silently keeps its stale stored aggregate (r7 advice #2)."""
+        from etl_notifier_pipeline_spark.operators import change_feed
+        from etl_notifier_pipeline_spark.operators.incremental import (
+            refresh_aggregates,
+        )
+        from etl_notifier_pipeline_spark.storage import TableStore
+
+        store = TableStore(spark, str(tmp_path / "ng"), retain_versions=5)
+        v1 = [(1, None, 10.0), (2, None, 3.0), (3, "a", 5.0)]
+        v2 = [(1, None, 99.0), (2, None, 3.0), (3, "a", 5.0)]
+        for rows in (v1, v2):
+            store.overwrite(
+                "t", spark.createDataFrame(rows, "k long, grp string, v double")
+            )
+        exprs = {"mx": F.max("v"), "n": F.count(F.lit(1))}
+        stored = (
+            store.read("t", version=1)
+            .groupBy("grp")
+            .agg(*[e.alias(n) for n, e in exprs.items()])
+        )
+        feed = change_feed(store, "t", ["k"], from_version=1, to_version=2)
+        out = {
+            r["grp"]: (r["mx"], r["n"])
+            for r in refresh_aggregates(
+                stored, store.read("t", version=2), feed, "grp", exprs
+            ).collect()
+        }
+        # pre-fix: NULL group kept stale (10.0, 2) AND the anti-join
+        # duplicated its stored row alongside nothing refreshed
+        assert out[None] == (99.0, 2)
+        assert out["a"] == (5.0, 1)
+        assert len(out) == 2
+
+    def test_cdc_sidecar_agrees_with_committed_data_under_ties(
+        self, spark, tmp_path
+    ):
+        """order_by ties make the upsert winner arbitrary; the staged
+        data files and the CDC sidecar must still describe the SAME
+        winner — the mutation plan is materialized once, not executed
+        twice (r7 advice #4)."""
+        from etl_notifier_pipeline_spark.storage import BucketedTableStore
+
+        store = BucketedTableStore(
+            spark, str(tmp_path / "ties"), keys={"t": ["k"]},
+            n_buckets=4, retain_versions=10, capture_cdc=True,
+        )
+        store.overwrite(
+            "t",
+            spark.createDataFrame(
+                [(i, 0.0) for i in range(20)], "k long, v double"
+            ),
+        )
+        # every key gets TWO candidate rows with an identical order_by
+        # value — the max_by winner between them is a genuine tie
+        batch = spark.createDataFrame(
+            [(i, float(100 + j), 1.0) for i in range(20) for j in range(2)],
+            "k long, v double, ord double",
+        )
+        store.apply_keyed_mutation("t", batch, ["k"], ["ord"], "update")
+        sidecar = store.cdc_dir("t", 2)
+        assert sidecar is not None
+        committed = {
+            r["k"]: r["v"] for r in store.read("t", version=2).collect()
+        }
+        from_cdc = {
+            r["k"]: r["new_row"]["v"]
+            for r in spark.read.parquet(sidecar)
+            .where(F.col("change") != "delete")
+            .collect()
+        }
+        assert from_cdc  # updates happened
+        for k, v in from_cdc.items():
+            assert committed[k] == v, (
+                f"key {k}: committed {committed[k]} but sidecar says {v}"
+            )
