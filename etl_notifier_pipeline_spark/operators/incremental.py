@@ -142,6 +142,61 @@ def cdc_agg_delta(
     )
 
 
+def cdc_moment_delta(
+    feed: DataFrame,
+    group_col: str,
+    value_col: str,
+    value_cast: str = "decimal(12,2)",
+    sumsq_cast: str = "decimal(24,4)",
+) -> DataFrame:
+    """``cdc_agg_delta`` extended with the SECOND moment: per-group
+    signed ``d_count, d_sum, d_nn, d_sumsq`` implied by a change feed.
+    AVG, VARIANCE and STDDEV are algebraic, not distributive — but
+    their underlying moments (count, Σv, Σv²) are each invertible, so
+    folding this delta with ``merge_aggregates`` (all kinds sum/count)
+    keeps them incrementally maintainable and the reader re-derives:
+
+        avg    = d_sum / d_nn
+        stddev = sqrt((d_sumsq·nn − d_sum²) / (nn·(nn−1)))
+
+    Decimal moments keep the fold EXACT and order-independent (the
+    repo's determinism contract): ``d_sum`` in ``value_cast`` widened
+    sums, ``d_sumsq`` in ``sumsq_cast`` (scale doubled by squaring).
+    The derived stddev is then bit-deterministic: exact decimals cast
+    to double once, IEEE arithmetic after."""
+    val = lambda side: F.col(f"{side}.{value_col}").cast(value_cast)  # noqa: E731
+    sq = lambda side: (val(side) * val(side)).cast(sumsq_cast)  # noqa: E731
+    grp = lambda side: F.col(f"{side}.{group_col}").alias(group_col)  # noqa: E731
+    nn = lambda side, sign: (  # noqa: E731
+        F.when(val(side).isNotNull(), F.lit(sign)).otherwise(F.lit(0))
+    ).cast("long")
+    retract = feed.where(F.col("old_row").isNotNull()).select(
+        grp("old_row"),
+        F.lit(-1).cast("long").alias("d_count"),
+        (-val("old_row")).alias("d_sum"),
+        nn("old_row", -1).alias("d_nn"),
+        (-sq("old_row")).alias("d_sumsq"),
+    )
+    assert_ = feed.where(F.col("new_row").isNotNull()).select(
+        grp("new_row"),
+        F.lit(1).cast("long").alias("d_count"),
+        val("new_row").alias("d_sum"),
+        nn("new_row", 1).alias("d_nn"),
+        sq("new_row").alias("d_sumsq"),
+    )
+    zero = lambda cast: F.lit(0).cast(cast)  # noqa: E731
+    return (
+        retract.unionByName(assert_)
+        .groupBy(group_col)
+        .agg(
+            F.sum("d_count").alias("d_count"),
+            F.coalesce(F.sum("d_sum"), zero(value_cast)).alias("d_sum"),
+            F.sum("d_nn").alias("d_nn"),
+            F.coalesce(F.sum("d_sumsq"), zero(sumsq_cast)).alias("d_sumsq"),
+        )
+    )
+
+
 def cdc_touched_groups(feed: DataFrame, group_col: str) -> DataFrame:
     """Distinct groups a change feed touches — either side of any
     change row (update-driven group migration touches two groups)."""

@@ -1066,3 +1066,275 @@ def m17_cdc_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_value"),
     )
+
+
+@register(
+    "m19_ivm_mixed_view",
+    category="mutation",
+    oracle=f"""
+WITH ev AS ({_EV_SQL}),
+s1 AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'purchase') WHERE rn = 1
+),
+last_click AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'click' AND user_id % 2 = 0) WHERE rn = 1
+),
+s2 AS (
+  SELECT t.* FROM s1 t
+  WHERE NOT EXISTS (SELECT 1 FROM last_click l WHERE l.user_id = t.user_id)
+  UNION ALL
+  SELECT * FROM last_click
+),
+s3 AS (
+  SELECT * FROM s2 t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ev d WHERE d.event_type = 'error'
+      AND d.user_id % 7 = 0 AND d.user_id = t.user_id)
+),
+moments AS (
+  SELECT event_type,
+         COUNT(*) AS n_rows,
+         COUNT(value) AS nn,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))), 0) AS DECIMAL(18,2)) AS sum_v,
+         CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+                            AS DECIMAL(24,4))), 0) AS DECIMAL(24,4)) AS sumsq_v,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value,
+         CAST(CAST(AVG(CAST(value AS DECIMAL(12,2))) AS DECIMAL(16,6)) AS DOUBLE) AS avg_value
+  FROM s3 GROUP BY event_type
+)
+SELECT event_type, n_rows, min_value, max_value, avg_value,
+       CASE WHEN nn > 1 THEN
+         CAST(CAST(SQRT(
+           CAST(sumsq_v * CAST(nn AS DECIMAL(10,0)) - sum_v * sum_v AS DOUBLE)
+           / (nn * (nn - 1))
+         ) AS DECIMAL(16,6)) AS DOUBLE)
+       END AS stddev_value
+FROM moments
+""",
+)
+def m19_ivm_mixed_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One materialized view mixing INVERTIBLE and NON-INVERTIBLE
+    aggregates, maintained from the change feed (r7 verdict ask #7):
+    count/sum/avg/stddev ride the signed moment fold
+    (``cdc_moment_delta`` — Σv and Σv² are invertible even though
+    avg/stddev are only algebraic) while min/max ride per-touched-group
+    re-aggregation (``refresh_aggregates`` — no retraction exists for
+    an extreme). Per commit the invertible side costs O(changes), the
+    non-invertible side O(changes + touched-group rows); the stored
+    view is never recomputed from scratch. The oracle aggregates the
+    FINAL state with the same exact-decimal moment formulas, so
+    equality proves neither half drifted across an update-heavy MERGE
+    and a delete commit — including deletes of rows that WERE a group
+    extreme. Same three-commit history as m13/m14/m17."""
+    import tempfile
+
+    from etl_notifier_pipeline_spark.operators import change_feed
+    from etl_notifier_pipeline_spark.operators.incremental import (
+        cdc_moment_delta,
+        merge_aggregates,
+        refresh_aggregates,
+    )
+    from etl_notifier_pipeline_spark.storage import TableStore
+
+    store = TableStore(
+        spark, tempfile.mkdtemp(prefix="m19_"), retain_versions=3
+    )
+    for state in _three_commit_history(spark, sf_dir):
+        store.overwrite("t", state)
+
+    # -- invertible half: (count, Σv, nn, Σv²) seeded from v1 ---------------
+    dec, sq_dec = "decimal(18,2)", "decimal(24,4)"
+    v = F.col("value").cast("decimal(12,2)")
+
+    def pin(df: DataFrame) -> DataFrame:
+        """Pin the moment columns' decimal widths so repeated folds
+        don't creep toward precision-loss territory (the stddev
+        exactness argument needs sum_v² to stay inside DECIMAL(38))."""
+        return df.select(
+            "event_type",
+            F.col("d_count").cast("long").alias("d_count"),
+            F.col("d_sum").cast(dec).alias("d_sum"),
+            F.col("d_nn").cast("long").alias("d_nn"),
+            F.col("d_sumsq").cast(sq_dec).alias("d_sumsq"),
+        )
+
+    inv = pin(
+        store.read("t", version=1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("d_count"),
+            F.coalesce(F.sum(v), F.lit(0).cast(dec)).alias("d_sum"),
+            F.count("value").alias("d_nn"),
+            F.coalesce(
+                F.sum((v * v).cast(sq_dec)), F.lit(0).cast(sq_dec)
+            ).alias("d_sumsq"),
+        )
+    )
+    store.overwrite("inv", inv)
+    # -- non-invertible half: min/max seeded from v1 ------------------------
+    mm_exprs = {"min_value": F.min("value"), "max_value": F.max("value")}
+    store.overwrite(
+        "mm",
+        store.read("t", version=1)
+        .groupBy("event_type")
+        .agg(*[e.alias(n) for n, e in mm_exprs.items()]),
+    )
+    kinds = {
+        "d_count": "count", "d_sum": "sum", "d_nn": "count",
+        "d_sumsq": "sum",
+    }
+    for ver in (2, 3):
+        feed = change_feed(
+            store, "t", ["user_id"], from_version=ver - 1, to_version=ver
+        )
+        merged = merge_aggregates(
+            store.read("inv"),
+            cdc_moment_delta(feed, "event_type", "value"),
+            ["event_type"],
+            kinds,
+        ).filter(F.col("d_count") > 0)
+        store.overwrite("inv", pin(merged))
+        store.overwrite(
+            "mm",
+            refresh_aggregates(
+                store.read("mm"),
+                store.read("t", version=ver),
+                feed,
+                "event_type",
+                mm_exprs,
+            ),
+        )
+    # exact-decimal moments -> one cast to double -> IEEE arithmetic:
+    # bit-identical to the oracle's same-shaped expression
+    nn = F.col("d_nn")
+    num = (
+        F.col("d_sumsq") * nn.cast("decimal(10,0)")
+        - F.col("d_sum") * F.col("d_sum")
+    )
+    inv_df, mm_df = store.read("inv"), store.read("mm")
+    return inv_df.join(
+        mm_df, inv_df["event_type"].eqNullSafe(mm_df["event_type"])
+    ).select(
+        inv_df["event_type"],
+        F.col("d_count").alias("n_rows"),
+        "min_value",
+        "max_value",
+        F.when(nn > 0, (F.col("d_sum") / nn).cast("decimal(16,6)"))
+        .cast("double")
+        .alias("avg_value"),
+        F.when(
+            nn > 1,
+            F.sqrt(num.cast("double") / (nn * (nn - F.lit(1)))).cast(
+                "decimal(16,6)"
+            ),
+        )
+        .cast("double")
+        .alias("stddev_value"),
+    )
+
+
+@register(
+    "m20_merge_on_read",
+    category="mutation",
+    oracle=f"""
+WITH ev AS ({_EV_SQL}),
+s1 AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'purchase') WHERE rn = 1
+),
+last_click AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'click' AND user_id % 2 = 0) WHERE rn = 1
+),
+s2 AS (
+  SELECT t.* FROM s1 t
+  WHERE NOT EXISTS (SELECT 1 FROM last_click l WHERE l.user_id = t.user_id)
+  UNION ALL
+  SELECT * FROM last_click
+),
+s3 AS (
+  SELECT * FROM s2 t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ev d WHERE d.event_type = 'error'
+      AND d.user_id % 7 = 0 AND d.user_id = t.user_id)
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM s3 GROUP BY event_type
+""",
+)
+def m20_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read mutation commits (r7 verdict ask #3): the same
+    three-commit history as m13/m14 applied through
+    ``BucketedTableStore.apply_keyed_mutation(strategy=
+    'merge_on_read')`` — the MERGE commit and the delete commit each
+    write ONLY an O(batch) delta (upserted rows + key tombstones
+    stacked in the manifest), never rewriting the touched buckets;
+    reads reconcile (delta shadows base, newest ``__mor_seq`` wins,
+    tombstone deletes) and ``compact()`` then folds the deltas into
+    the base. The returned aggregate runs over the COMPACTED table,
+    and the pre-compact reconciled read is asserted equal in
+    tests/test_bucketed_store.py — so oracle equality proves the
+    delta-commit path, the reconciliation and the fold all preserve
+    exactly the copy-on-write MERGE semantics. At 100 TB this is the
+    Delta deletion-vector / Iceberg merge-on-read answer to r7's
+    measured O(table)-per-commit scattered-key wall
+    (LAKEHOUSE_BENCH.json apply_sec 46-77 s)."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from etl_notifier_pipeline_spark.storage import BucketedTableStore
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    s1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    store = BucketedTableStore(
+        spark, tempfile.mkdtemp(prefix="m20_"),
+        keys={"t": ["user_id"]}, n_buckets=16, retain_versions=4,
+    )
+    store.overwrite("t", s1)
+    store.apply_keyed_mutation(
+        "t",
+        ev.filter(
+            (F.col("event_type") == "click") & (F.col("user_id") % 2 == 0)
+        ),
+        ["user_id"],
+        ["event_id"],
+        "update",
+        strategy="merge_on_read",
+    )
+    store.apply_keyed_mutation(
+        "t",
+        ev.filter(
+            (F.col("event_type") == "error") & (F.col("user_id") % 7 == 0)
+        ).select("user_id"),
+        ["user_id"],
+        [],
+        "delete",
+        strategy="merge_on_read",
+    )
+    store.compact("t")
+    return (
+        store.read("t")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -866,3 +866,273 @@ class TestManifestStatsAgg:
         # and pruning through the agg keeps only the appended file
         kept, total = store.pruned_files("t", [("k", ">=", 1_000_000)])
         assert total == 3 and len(kept) == 1
+
+
+class TestMergeOnRead:
+    """strategy='merge_on_read' keyed mutations (r7 verdict ask #3):
+    a scattered-key commit writes O(batch) delta bytes — tombstones +
+    upserted rows — instead of rewriting every touched bucket; reads
+    reconcile (delta shadows base, newest __mor_seq wins, tombstone
+    deletes); compact() folds deltas back into the base. Semantics
+    must be bit-identical to copy_on_write."""
+
+    def _mk(self, spark, rows, cols=("k", "v")):
+        return spark.createDataFrame(rows, list(cols)).withColumn(
+            "__file_order", F.monotonically_increasing_id()
+        )
+
+    def test_mor_matches_copy_on_write(self, spark, tmp_path):
+        cow = BucketedTableStore(
+            spark, str(tmp_path / "cow"), keys={"t": ["k"]}, n_buckets=8
+        )
+        mor = BucketedTableStore(
+            spark, str(tmp_path / "mor"), keys={"t": ["k"]}, n_buckets=8
+        )
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], ["k", "v"]
+        )
+        ins = self._mk(spark, [(1, "dup-first"), (1, "dup-second"), (200, "new")])
+        upd = self._mk(spark, [(2, "old"), (2, "newest"), (201, "added")])
+        dels = spark.createDataFrame([(3,), (200,)], ["k"])
+        for store, strat in ((cow, "copy_on_write"), (mor, "merge_on_read")):
+            store.overwrite("t", base)
+            store.apply_keyed_mutation(
+                "t", ins, ["k"], ["__file_order"], "insert", strategy=strat
+            )
+            store.apply_keyed_mutation(
+                "t", upd, ["k"], ["__file_order"], "update", strategy=strat
+            )
+            store.apply_keyed_mutation(
+                "t", dels, ["k"], [], "delete", strategy=strat
+            )
+        want = sorted(tuple(r) for r in cow.read("t").collect())
+        got = sorted(tuple(r) for r in mor.read("t").collect())
+        assert got == want
+        assert (2, "newest") in got and (1, "v1") in got
+        assert all(k not in (3, 200) for k, _ in got)
+
+    def test_mor_scattered_write_is_o_batch(self, spark, tmp_path):
+        """200 scattered keys touch every bucket: copy_on_write
+        rewrites ~the whole table, merge_on_read writes only the
+        batch. This is the LAKEHOUSE_BENCH r7 finding as a unit
+        test."""
+        stores = {}
+        for name in ("mor", "cow"):
+            s = BucketedTableStore(
+                spark, str(tmp_path / name), keys={"t": ["k"]}, n_buckets=64
+            )
+            s.overwrite("t", big_frame(spark))
+            stores[name] = s
+        scattered = spark.range(0, 20_000, 100).select(
+            F.col("id").alias("k"),
+            F.lit("NEW").alias("v"),
+            F.lit("y").alias("pad"),
+        ).withColumn("__file_order", F.monotonically_increasing_id())
+        for name, strat in (("mor", "merge_on_read"), ("cow", "copy_on_write")):
+            stores[name].apply_keyed_mutation(
+                "t", scattered, ["k"], ["__file_order"], "update",
+                strategy=strat,
+            )
+        mor_bytes = dir_bytes(str(tmp_path / "mor" / "t" / "v=2"))
+        cow_bytes = dir_bytes(str(tmp_path / "cow" / "t" / "v=2"))
+        # CoW rewrites all 64 touched buckets (~the table); MoR stages
+        # only the 200-row delta (per-bucket parquet footer overhead is
+        # the floor at this toy scale — the 60 M-row rung in
+        # LAKEHOUSE_BENCH.json shows the asymptotic O(batch) bytes)
+        assert mor_bytes < cow_bytes * 0.25, (mor_bytes, cow_bytes)
+        got = stores["mor"].read("t")
+        assert got.count() == 20_000
+        assert got.filter(F.col("v") == "NEW").count() == 200
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, stores["cow"].read("t").collect())
+        )
+
+    def test_mor_tombstone_then_insert(self, spark, tmp_path):
+        store = BucketedTableStore(
+            spark, str(tmp_path / "ti"), keys={"t": ["k"]}, n_buckets=4
+        )
+        store.overwrite("t", spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+        store.apply_keyed_mutation(
+            "t", spark.createDataFrame([(1,)], ["k"]), ["k"], [], "delete",
+            strategy="merge_on_read",
+        )
+        assert {r["k"] for r in store.read("t").collect()} == {2}
+        # tombstoned key is absent from the live key set -> insertable
+        store.apply_keyed_mutation(
+            "t", self._mk(spark, [(1, "reborn"), (2, "ignored")]),
+            ["k"], ["__file_order"], "insert", strategy="merge_on_read",
+        )
+        assert {r["k"]: r["v"] for r in store.read("t").collect()} == {
+            1: "reborn", 2: "b"
+        }
+
+    def test_mor_compact_folds_deltas_and_time_travel(self, spark, tmp_path):
+        store = BucketedTableStore(
+            spark, str(tmp_path / "cf"), keys={"t": ["k"]}, n_buckets=4,
+            retain_versions=4,
+        )
+        store.overwrite("t", spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+        store.apply_keyed_mutation(
+            "t", self._mk(spark, [(1, "A")]), ["k"], ["__file_order"],
+            "update", strategy="merge_on_read",
+        )
+        v2 = store.current_version("t")
+        assert store._manifest("t", v2).get("deltas")
+        before = sorted(tuple(r) for r in store.read("t").collect())
+        v3 = store.compact("t")
+        assert v3 == v2 + 1
+        m3 = store._manifest("t", v3)
+        assert not m3.get("deltas")
+        assert sorted(tuple(r) for r in store.read("t").collect()) == before
+        # time travel: pre-compact version still reconciles, v1 is raw base
+        assert sorted(tuple(r) for r in store.read("t", version=v2).collect()) == before
+        assert {r["k"]: r["v"] for r in store.read("t", version=1).collect()} == {
+            1: "a", 2: "b"
+        }
+        # nothing further to compact
+        assert store.compact("t") is None
+
+    def test_mor_cow_interleave_folds_affected_deltas(self, spark, tmp_path):
+        """A copy_on_write commit reads the merged view, so affected
+        buckets' deltas fold into the rewritten base; other buckets'
+        deltas survive untouched."""
+        store = BucketedTableStore(
+            spark, str(tmp_path / "ix"), keys={"t": ["k"]}, n_buckets=64
+        )
+        store.overwrite(
+            "t", spark.createDataFrame([(i, f"v{i}") for i in range(100)], ["k", "v"])
+        )
+        store.apply_keyed_mutation(
+            "t", self._mk(spark, [(7, "mor7"), (11, "mor11")]),
+            ["k"], ["__file_order"], "update", strategy="merge_on_read",
+        )
+        store.apply_keyed_mutation(
+            "t", self._mk(spark, [(7, "cow7")]), ["k"], ["__file_order"],
+            "update", strategy="copy_on_write",
+        )
+        got = {r["k"]: r["v"] for r in store.read("t").collect()}
+        assert got[7] == "cow7" and got[11] == "mor11"
+        m = store._manifest("t", store.current_version("t"))
+        b7 = int(
+            spark.createDataFrame([(7,)], ["k"]).select(
+                F.pmod(F.xxhash64("k"), F.lit(64)).cast("int").alias("b")
+            ).collect()[0]["b"]
+        )
+        assert str(b7) not in m.get("deltas", {})  # folded by the CoW rewrite
+
+    def test_mor_change_feed_matches_snapshot_diff(self, spark, tmp_path):
+        """With capture_cdc the MoR commit's sidecar must equal the
+        snapshot_diff-derived feed; apply_change_feed replays to the
+        final snapshot."""
+        from etl_notifier_pipeline_spark.operators.mutations import (
+            apply_change_feed,
+            change_feed,
+            snapshot_diff,
+        )
+
+        store = BucketedTableStore(
+            spark, str(tmp_path / "cdc"), keys={"t": ["k"]}, n_buckets=8,
+            retain_versions=5, capture_cdc=True,
+        )
+        store.overwrite(
+            "t", spark.createDataFrame([(i, f"v{i}") for i in range(50)], ["k", "v"])
+        )
+        store.apply_keyed_mutation(
+            "t", self._mk(spark, [(2, "upd2"), (60, "new60")]),
+            ["k"], ["__file_order"], "update", strategy="merge_on_read",
+        )
+        store.apply_keyed_mutation(
+            "t", spark.createDataFrame([(3,), (60,)], ["k"]), ["k"], [],
+            "delete", strategy="merge_on_read",
+        )
+        assert store.cdc_dir("t", 2) and store.cdc_dir("t", 3)
+        feed = change_feed(store, "t", ["k"], from_version=1, to_version=3)
+        want = None
+        for v in (1, 2):
+            d = snapshot_diff(
+                store.read("t", version=v), store.read("t", version=v + 1), ["k"]
+            ).withColumn("commit_version", F.lit(v + 1).cast("long"))
+            want = d if want is None else want.unionByName(d)
+        assert sorted(map(tuple, feed.collect())) == sorted(map(tuple, want.collect()))
+        replayed = apply_change_feed(store.read("t", version=1), feed, ["k"])
+        assert sorted(map(tuple, replayed.collect())) == sorted(
+            map(tuple, store.read("t").collect())
+        )
+
+    def test_mor_read_keyed_reconciles(self, spark, tmp_path):
+        store = BucketedTableStore(
+            spark, str(tmp_path / "rk"), keys={"t": ["k"]}, n_buckets=8
+        )
+        store.overwrite(
+            "t", spark.createDataFrame([(i, f"v{i}") for i in range(20)], ["k", "v"])
+        )
+        store.apply_keyed_mutation(
+            "t", self._mk(spark, [(5, "MOR")]), ["k"], ["__file_order"],
+            "update", strategy="merge_on_read",
+        )
+        probe = spark.createDataFrame([(5,), (6,)], ["k"])
+        got = {r["k"]: r["v"] for r in store.read_keyed("t", probe).collect()}
+        assert got == {5: "MOR", 6: "v6"}
+
+    def test_mor_crash_before_pointer_swap(self, spark, tmp_path, monkeypatch):
+        """Crash-safety on the delta-commit path: a writer dying before
+        the pointer swap leaves readers on the old version with no
+        stray deltas; replay succeeds."""
+        import etl_notifier_pipeline_spark.storage as storage_mod
+
+        store = BucketedTableStore(
+            spark, str(tmp_path / "crash"), keys={"t": ["k"]}, n_buckets=4
+        )
+        store.overwrite("t", spark.createDataFrame([(1, "a")], ["k", "v"]))
+        real_replace = os.replace
+
+        def dying_replace(src, dst):
+            if "_CURRENT" in str(dst) or "_CURRENT" in str(src):
+                raise RuntimeError("injected crash")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(storage_mod.os, "replace", dying_replace)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            store.apply_keyed_mutation(
+                "t", self._mk(spark, [(1, "A")]), ["k"], ["__file_order"],
+                "update", strategy="merge_on_read",
+            )
+        assert store.current_version("t") == 1
+        assert {r["k"]: r["v"] for r in store.read("t").collect()} == {1: "a"}
+        monkeypatch.undo()
+        store.apply_keyed_mutation(
+            "t", self._mk(spark, [(1, "A")]), ["k"], ["__file_order"],
+            "update", strategy="merge_on_read",
+        )
+        assert {r["k"]: r["v"] for r in store.read("t").collect()} == {1: "A"}
+
+    def test_mor_append_after_delta_carries_deltas(self, spark, tmp_path):
+        store = BucketedTableStore(
+            spark, str(tmp_path / "ap"), keys={"t": ["k"]}, n_buckets=4
+        )
+        store.overwrite("t", spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+        store.apply_keyed_mutation(
+            "t", self._mk(spark, [(2, "B")]), ["k"], ["__file_order"],
+            "update", strategy="merge_on_read",
+        )
+        store.append("t", spark.createDataFrame([(3, "c")], ["k", "v"]))
+        assert {r["k"]: r["v"] for r in store.read("t").collect()} == {
+            1: "a", 2: "B", 3: "c"
+        }
+        # the MoR commit itself must never be mistaken for an append
+        assert store.appended_dirs("t", 2) is None
+
+    def test_mor_requires_declared_keys(self, spark, tmp_path):
+        store = BucketedTableStore(spark, str(tmp_path / "nk"), n_buckets=4)
+        with pytest.raises(ValueError, match="bucket keys"):
+            store.apply_keyed_mutation(
+                "u", spark.createDataFrame([(1,)], ["x"]), ["x"], [],
+                "update", strategy="merge_on_read",
+            )
+        with pytest.raises(ValueError, match="strategy"):
+            BucketedTableStore(
+                spark, str(tmp_path / "nk2"), keys={"t": ["k"]}
+            ).apply_keyed_mutation(
+                "t", spark.createDataFrame([(1,)], ["k"]), ["k"], [],
+                "update", strategy="bogus",
+            )

@@ -815,3 +815,188 @@ class TestRound8AdviceRegressions:
             assert committed[k] == v, (
                 f"key {k}: committed {committed[k]} but sidecar says {v}"
             )
+
+
+class TestMomentIVM:
+    """cdc_moment_delta (r7 verdict ask #7): avg/stddev maintained
+    from invertible moments (count, Σv, Σv²) + min/max from touched-
+    group refresh, in one mixed view. The adversarial case: a deleted
+    row that was BOTH the group max AND the group's last non-NULL
+    value — the moment fold must drive nn to 0 (sum/avg/stddev report
+    NULL, not 0), and the refresh must recompute max to NULL."""
+
+    def test_deleted_row_was_max_and_last_nonnull(self, spark, tmp_path):
+        from etl_notifier_pipeline_spark.operators import change_feed
+        from etl_notifier_pipeline_spark.operators.incremental import (
+            cdc_moment_delta,
+            merge_aggregates,
+            refresh_aggregates,
+        )
+        from etl_notifier_pipeline_spark.storage import TableStore
+
+        store = TableStore(spark, str(tmp_path / "mom"), retain_versions=5)
+        v1 = [
+            (1, "a", None),   # survives: all-NULL group after the delete
+            (2, "a", 99.0),   # group a's max AND its only non-NULL value
+            (3, "b", 5.0),
+            (4, "b", 7.0),
+            (5, "c", 2.0),    # untouched group
+        ]
+        v2 = [(1, "a", None), (3, "b", 5.0), (4, "b", 7.0), (5, "c", 2.0)]
+        for rows in (v1, v2):
+            store.overwrite(
+                "t", spark.createDataFrame(rows, "k long, grp string, v double")
+            )
+        dec, sq_dec = "decimal(18,2)", "decimal(24,4)"
+        vcol = F.col("v").cast("decimal(12,2)")
+        seed = (
+            store.read("t", version=1)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("d_count"),
+                F.coalesce(F.sum(vcol), F.lit(0).cast(dec))
+                .cast(dec)
+                .alias("d_sum"),
+                F.count("v").alias("d_nn"),
+                F.coalesce(
+                    F.sum((vcol * vcol).cast(sq_dec)), F.lit(0).cast(sq_dec)
+                )
+                .cast(sq_dec)
+                .alias("d_sumsq"),
+            )
+        )
+        mm_exprs = {"mx": F.max("v"), "mn": F.min("v")}
+        mm = (
+            store.read("t", version=1)
+            .groupBy("grp")
+            .agg(*[e.alias(n) for n, e in mm_exprs.items()])
+        )
+        feed = change_feed(store, "t", ["k"], from_version=1, to_version=2)
+        inv = merge_aggregates(
+            seed,
+            cdc_moment_delta(feed, "grp", "v"),
+            ["grp"],
+            {"d_count": "count", "d_sum": "sum", "d_nn": "count",
+             "d_sumsq": "sum"},
+        ).filter(F.col("d_count") > 0)
+        mm2 = refresh_aggregates(
+            mm, store.read("t", version=2), feed, "grp", mm_exprs
+        )
+        nn = F.col("d_nn")
+        num = (
+            F.col("d_sumsq").cast(sq_dec) * nn.cast("decimal(10,0)")
+            - F.col("d_sum").cast(dec) * F.col("d_sum").cast(dec)
+        )
+        got = {
+            r["grp"]: (
+                r["n"], r["avg"], r["std"], r["mx"], r["mn"]
+            )
+            for r in inv.join(mm2, "grp")
+            .select(
+                "grp",
+                F.col("d_count").alias("n"),
+                F.when(nn > 0, (F.col("d_sum") / nn).cast("decimal(16,6)"))
+                .cast("double")
+                .alias("avg"),
+                F.when(
+                    nn > 1,
+                    F.sqrt(num.cast("double") / (nn * (nn - F.lit(1)))),
+                )
+                .cast("double")
+                .alias("std"),
+                "mx",
+                "mn",
+            )
+            .collect()
+        }
+        # group a: 1 surviving all-NULL row -> count 1, everything NULL
+        assert got["a"] == (1, None, None, None, None)
+        # group b untouched values, but row 3/4 remain: avg 6, std exact
+        assert got["b"][0] == 2 and got["b"][1] == 6.0
+        assert abs(got["b"][2] - 1.4142135623730951) < 1e-15
+        assert got["b"][3:] == (7.0, 5.0)
+        assert got["c"] == (1, 2.0, None, 2.0, 2.0)
+
+    def test_moment_fold_matches_recompute_over_random_history(self, spark, tmp_path):
+        """Three random-ish mutation commits: folded moments ==
+        direct recompute of the final snapshot, for every group."""
+        from etl_notifier_pipeline_spark.operators import change_feed
+        from etl_notifier_pipeline_spark.operators.incremental import (
+            cdc_moment_delta,
+            merge_aggregates,
+        )
+        from etl_notifier_pipeline_spark.storage import TableStore
+
+        store = TableStore(spark, str(tmp_path / "rnd"), retain_versions=5)
+        import random
+
+        rng = random.Random(7)
+        rows = {
+            k: (k, f"g{k % 5}", round(rng.uniform(-50, 50), 2))
+            for k in range(200)
+        }
+        store.overwrite(
+            "t",
+            spark.createDataFrame(
+                list(rows.values()), "k long, grp string, v double"
+            ),
+        )
+        for _ in range(3):
+            for k in rng.sample(list(rows), 40):
+                if rng.random() < 0.3:
+                    rows.pop(k)
+                else:
+                    rows[k] = (k, f"g{rng.randrange(5)}",
+                               round(rng.uniform(-50, 50), 2))
+            store.overwrite(
+                "t",
+                spark.createDataFrame(
+                    list(rows.values()), "k long, grp string, v double"
+                ),
+            )
+        dec, sq_dec = "decimal(18,2)", "decimal(24,4)"
+        vcol = F.col("v").cast("decimal(12,2)")
+
+        def moments(df):
+            return df.groupBy("grp").agg(
+                F.count(F.lit(1)).alias("d_count"),
+                F.coalesce(F.sum(vcol), F.lit(0).cast(dec))
+                .cast(dec)
+                .alias("d_sum"),
+                F.count("v").alias("d_nn"),
+                F.coalesce(
+                    F.sum((vcol * vcol).cast(sq_dec)), F.lit(0).cast(sq_dec)
+                )
+                .cast(sq_dec)
+                .alias("d_sumsq"),
+            )
+
+        view = moments(store.read("t", version=1))
+        for v in (2, 3, 4):
+            feed = change_feed(
+                store, "t", ["k"], from_version=v - 1, to_version=v
+            )
+            view = merge_aggregates(
+                view,
+                cdc_moment_delta(feed, "grp", "v"),
+                ["grp"],
+                {"d_count": "count", "d_sum": "sum", "d_nn": "count",
+                 "d_sumsq": "sum"},
+            ).filter(F.col("d_count") > 0)
+            view = spark.createDataFrame(view.collect(), view.schema)
+        want = sorted(
+            map(tuple, moments(store.read("t", version=4)).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                view.select(
+                    "grp",
+                    "d_count",
+                    F.col("d_sum").cast(dec),
+                    "d_nn",
+                    F.col("d_sumsq").cast(sq_dec),
+                ).collect(),
+            )
+        )
+        assert got == want
