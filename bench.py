@@ -236,12 +236,17 @@ def duckdb_twin_times(
     n_runs: int = N_RUNS,
     warm: bool = True,
     profile: str = "oracle",
-) -> dict[str, float | None]:
+    stamped: bool = False,
+) -> dict[str, float | dict | None]:
     """Best-of-N DuckDB wall time per headline query (registry oracle,
     else the TWIN_SQL comparable). Callers MUST mirror the Spark
     side's protocol: pass the same warm flag and n_runs the Spark runs
     used, or the published ratio compares a warm engine to a cold one
-    (the r5 asymmetry: scale_bench warmed Spark but not DuckDB)."""
+    (the r5 asymmetry: scale_bench warmed Spark but not DuckDB).
+    ``stamped=True`` returns tools/benchproto per-measurement stamps
+    (dicts with sec/runs_sec/canary_ms/dispersion_pct) instead of bare
+    best-of floats, so scale artifacts adjudicate DuckDB-side drift
+    the same way they adjudicate Spark-side drift."""
     import duckdb
 
     from etl_notifier_pipeline_spark.catalog import TABLES, table_path
@@ -252,7 +257,7 @@ def duckdb_twin_times(
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{_duck_path(table_path(sf_dir, t))}')"
         )
-    out: dict[str, float | None] = {}
+    out: dict[str, float | dict | None] = {}
     for name in names:
         _, oracle = resolve(name, profile)
         if not oracle:
@@ -260,7 +265,17 @@ def duckdb_twin_times(
             continue
         if warm:
             con.execute(oracle).fetchall()
-        out[name] = best_of(n_runs, lambda: con.execute(oracle).fetchall())
+        if stamped:
+            from tools.benchproto import stamped_runs
+
+            def one(oracle=oracle):
+                t0 = time.perf_counter()
+                con.execute(oracle).fetchall()
+                return time.perf_counter() - t0
+
+            out[name] = stamped_runs(one, n_runs=n_runs)
+        else:
+            out[name] = best_of(n_runs, lambda: con.execute(oracle).fetchall())
     return out
 
 

@@ -118,31 +118,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
-def ann_lsh_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_planes: int = 4,
-    n_tables: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-) -> DataFrame:
-    """Approximate top-k: multi-table random-hyperplane LSH candidate
-    filter, then exact cosine rerank of the (deduplicated) candidates.
-
-    Scale shape: one narrow corpus pass computes all L bucket ids (an
-    array column exploded to (table, bucket) rows); candidates resolve
-    through an equi-join on (table, bucket) — the n²·d brute-force pair
-    space never materializes. Recall tuning is the standard LSH
-    trade-off: fewer planes -> bigger buckets (higher recall per
-    table), more tables -> OR over tables (recall 1-(1-p^b)^L).
-    Approximate by construction -> rows-only driver check + recall
-    property test, no SQL oracle."""
-    tables = [
-        _hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)
-    ]
-
+def _lsh_buckets(tables: list[list[list[float]]]) -> "callable":
     def buckets(vec: Column) -> Column:
         return F.array(
             *[
@@ -153,20 +129,62 @@ def ann_lsh_topk(
             ]
         )
 
-    c = corpus.select(
+    return buckets
+
+
+def lsh_build(
+    corpus: DataFrame,
+    *,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> tuple[DataFrame, dict]:
+    """Build the multi-table LSH index: one narrow corpus pass computes
+    all L bucket ids (an array column exploded to (table, bucket)
+    rows). Returns ``(index_df, params)`` — the index is a plain
+    DataFrame (write it to parquet once, serve many query batches from
+    it: the build/serve split every production ANN deployment uses);
+    ``params`` is a JSON-able config dict the query side regenerates
+    the deterministic hyperplanes from."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)
+    ]
+    index = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
-        F.explode(buckets(F.col(vec_col))).alias("b"),
+        F.explode(_lsh_buckets(tables)(F.col(vec_col))).alias("b"),
     ).select("neighbor_id", "c_vec", "c_norm", "b.tbl", "b.bkt")
+    return index, {"n_planes": n_planes, "n_tables": n_tables, "dim": dim}
+
+
+def lsh_query(
+    index: DataFrame,
+    params: dict,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a query batch from a prebuilt ``lsh_build`` index:
+    candidates resolve through an equi-join on (table, bucket) — the
+    n²·d brute-force pair space never materializes — then exact cosine
+    rerank of the (deduplicated) candidates."""
+    tables = [
+        _hyperplanes(params["dim"], params["n_planes"], seed=42 + t)
+        for t in range(params["n_tables"])
+    ]
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
-        F.explode(buckets(F.col(vec_col))).alias("b"),
+        F.explode(_lsh_buckets(tables)(F.col(vec_col))).alias("b"),
     ).select("query_id", "q_vec", "q_norm", "b.tbl", "b.bkt")
     scored = (
-        c.join(F.broadcast(q), ["tbl", "bkt"])
+        index.join(F.broadcast(q), ["tbl", "bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "q_vec", "c_vec", "q_norm", "c_norm")
         .dropDuplicates(["query_id", "neighbor_id"])  # OR across tables
@@ -186,6 +204,38 @@ def ann_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH candidate
+    filter, then exact cosine rerank of the (deduplicated) candidates.
+    One-shot composition of ``lsh_build`` + ``lsh_query`` (identical
+    plans — the split exists so a served index amortizes the build).
+
+    Scale shape: one narrow corpus pass computes all L bucket ids (an
+    array column exploded to (table, bucket) rows); candidates resolve
+    through an equi-join on (table, bucket) — the n²·d brute-force pair
+    space never materializes. Recall tuning is the standard LSH
+    trade-off: fewer planes -> bigger buckets (higher recall per
+    table), more tables -> OR over tables (recall 1-(1-p^b)^L).
+    Approximate by construction -> rows-only driver check + recall
+    property test, no SQL oracle."""
+    index, params = lsh_build(
+        corpus, n_planes=n_planes, n_tables=n_tables,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    return lsh_query(
+        index, params, queries, k, id_col=id_col, vec_col=vec_col
     )
 
 
@@ -334,33 +384,20 @@ def ivf_centroids(
     return cents
 
 
-def ivf_topk(
+def ivf_build(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     *,
     n_cells: int = 8,
-    n_probe: int = 2,
     n_iter: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) coarse quantizer:
-    assign every corpus vector to its nearest centroid cell, probe only
-    the ``n_probe`` nearest cells per query, exact cosine rerank inside
-    the probed cells.
-
-    Scale shape: one narrow corpus pass computes cell ids; the
-    candidate join is a broadcast equi-join on ``cell`` (the corpus is
-    never shuffled); each (query, neighbor) pair appears at most once
-    because a corpus vector lives in exactly one cell, so no dedup
-    stage is needed (unlike multi-table LSH). Recall is the standard
-    IVF trade-off: higher ``n_probe`` -> more cells scanned. The
-    centroids here come from seeded Lloyd steps; a production corpus
-    would plug in trained k-means centroids — the operator only needs
-    the list.
-    Approximate by construction -> rows-only driver check + recall
-    property test, no SQL oracle."""
+) -> tuple[DataFrame, dict]:
+    """Build the IVF index: train centroids (seeded Lloyd steps), then
+    assign every corpus vector to its nearest cell in one narrow
+    Arrow-batched pass. Returns ``(index_df, params)`` — the index is
+    a plain DataFrame (neighbor_id, c_vec, c_norm, cell) to persist
+    once and serve many query batches; ``params["centroids"]`` is the
+    KB-sized driver-side table the query side probes with."""
     import numpy as np
     import pandas as pd
 
@@ -370,7 +407,7 @@ def ivf_topk(
     # Corpus-side assignment is the hot pass (every vector x every
     # centroid): one Arrow-batched numpy argmin, not |cells| interpreted
     # HOF folds per row (ivf_assign stays the Column form for plan-side
-    # uses like the query probes below, where rows are few).
+    # uses like the query probes in ivf_query, where rows are few).
     C = np.array(cents, dtype=np.float64)
 
     c_sq = (C * C).sum(axis=1)
@@ -394,10 +431,28 @@ def ivf_topk(
                 }
             )
 
-    c = corpus.select(id_col, vec_col).mapInPandas(
+    index = corpus.select(id_col, vec_col).mapInPandas(
         assign,
         "neighbor_id long, c_vec array<float>, c_norm double, cell int",
     )
+    return index, {"centroids": cents}
+
+
+def ivf_query(
+    index: DataFrame,
+    params: dict,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a query batch from a prebuilt ``ivf_build`` index: probe
+    the ``n_probe`` nearest cells per query via a broadcast equi-join
+    on ``cell`` (the corpus is never shuffled), exact cosine rerank
+    inside the probed cells."""
+    cents = params["centroids"]
     probes = F.slice(
         F.array_sort(
             F.array(
@@ -420,7 +475,7 @@ def ivf_topk(
         F.explode(probes).alias("p"),
     ).select("query_id", "q_vec", "q_norm", F.col("p.cell").alias("cell"))
     scored = (
-        c.join(F.broadcast(q), "cell")
+        index.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -436,6 +491,44 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer:
+    assign every corpus vector to its nearest centroid cell, probe only
+    the ``n_probe`` nearest cells per query, exact cosine rerank inside
+    the probed cells. One-shot composition of ``ivf_build`` +
+    ``ivf_query`` (identical plans — the split exists so a served
+    index amortizes the build).
+
+    Scale shape: one narrow corpus pass computes cell ids; the
+    candidate join is a broadcast equi-join on ``cell`` (the corpus is
+    never shuffled); each (query, neighbor) pair appears at most once
+    because a corpus vector lives in exactly one cell, so no dedup
+    stage is needed (unlike multi-table LSH). Recall is the standard
+    IVF trade-off: higher ``n_probe`` -> more cells scanned. The
+    centroids here come from seeded Lloyd steps; a production corpus
+    would plug in trained k-means centroids — the operator only needs
+    the list.
+    Approximate by construction -> rows-only driver check + recall
+    property test, no SQL oracle."""
+    index, params = ivf_build(
+        corpus, n_cells=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    return ivf_query(
+        index, params, queries, k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
     )
 
 
@@ -787,44 +880,24 @@ def pq_topk(
 # -- Semantic dedup (cluster-blocked near-dup keep-one) --------------------
 
 
-def ivfpq_topk(
+def ivfpq_build(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     *,
     n_cells: int | None = None,
     n_probe: int | None = None,
     m: int = 8,
     n_codes: int = 256,
     n_iter: int = 3,
-    cand_mult: int = 40,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVFADC (Jegou et al. 2011): coarse IVF quantizer + product
-    quantization of the RESIDUALS, the composition production ANN
-    systems actually deploy — and the fix for the failure the r7
-    recall harness measured on plain PQ. On near-random unit vectors
-    (2 M at dim 64, true-neighbor cosine ~0.5 vs bulk ~0.45),
-    whole-vector PQ's quantization error swamps the cosine gaps and
-    ADC ranking degenerates to noise (measured recall@5 = 0.04).
-    Quantizing residuals r = x - c(cell) shrinks the quantized
-    spread to WITHIN-cell scale, restoring resolution:
-    ||q - x||^2 = ||(q - c) - r||^2 exactly, up to r's quantization
-    (measured recall@5 = 0.65 at n_probe = n_cells/8, 200k vectors —
-    above both the LSH and exact-probed-IVF operating points).
-    Defaults: sqrt-n cells, n_cells/8 probes (~12% of the corpus
-    ADC-scanned, never exact-scanned), 3 Lloyd iterations,
-    cand_mult*k exact reranks.
-
-    Scale shape: centroids and codebooks are KB-sized driver tables
-    (trained by Arrow partial-sum passes, shuffles carry scalars);
-    encoding is one Arrow pass; the search joins the encoded corpus to
-    the exploded (query, probed-cell) frame ON THE CELL KEY — the
-    per-query candidate set is n_probe cells, never the corpus — then
-    ADC-ranks candidates JVM-side and exact-reranks the top
-    ``cand_mult * k``. Approximate by construction -> rows-only driver
-    check + recall property test."""
+) -> tuple[DataFrame, dict]:
+    """Build the IVFADC index (see ``ivfpq_topk``): train the coarse
+    IVF centroids, PQ codebooks on the residuals, and encode the
+    corpus in one Arrow pass. Returns ``(index_df, params)`` — the
+    index is a plain DataFrame (neighbor_id, c_vec, c_norm, cell,
+    codes) to persist once and serve many query batches; ``params``
+    carries the KB-sized centroid/codebook tables plus the default
+    ``n_probe``."""
     import math
 
     import numpy as np
@@ -841,7 +914,6 @@ def ivfpq_topk(
         corpus, n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
     Cc = np.array(cents, dtype=np.float64)  # (cells, dim)
-    c_sq = (Cc * Cc).sum(axis=1)
     asg = ivf_assign_frame(
         corpus.select(id_col, vec_col), cents, vec_col=vec_col
     )
@@ -897,6 +969,39 @@ def ivfpq_topk(
         "neighbor_id long, c_vec array<float>, c_norm double, "
         "cell int, codes array<int>",
     )
+    return enc, {
+        "centroids": cents,
+        "codebooks": books,
+        "n_probe": n_probe,
+    }
+
+
+def ivfpq_query(
+    index: DataFrame,
+    params: dict,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_probe: int | None = None,
+    cand_mult: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a query batch from a prebuilt ``ivfpq_build`` index: per
+    query, compute residual LUTs for the ``n_probe`` nearest cells,
+    join the encoded corpus on the cell key, ADC-rank JVM-side, exact
+    cosine rerank of the top ``cand_mult * k``."""
+    import numpy as np
+    import pandas as pd
+
+    cents = params["centroids"]
+    books = params["codebooks"]
+    if n_probe is None:
+        n_probe = params["n_probe"]
+    Cc = np.array(cents, dtype=np.float64)
+    c_sq = (Cc * Cc).sum(axis=1)
+    C = np.array(books, dtype=np.float64)
+    m_, _, d_sub = C.shape
 
     def qluts(batches):
         for pdf in batches:
@@ -943,7 +1048,7 @@ def ivfpq_topk(
         lambda acc, v: acc + v,
     )
     scored = (
-        enc.join(F.broadcast(q), "cell")
+        index.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id", "q_vec", "c_vec", "q_norm", "c_norm",
@@ -969,6 +1074,56 @@ def ivfpq_topk(
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
+    m: int = 8,
+    n_codes: int = 256,
+    n_iter: int = 3,
+    cand_mult: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jegou et al. 2011): coarse IVF quantizer + product
+    quantization of the RESIDUALS, the composition production ANN
+    systems actually deploy — and the fix for the failure the r7
+    recall harness measured on plain PQ. On near-random unit vectors
+    (2 M at dim 64, true-neighbor cosine ~0.5 vs bulk ~0.45),
+    whole-vector PQ's quantization error swamps the cosine gaps and
+    ADC ranking degenerates to noise (measured recall@5 = 0.04).
+    Quantizing residuals r = x - c(cell) shrinks the quantized
+    spread to WITHIN-cell scale, restoring resolution:
+    ||q - x||^2 = ||(q - c) - r||^2 exactly, up to r's quantization
+    (measured recall@5 = 0.65 at n_probe = n_cells/8, 200k vectors —
+    above both the LSH and exact-probed-IVF operating points).
+    Defaults: sqrt-n cells, n_cells/8 probes (~12% of the corpus
+    ADC-scanned, never exact-scanned), 3 Lloyd iterations,
+    cand_mult*k exact reranks. One-shot composition of
+    ``ivfpq_build`` + ``ivfpq_query`` (identical plans — the split
+    exists so a served index amortizes the build).
+
+    Scale shape: centroids and codebooks are KB-sized driver tables
+    (trained by Arrow partial-sum passes, shuffles carry scalars);
+    encoding is one Arrow pass; the search joins the encoded corpus to
+    the exploded (query, probed-cell) frame ON THE CELL KEY — the
+    per-query candidate set is n_probe cells, never the corpus — then
+    ADC-ranks candidates JVM-side and exact-reranks the top
+    ``cand_mult * k``. Approximate by construction -> rows-only driver
+    check + recall property test."""
+    index, params = ivfpq_build(
+        corpus, n_cells=n_cells, n_probe=n_probe, m=m, n_codes=n_codes,
+        n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+    )
+    return ivfpq_query(
+        index, params, queries, k, cand_mult=cand_mult,
+        id_col=id_col, vec_col=vec_col,
     )
 
 

@@ -111,8 +111,14 @@ def cdc_agg_delta(
     caller (the retraction analog of "new groups appear")."""
     val = lambda side: F.col(f"{side}.{value_col}").cast(value_cast)  # noqa: E731
     grp = lambda side: F.col(f"{side}.{group_col}").alias(group_col)  # noqa: E731
+    # nn gates on the RAW column, not the cast: a non-NULL value that
+    # casts to NULL (overflow/NaN under non-ANSI casts) must still
+    # count toward nn so the fold agrees with the COUNT(value)-seeded
+    # summary and the COUNT(value) oracle
     nn = lambda side, sign: (  # noqa: E731
-        F.when(val(side).isNotNull(), F.lit(sign)).otherwise(F.lit(0))
+        F.when(
+            F.col(f"{side}.{value_col}").isNotNull(), F.lit(sign)
+        ).otherwise(F.lit(0))
     ).cast("long")
     retract = feed.where(F.col("old_row").isNotNull()).select(
         grp("old_row"),
@@ -167,8 +173,14 @@ def cdc_moment_delta(
     val = lambda side: F.col(f"{side}.{value_col}").cast(value_cast)  # noqa: E731
     sq = lambda side: (val(side) * val(side)).cast(sumsq_cast)  # noqa: E731
     grp = lambda side: F.col(f"{side}.{group_col}").alias(group_col)  # noqa: E731
+    # raw-column nn (not the cast) — keeps the fold in lockstep with
+    # F.count(value_col)-seeded summaries and COUNT(value) oracles
+    # even when a value overflows value_cast to NULL (see
+    # cdc_agg_delta)
     nn = lambda side, sign: (  # noqa: E731
-        F.when(val(side).isNotNull(), F.lit(sign)).otherwise(F.lit(0))
+        F.when(
+            F.col(f"{side}.{value_col}").isNotNull(), F.lit(sign)
+        ).otherwise(F.lit(0))
     ).cast("long")
     retract = feed.where(F.col("old_row").isNotNull()).select(
         grp("old_row"),

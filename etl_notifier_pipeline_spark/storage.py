@@ -1139,7 +1139,20 @@ class BucketedTableStore:
         """File-level append: new rows' buckets gain an extra dir in
         the manifest (O(new bytes) written); existing entries carry
         forward untouched. Buckets accumulate dirs until a keyed
-        mutation or overwrite compacts them."""
+        mutation or overwrite compacts them.
+
+        Appends must add NEW keys only when merge-on-read deltas are
+        pending: a carried delta/tombstone SHADOWS every base row for
+        its key, so an appended row whose key has a pending delta
+        would be invisible to ``read()`` and silently dropped by
+        ``compact()`` — and the ``appended_dirs`` fast-path change
+        feed would still report it as an insert, disagreeing with
+        ``read()``. That contract is ENFORCED here, not assumed: when
+        the manifest carries deltas, the incoming keys are semi-joined
+        against the accumulated delta key set (O(deltas + batch),
+        the merge-on-read small regime) and any overlap raises —
+        callers route key collisions through
+        ``apply_keyed_mutation(op="update")`` instead."""
         if not self.exists(table):
             return self.overwrite(table, df)
         existing = set(self.read(table).columns)
@@ -1150,6 +1163,33 @@ class BucketedTableStore:
             )
         v = self.current_version(table)
         m = self._manifest(table, v)
+        if m.get("deltas"):
+            keys = self.keys.get(table) or []
+            delta_paths = [
+                os.path.join(self._dir(table), d)
+                for dirs in m["deltas"].values()
+                for d in dirs
+            ]
+            if keys and delta_paths:
+                shadowing = (
+                    self.spark.read.parquet(*delta_paths)
+                    .select(*keys)
+                    .dropDuplicates(list(keys))
+                )
+                clash = (
+                    df.select(*keys)
+                    .join(shadowing, list(keys), "left_semi")
+                    .limit(1)
+                    .count()
+                )
+                if clash:
+                    raise ValueError(
+                        f"append to {table!r}: incoming keys overlap "
+                        f"pending merge-on-read delta keys — the delta "
+                        f"would shadow the appended rows. Use "
+                        f"apply_keyed_mutation(op='update') for "
+                        f"existing keys, or compact() first."
+                    )
         new_v = (v or 0) + 1
         vrel = f"v={new_v}"
         staging = self._bstage(table, df)
@@ -1162,8 +1202,8 @@ class BucketedTableStore:
                     buckets.setdefault(k, []).append(f"{vrel}/data/{name}")
         manifest = {"schema": f"{vrel}/schema", "buckets": buckets}
         if m.get("deltas"):
-            # appends add NEW keys (the append-stream contract); prior
-            # merge-on-read deltas still shadow their own keys
+            # enforced above: appended keys are disjoint from delta
+            # keys, so carried deltas cannot shadow the new rows
             manifest["deltas"] = {
                 k: list(dirs) for k, dirs in m["deltas"].items()
             }

@@ -457,3 +457,48 @@ def test_count_min_guarantees(spark):
     for r in rows:
         assert r["cm_estimate"] >= r["exact_count"], r
         assert r["cm_estimate"] - r["exact_count"] <= eps_bound, r
+
+
+def test_build_query_split_matches_one_shot(spark, tmp_path):
+    """lsh/ivf/ivfpq build+query == the one-shot topk compositions,
+    INCLUDING an index round-trip through parquet (the serve-from-
+    stored-index path the ANN break-even bench amortizes builds
+    over)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 6)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in df.collect()
+        )
+
+    # LSH
+    idx, params = S.lsh_build(emb, n_planes=3, n_tables=6)
+    p = str(tmp_path / "lsh_idx")
+    idx.write.parquet(p)
+    stored = spark.read.parquet(p)
+    assert rows(S.lsh_query(stored, params, queries, k=5)) == rows(
+        S.ann_lsh_topk(emb, queries, k=5, n_planes=3, n_tables=6)
+    )
+    # IVF
+    idx, params = S.ivf_build(emb, n_cells=8)
+    p = str(tmp_path / "ivf_idx")
+    idx.write.parquet(p)
+    stored = spark.read.parquet(p)
+    assert rows(S.ivf_query(stored, params, queries, k=5, n_probe=3)) == rows(
+        S.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3)
+    )
+    # IVFADC
+    idx, params = S.ivfpq_build(emb, n_cells=16, n_probe=4, m=8, n_codes=16)
+    p = str(tmp_path / "ivfpq_idx")
+    idx.write.parquet(p)
+    stored = spark.read.parquet(p)
+    assert rows(
+        S.ivfpq_query(stored, params, queries, k=5, cand_mult=40)
+    ) == rows(
+        S.ivfpq_topk(
+            emb, queries, k=5, n_cells=16, n_probe=4, m=8, n_codes=16,
+            cand_mult=40,
+        )
+    )

@@ -1136,3 +1136,40 @@ class TestMergeOnRead:
                 "t", spark.createDataFrame([(1,)], ["k"]), ["k"], [],
                 "update", strategy="bogus",
             )
+
+    def test_append_rejects_delta_shadowed_keys(self, spark, tmp_path):
+        """r8 ADVICE (medium): an append whose key has a pending
+        merge-on-read delta/tombstone would be shadowed by the delta —
+        invisible to read(), dropped by compact(), yet reported as an
+        insert by the appended_dirs fast path. append() now ENFORCES
+        the appends-add-new-keys contract: overlapping keys raise."""
+        store = BucketedTableStore(
+            spark, str(tmp_path / "rj"), keys={"t": ["k"]}, n_buckets=4
+        )
+        store.overwrite("t", spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+        store.apply_keyed_mutation(
+            "t", self._mk(spark, [(2, "B")]), ["k"], ["__file_order"],
+            "update", strategy="merge_on_read",
+        )
+        store.apply_keyed_mutation(
+            "t", spark.createDataFrame([(1,)], ["k"]), ["k"], [],
+            "delete", strategy="merge_on_read",
+        )
+        v = store.current_version("t")
+        # upserted key 2 and tombstoned key 1 both collide
+        for bad in ([(2, "shadowed")], [(1, "shadowed")]):
+            with pytest.raises(ValueError, match="merge-on-read delta"):
+                store.append("t", spark.createDataFrame(bad, ["k", "v"]))
+        # the refused appends committed nothing
+        assert store.current_version("t") == v
+        # disjoint keys still append fine and stay visible
+        store.append("t", spark.createDataFrame([(9, "new")], ["k", "v"]))
+        assert {r["k"]: r["v"] for r in store.read("t").collect()} == {
+            2: "B", 9: "new"
+        }
+        # after compact() the deltas are folded: key 1 is insertable again
+        store.compact("t")
+        store.append("t", spark.createDataFrame([(1, "reborn")], ["k", "v"]))
+        assert {r["k"]: r["v"] for r in store.read("t").collect()} == {
+            1: "reborn", 2: "B", 9: "new"
+        }

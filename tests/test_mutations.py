@@ -1000,3 +1000,55 @@ class TestMomentIVM:
             )
         )
         assert got == want
+
+    def test_nn_gates_on_raw_column_not_cast(self, spark, tmp_path):
+        """r8 ADVICE (low): a raw non-NULL value that CASTS to NULL
+        (NaN -> decimal, even under ANSI) must still move d_nn, because
+        the seeded summary uses F.count(v) and the oracle COUNT(v) —
+        both of which count NaN rows. Before the fix the retraction of
+        a NaN row left nn one too high, corrupting avg/stddev
+        NULL-gating."""
+        from etl_notifier_pipeline_spark.operators import change_feed
+        from etl_notifier_pipeline_spark.operators.incremental import (
+            cdc_agg_delta,
+            cdc_moment_delta,
+            merge_aggregates,
+        )
+        from etl_notifier_pipeline_spark.storage import TableStore
+
+        nan = float("nan")
+        store = TableStore(spark, str(tmp_path / "nan"), retain_versions=5)
+        v1 = [(1, "a", nan), (2, "a", 4.0), (3, "b", nan)]
+        # delete the NaN rows; group b becomes empty
+        v2 = [(2, "a", 4.0)]
+        for rows in (v1, v2):
+            store.overwrite(
+                "t", spark.createDataFrame(rows, "k long, grp string, v double")
+            )
+        feed = change_feed(store, "t", ["k"], from_version=1, to_version=2)
+        seed = store.read("t", version=1).groupBy("grp").agg(
+            F.count(F.lit(1)).alias("d_count"),
+            F.coalesce(
+                F.sum(F.col("v").cast("decimal(12,2)")),
+                F.lit(0).cast("decimal(12,2)"),
+            ).cast("decimal(12,2)").alias("d_sum"),
+            F.count("v").alias("d_nn"),  # counts NaN rows: raw non-NULL
+        )
+        folded = {
+            r["grp"]: (r["d_count"], r["d_nn"])
+            for r in merge_aggregates(
+                seed,
+                cdc_agg_delta(feed, "grp", "v"),
+                ["grp"],
+                {"d_count": "count", "d_sum": "sum", "d_nn": "count"},
+            ).collect()
+        }
+        # recompute ground truth on v2: COUNT(v) counts the NaN-free set
+        assert folded["a"] == (1, 1)   # was (1, 2) before the fix
+        assert folded["b"] == (0, 0)   # was (0, 1) before the fix
+        # the moment variant agrees
+        d = {
+            r["grp"]: r["d_nn"]
+            for r in cdc_moment_delta(feed, "grp", "v").collect()
+        }
+        assert d == {"a": -1, "b": -1}

@@ -1,18 +1,37 @@
-"""Measured ANN recall at scale (r6 verdict ask #7).
+"""Measured ANN recall + break-even at scale (r6 ask #7, r8 ask #4).
 
-Recall tests ran only at sf0.01; this harness runs every ANN index
-family against EXACT brute-force cosine ground truth (s01's
-``topk_cosine``) on the amplified embeddings fixture — 2 M vectors x
-dim 64 at sf100 — and records recall@k plus wall time per family.
+r7's version conflated index BUILD with query time, so every index
+family looked strictly worse than exact brute force (s01) — worse
+latency AND recall < 1.0 — leaving the indexes without a demonstrated
+reason to exist. This harness measures the quantities a user actually
+chooses by:
 
-Targets are the ones the unit tests document
-(tests/test_advanced.py): LSH >= 0.5, IVF >= 0.4, PQ >= 0.5 on
+- ``build``        — train + encode + WRITE the index to parquet,
+                     once per family (the one-time cost)
+- ``query_small``  — serve a 20-query batch from the STORED index
+                     (reload from parquet; warm best-of-2): the
+                     steady-state per-query latency
+- ``query_batch``  — serve a --batch (default 1000) query batch from
+                     the stored index, cold n_runs=1, symmetric with
+                     the exact baseline's protocol
+- ``recall_at_k``  — at both rungs, against exact ground truth
+- ``break_even_queries`` — build_sec / (exact_per_query −
+                     index_per_query): the query volume past which
+                     the index wins end-to-end. None when the index
+                     never wins.
+
+Every measurement is a tools/benchproto stamp (per-run host canaries
++ dispersion, ``canary-per-measurement-v1``), so host drift between
+the 2-minute exact baseline and the index runs is attributable.
+
+Recall targets are the ones the unit tests document
+(tests/test_advanced.py): LSH >= 0.5, IVF >= 0.4, IVFADC >= 0.5 on
 near-random vectors; the amplified fixture preserves cluster
 structure, so scale should meet or beat them with scale-appropriate
 parameters (IVF probes sqrt-n cells — the same n_cells policy the r6
 s09 fix adopted).
 
-    python tools/ann_recall.py [sf_dir] [--queries 20] \
+    python tools/ann_recall.py [sf_dir] [--queries 20] [--batch 1000] \
         [--json ANN_RECALL_sf100.json]
 """
 
@@ -21,7 +40,9 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -32,12 +53,27 @@ from etl_notifier_pipeline_spark import caching  # noqa: E402
 from etl_notifier_pipeline_spark.catalog import load_table  # noqa: E402
 from etl_notifier_pipeline_spark.extensions import similarity as S  # noqa: E402
 from etl_notifier_pipeline_spark.session import get_spark  # noqa: E402
+from tools.benchproto import (  # noqa: E402
+    PROTOCOL_VERSION,
+    protocol_header,
+    stamped_runs,
+)
 
 K = 5
-# targets documented in tests/test_advanced.py; "pq" at scale means
-# the family's scale configuration, IVFADC (flat PQ is measured as a
-# diagnostic with its degeneracy documented — see families below)
 TARGETS = {"lsh": 0.5, "ivf": 0.4, "pq_ivfadc": 0.5}
+
+
+def _pairs(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(truth: dict[int, set[int]], approx: dict[int, set[int]]) -> float:
+    hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+    denom = sum(len(truth[q]) for q in truth)
+    return round(hits / denom, 4) if denom else None
 
 
 def main() -> None:
@@ -47,100 +83,204 @@ def main() -> None:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
-    n_queries = 20
+    n_small = 20
     if "--queries" in args:
         i = args.index("--queries")
-        n_queries = int(args[i + 1])
+        n_small = int(args[i + 1])
+        del args[i : i + 2]
+    n_batch = 1000
+    if "--batch" in args:
+        i = args.index("--batch")
+        n_batch = int(args[i + 1])
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/repo/.scale/sf100"
 
-    import bench
-
-    canary_pre = bench.host_canary_ms()
     spark = get_spark("ann-recall")
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    # deterministic spread of query ids across the corpus
-    step = max(1, n // n_queries)
-    queries = emb.filter(F.col("vec_id") % step == 0).limit(n_queries)
-    queries = caching.tracked_persist(queries)
-    nq = queries.count()
+    dim = len(emb.select("embedding").head()["embedding"])
 
-    def pairs(df) -> dict[int, set[int]]:
-        out: dict[int, set[int]] = {}
-        for r in df.collect():
-            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        return out
+    def query_set(nq: int):
+        step = max(1, n // nq)
+        q = emb.filter(F.col("vec_id") % step == 0).limit(nq)
+        q = caching.tracked_persist(q)
+        return q, q.count()
 
-    t0 = time.perf_counter()
-    truth = pairs(S.topk_cosine(emb, queries, k=K))
-    exact_sec = round(time.perf_counter() - t0, 2)
+    q_small, nq_small = query_set(n_small)
+    q_batch, nq_batch = query_set(n_batch)
+
+    # exact baselines (s01 brute force): ground truth AND the thing an
+    # index must amortize past. Small rung warm best-of-2; batch rung
+    # cold n_runs=1 (symmetric with each index's batch run).
+    truth_small: dict = {}
+    truth_batch: dict = {}
+
+    def exact_run(queries, sink: dict):
+        t0 = time.perf_counter()
+        got = _pairs(S.topk_cosine(emb, queries, k=K))
+        wall = time.perf_counter() - t0
+        sink.clear()
+        sink.update(got)
+        return wall
+
+    exact_small = stamped_runs(
+        lambda: exact_run(q_small, truth_small), n_runs=2
+    )
+    print(f"exact small ({nq_small} q): {exact_small['sec']}s", flush=True)
+    exact_batch = stamped_runs(
+        lambda: exact_run(q_batch, truth_batch), n_runs=1
+    )
+    print(f"exact batch ({nq_batch} q): {exact_batch['sec']}s", flush=True)
 
     n_cells = max(8, int(math.sqrt(n)))  # the r6 sqrt-n cell policy
+    root = tempfile.mkdtemp(prefix="ann_idx_")
     families = {
         # s03's registry parameters, scaled tables for a 2 M corpus
-        "lsh": lambda: S.ann_lsh_topk(
-            emb, queries, k=K, n_planes=6, n_tables=8
-        ),
-        "ivf": lambda: S.ivf_topk(
-            emb, queries, k=K, n_cells=n_cells,
-            n_probe=max(2, n_cells // 20),
-        ),
+        "lsh": {
+            "build": lambda: S.lsh_build(
+                emb, n_planes=6, n_tables=8, dim=dim
+            ),
+            "query": lambda idx, p, q: S.lsh_query(idx, p, q, k=K),
+        },
+        "ivf": {
+            "build": lambda: S.ivf_build(emb, n_cells=n_cells),
+            "query": lambda idx, p, q: S.ivf_query(
+                idx, p, q, k=K, n_probe=max(2, n_cells // 20)
+            ),
+        },
         # PQ's scale configuration: IVFADC (PQ on coarse-cell
-        # residuals, Jegou 2011). Flat PQ rides along as a measured
-        # diagnostic: on near-random unit vectors its quantization
-        # error exceeds the true-vs-bulk cosine gap, so ADC ranking
-        # degenerates at ANY code count — the finding this harness
-        # exists to catch, and why s14 exists.
-        # cand_mult=200 -> 1000 exact comparisons per query (0.05% of
-        # a 2M corpus): the rerank width is the recall dial — ADC
-        # ordering inside probed cells is noisy on near-random
-        # vectors, the exact rerank recovers it (0.47 -> 0.64
-        # measured at 2M)
-        "pq_ivfadc": lambda: S.ivfpq_topk(emb, queries, k=K, cand_mult=200),
-        "pq_flat_diagnostic": lambda: S.pq_topk(emb, queries, k=K),
+        # residuals, Jegou 2011). cand_mult=200 -> 1000 exact
+        # comparisons per query (0.05% of a 2M corpus): the rerank
+        # width is the recall dial.
+        "pq_ivfadc": {
+            "build": lambda: S.ivfpq_build(emb),
+            "query": lambda idx, p, q: S.ivfpq_query(
+                idx, p, q, k=K, cand_mult=200
+            ),
+        },
     }
     out: dict[str, dict] = {}
-    for name, fn in families.items():
-        t0 = time.perf_counter()
-        approx = pairs(fn())
-        wall = round(time.perf_counter() - t0, 2)
-        hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
-        denom = sum(len(truth[q]) for q in truth)
-        recall = round(hits / denom, 4) if denom else None
-        out[name] = {"recall_at_k": recall, "sec": wall}
+    for name, fam in families.items():
+        path = os.path.join(root, name)
+        params_box: dict = {}
+
+        def build(fam=fam, path=path):
+            t0 = time.perf_counter()
+            idx, params = fam["build"]()
+            idx.write.mode("overwrite").parquet(path)
+            params_box["params"] = params
+            return time.perf_counter() - t0
+
+        build_stamp = stamped_runs(build, n_runs=1)
+        stored = spark.read.parquet(path)
+        params = params_box["params"]
+
+        approx_small: dict = {}
+        approx_batch: dict = {}
+
+        def qrun(queries, sink, fam=fam, stored=stored, params=params):
+            t0 = time.perf_counter()
+            got = _pairs(fam["query"](stored, params, queries))
+            wall = time.perf_counter() - t0
+            sink.clear()
+            sink.update(got)
+            return wall
+
+        q_small_stamp = stamped_runs(
+            lambda: qrun(q_small, approx_small), n_runs=2
+        )
+        q_batch_stamp = stamped_runs(
+            lambda: qrun(q_batch, approx_batch), n_runs=1
+        )
+        rec_small = _recall(truth_small, approx_small)
+        rec_batch = _recall(truth_batch, approx_batch)
+
+        exact_per_q = exact_batch["sec"] / nq_batch
+        index_per_q = q_batch_stamp["sec"] / nq_batch
+        saves = exact_per_q - index_per_q
+        cell = {
+            "build": build_stamp,
+            "query_small": q_small_stamp,
+            "query_batch": q_batch_stamp,
+            "n_queries_small": nq_small,
+            "n_queries_batch": nq_batch,
+            "recall_at_k_small": rec_small,
+            "recall_at_k_batch": rec_batch,
+            "batch_speedup_vs_exact": round(
+                exact_batch["sec"] / q_batch_stamp["sec"], 2
+            ),
+            "break_even_queries": (
+                int(math.ceil(build_stamp["sec"] / saves))
+                if saves > 0
+                else None
+            ),
+        }
         if name in TARGETS:
-            out[name]["target"] = TARGETS[name]
-            out[name]["meets_target"] = (
-                recall is not None and recall >= TARGETS[name]
+            cell["target"] = TARGETS[name]
+            cell["meets_target"] = (
+                rec_batch is not None and rec_batch >= TARGETS[name]
             )
-        else:
-            out[name]["note"] = (
-                "diagnostic, no target: flat PQ is expected to "
-                "degenerate on near-random vectors at this scale — "
-                "use ivfpq_topk (s14)"
-            )
-        caching.release_all()
-        print(f"{name}: recall@{K}={recall} ({wall}s)", flush=True)
+        out[name] = cell
+        print(
+            f"{name}: build={build_stamp['sec']}s "
+            f"q{nq_small}={q_small_stamp['sec']}s "
+            f"q{nq_batch}={q_batch_stamp['sec']}s "
+            f"recall={rec_small}/{rec_batch} "
+            f"speedup={cell['batch_speedup_vs_exact']}x "
+            f"break_even={cell['break_even_queries']}",
+            flush=True,
+        )
+
+    # flat-PQ diagnostic rides along one-shot at the small rung: on
+    # near-random unit vectors whole-vector quantization error exceeds
+    # the true-vs-bulk cosine gap, so ADC ranking degenerates at ANY
+    # code count — the finding this harness exists to catch, and why
+    # s14 (IVFADC) exists.
+    diag: dict = {}
+
+    def flat_pq():
+        t0 = time.perf_counter()
+        got = _pairs(S.pq_topk(emb, q_small, k=K))
+        wall = time.perf_counter() - t0
+        diag.clear()
+        diag.update(got)
+        return wall
+
+    flat_stamp = stamped_runs(flat_pq, n_runs=1)
+    out["pq_flat_diagnostic"] = {
+        "one_shot": flat_stamp,
+        "recall_at_k_small": _recall(truth_small, diag),
+        "note": (
+            "diagnostic, no target: flat PQ is expected to degenerate "
+            "on near-random vectors at this scale — use ivfpq (s14)"
+        ),
+    }
 
     doc = {
         "metric": "ann_recall_at_scale",
         "sf_dir": sf_dir,
         "n_vectors": n,
-        "dim": len(queries.select("embedding").head()["embedding"]),
-        "n_queries": nq,
+        "dim": dim,
         "k": K,
-        "exact_ground_truth_sec": exact_sec,
+        "protocol": protocol_header(
+            1,
+            canary=PROTOCOL_VERSION,
+            small_rung_runs=2,
+            batch_rung_runs=1,
+            build_includes_parquet_write=True,
+            queries_served_from_stored_index=True,
+        ),
+        "exact_small": {**exact_small, "n_queries": nq_small},
+        "exact_batch": {**exact_batch, "n_queries": nq_batch},
         "families": out,
         "ivf_n_cells": n_cells,
-        "host_canary_ms_pre": canary_pre,
-        "host_canary_ms_post": bench.host_canary_ms(),
     }
     print(json.dumps(doc))
     if json_out:
         with open(json_out, "w") as f:
             json.dump(doc, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
+    shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":

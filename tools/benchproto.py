@@ -27,6 +27,7 @@ the extras of the BEST run are merged into the stamp.
 from __future__ import annotations
 
 import os
+import statistics
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -62,7 +63,7 @@ def stamped_runs(run_once, n_runs: int = 3) -> dict:
         extras.append(extra)
         c_prev = c_next
     best_i = min(range(n_runs), key=lambda i: runs[i])
-    med = sorted(runs)[n_runs // 2]
+    med = statistics.median(runs)
     stamp = {
         "sec": runs[best_i],
         "runs_sec": runs,
@@ -72,7 +73,15 @@ def stamped_runs(run_once, n_runs: int = 3) -> dict:
         ),
     }
     if extras[best_i]:
-        stamp.update(extras[best_i])
+        # protocol keys are reserved: an extra named e.g. "sec" would
+        # silently overwrite the stamped wall time — colliding extras
+        # land under a namespaced "extra" dict instead
+        clash = {k: v for k, v in extras[best_i].items() if k in stamp}
+        stamp.update(
+            {k: v for k, v in extras[best_i].items() if k not in stamp}
+        )
+        if clash:
+            stamp["extra"] = clash
     return stamp
 
 

@@ -1,25 +1,34 @@
-"""Lakehouse layer at scale: per-commit change_feed + IVM cost on an
-amplified multi-commit history (r6 verdict ask #3).
+"""Lakehouse layer at scale: per-commit mutation + change_feed + IVM
+cost on an amplified multi-commit history (r6 ask #3, r8 asks #1-2).
 
-The claim under test: consuming the change feed and maintaining an
-aggregate view costs O(changes + groups) per commit, never O(table).
-r6 proved this only at sf0.01. This harness builds a 60 M-row keyed
-table (BucketedTableStore, capture_cdc=True), applies 10 commits that
-each touch ~1% of the keys (upserts + deletes + inserts), and
-measures, per commit:
+Claims under test, each measured per-measurement-canary-stamped
+(tools/benchproto, ``canary-per-measurement-v1``):
 
-- ``apply_sec``      — the keyed mutation itself (bucket-pruned I/O)
-- ``feed_cdc``       — change_feed via the write-time CDC sidecar
-                       (wall + input bytes: should track CHANGES)
-- ``feed_diff``      — the same commit's feed via snapshot_diff
-                       (wall + input bytes: tracks TABLE — the
-                       measured contrast that motivates the sidecar)
-- ``ivm_sec``        — cdc_agg_delta + merge_aggregates fold into a
-                       1000-group stored summary, verified against a
-                       full recompute on the final commit
+1. **copy_on_write**: consuming the change feed and maintaining an
+   aggregate view costs O(changes + groups) per commit, never
+   O(table) — but a SCATTERED 1% key batch rewrites ~every bucket, so
+   ``apply_sec`` is O(table) (the measured 46-77 s/commit at 60 M
+   rows that motivated merge-on-read).
+2. **merge_on_read** (r8's mutation strategy, measured here for the
+   first time): the same scattered commits stage only O(batch) delta
+   rows, so ``apply_sec`` collapses and — the literal claim — is
+   INDEPENDENT of table size (the ``table_size_independence`` rung
+   applies the same 600 k-key scattered update to a 6 M and a 60 M
+   row table with CDC capture off: near-equal seconds). The price is
+   read amplification while deltas stack (``read_amplification``
+   rung: full-scan agg at 0/5/10 uncompacted commits) until
+   ``compact()`` folds them (its cost = one CoW-style rewrite,
+   measured), after which reads are pure base scans again.
+3. The IVM consumer (cdc_agg_delta + merge_aggregates) folds the CDC
+   sidecar identically over BOTH strategies' histories; final views
+   drift 0 rows from a full recompute, and the MoR snapshot equals
+   the CoW snapshot bit-for-bit after the same commit stream.
 
-Stage metrics ride on the Spark REST API exactly as tools/
-scale_bench.py does. Usage:
+Per-commit measurements ride tools/benchproto.stamped_runs (n_runs=1
+one-shots still carry their own canary bracket, so host drift between
+commits stays attributable); steady-state reads use n_runs=3 with
+dispersion. Stage metrics ride the Spark REST API exactly as
+tools/scale_bench.py does. Usage:
 
     python tools/lakehouse_bench.py [--rows 60000000] [--commits 10] \
         [--json LAKEHOUSE_BENCH.json]
@@ -49,6 +58,11 @@ from etl_notifier_pipeline_spark.operators.mutations import (  # noqa: E402
 )
 from etl_notifier_pipeline_spark.session import get_spark  # noqa: E402
 from etl_notifier_pipeline_spark.storage import BucketedTableStore  # noqa: E402
+from tools.benchproto import (  # noqa: E402
+    PROTOCOL_VERSION,
+    protocol_header,
+    stamped_runs,
+)
 
 N_GROUPS = 1_000
 KINDS = {"d_count": "count", "d_sum": "sum", "d_nn": "count"}
@@ -72,47 +86,48 @@ def _measure(spark, df) -> tuple[float, dict]:
     return wall, delta
 
 
-def main() -> None:
-    args = sys.argv[1:]
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
-    def opt(flag: str, default):
-        if flag in args:
-            i = args.index(flag)
-            val = args[i + 1]
-            del args[i : i + 2]
-            return type(default)(val) if default is not None else val
-        return default
 
-    n_rows = opt("--rows", 60_000_000)
-    n_commits = opt("--commits", 10)
-    json_out = opt("--json", None)
-
-    import bench
-
-    canary_pre = bench.host_canary_ms()
-    spark = get_spark(
-        "lakehouse-bench", extra_conf={"spark.ui.enabled": "true"}
-    )
-    root = tempfile.mkdtemp(prefix="lakehouse_bench_")
-    store = BucketedTableStore(
-        spark,
-        root,
-        keys={"t": ["k"]},
-        n_buckets=64,
-        retain_versions=4,  # each round = 3 commits + its base version
-        capture_cdc=True,
-    )
-    base = spark.range(n_rows).select(
+def _base_frame(spark, n_rows: int):
+    return spark.range(n_rows).select(
         F.col("id").alias("k"),
         (F.col("id") % N_GROUPS).alias("grp"),
         (F.col("id") % 997).cast("double").alias("v"),
     )
-    t0 = time.perf_counter()
-    store.overwrite("t", base)
-    seed_sec = time.perf_counter() - t0
-    print(f"seeded {n_rows:,} rows in {seed_sec:.1f}s", flush=True)
 
-    # stored summary seeded from commit 1 (the IVM consumer)
+
+def _commit_batches(spark, n_rows: int, i: int):
+    """Commit i's (upserts, deletes, inserts): ~1% scattered upserts,
+    a 0.01% delete stripe, 0.01% fresh-key inserts — identical across
+    strategies so the rungs stay comparable."""
+    pct = max(1, n_rows // 100)
+    ups = (
+        spark.range(n_rows)
+        .filter(F.col("id") % 100 == i)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % N_GROUPS).alias("grp"),
+            (F.col("id") % 997 + 10_000 * (i + 1)).cast("double").alias("v"),
+        )
+    )
+    dels = spark.range(n_rows).filter(F.col("id") % 10_000 == i).select(
+        F.col("id").alias("k")
+    )
+    ins = spark.range(
+        n_rows + i * pct // 100, n_rows + (i + 1) * pct // 100
+    ).select(
+        F.col("id").alias("k"),
+        (F.col("id") % N_GROUPS).alias("grp"),
+        F.lit(-1.0).alias("v"),
+    )
+    return ups, dels, ins
+
+
+def _seed_view(store):
     view = agg_delta(
         store.read("t", version=1),
         ["grp"],
@@ -129,83 +144,134 @@ def main() -> None:
         },
     ).persist()
     view.count()
+    return view
 
-    pct = max(1, n_rows // 100)  # ~1% of keys per commit
+
+def run_rung(spark, root: str, n_rows: int, n_commits: int, strategy: str):
+    """One strategy's full commit history. Returns (doc, store, view)."""
+    store = BucketedTableStore(
+        spark,
+        os.path.join(root, strategy),
+        keys={"t": ["k"]},
+        n_buckets=64,
+        # MoR stacks 3 delta commits per round; retention must cover a
+        # full round so feeds can read v_lo..v_hi
+        retain_versions=4,
+        capture_cdc=True,
+    )
+    seed = stamped_runs(
+        lambda: _timed(lambda: store.overwrite("t", _base_frame(spark, n_rows))),
+        n_runs=1,
+    )
+    print(f"[{strategy}] seeded {n_rows:,} rows in {seed['sec']}s", flush=True)
+    view = _seed_view(store)
+
+    read_amp = [
+        {
+            "stacked_commits": 0,
+            "read": stamped_runs(lambda: _measure(spark, store.read("t")), n_runs=3),
+        }
+    ]
     commits = []
     for i in range(n_commits):
-        # commit i: upsert 1% (keys k % 100 == i get a new value),
-        # delete a 0.01% stripe, insert the same count of fresh keys
-        ups = (
-            spark.range(n_rows)
-            .filter(F.col("id") % 100 == i)
-            .select(
-                F.col("id").alias("k"),
-                (F.col("id") % N_GROUPS).alias("grp"),
-                (F.col("id") % 997 + 10_000 * (i + 1)).cast("double").alias("v"),
+        ups, dels, ins = _commit_batches(spark, n_rows, i)
+
+        def one_commit():
+            t0 = time.perf_counter()
+            store.apply_keyed_mutation(
+                "t", ups, ["k"], ["v"], "update", strategy=strategy
             )
-        )
-        dels = spark.range(n_rows).filter(
-            F.col("id") % 10_000 == i
-        ).select(F.col("id").alias("k"))
-        ins = spark.range(
-            n_rows + i * pct // 100, n_rows + (i + 1) * pct // 100
-        ).select(
-            F.col("id").alias("k"),
-            (F.col("id") % N_GROUPS).alias("grp"),
-            F.lit(-1.0).alias("v"),
-        )
-        t0 = time.perf_counter()
-        store.apply_keyed_mutation("t", ups, ["k"], ["v"], "update")
-        store.apply_keyed_mutation("t", dels, ["k"], [], "delete")
-        store.apply_keyed_mutation("t", ins, ["k"], ["v"], "insert")
-        apply_sec = time.perf_counter() - t0
+            store.apply_keyed_mutation(
+                "t", dels, ["k"], [], "delete", strategy=strategy
+            )
+            store.apply_keyed_mutation(
+                "t", ins, ["k"], ["v"], "insert", strategy=strategy
+            )
+            return time.perf_counter() - t0
+
+        apply = stamped_runs(one_commit, n_runs=1)
         v_hi = store.current_version("t")
         v_lo = v_hi - 3
 
-        # the CDC-sidecar feed for these three commits
         feed = change_feed(store, "t", ["k"], from_version=v_lo, to_version=v_hi)
-        cdc_sec, cdc_m = _measure(spark, feed)
+        feed_cdc = stamped_runs(lambda: _measure(spark, feed), n_runs=1)
         n_changes = feed.count()
-
-        # contrast: the same feed derived from snapshot diffs only
-        diff = None
-        for v in range(v_lo, v_hi):
-            d = snapshot_diff(
-                store.read("t", version=v),
-                store.read("t", version=v + 1),
-                ["k"],
-            ).withColumn("commit_version", F.lit(v + 1).cast("long"))
-            diff = d if diff is None else diff.unionByName(d)
-        diff_sec, diff_m = _measure(spark, diff)
-
-        # IVM fold: O(changes + groups)
-        t0 = time.perf_counter()
-        delta = cdc_agg_delta(feed, "grp", "v", value_cast="decimal(18,2)")
-        new_view = merge_aggregates(view, delta, ["grp"], KINDS).filter(
-            F.col("d_count") > 0
-        ).persist()
-        new_view.count()
-        ivm_sec = time.perf_counter() - t0
-        view.unpersist()
-        view = new_view
 
         row = {
             "commit": i + 1,
-            "apply_sec": round(apply_sec, 2),
+            "apply": apply,
             "n_changes": n_changes,
-            "feed_cdc_sec": round(cdc_sec, 2),
-            "feed_cdc_input_mb": round(cdc_m["inputBytes"] / 1e6, 1),
-            "feed_diff_sec": round(diff_sec, 2),
-            "feed_diff_input_mb": round(diff_m["inputBytes"] / 1e6, 1),
-            "ivm_sec": round(ivm_sec, 2),
+            "feed_cdc": {
+                "sec": feed_cdc["sec"],
+                "input_mb": round(feed_cdc["inputBytes"] / 1e6, 1),
+                "canary_ms": feed_cdc["canary_ms"],
+            },
         }
-        commits.append(row)
-        print(row, flush=True)
+        if strategy == "copy_on_write":
+            # the O(table) contrast that motivates the CDC sidecar —
+            # proven once here, not re-paid on the MoR rung
+            diff = None
+            for v in range(v_lo, v_hi):
+                d = snapshot_diff(
+                    store.read("t", version=v),
+                    store.read("t", version=v + 1),
+                    ["k"],
+                ).withColumn("commit_version", F.lit(v + 1).cast("long"))
+                diff = d if diff is None else diff.unionByName(d)
+            fd = stamped_runs(lambda: _measure(spark, diff), n_runs=1)
+            row["feed_diff"] = {
+                "sec": fd["sec"],
+                "input_mb": round(fd["inputBytes"] / 1e6, 1),
+                "canary_ms": fd["canary_ms"],
+            }
 
-    # pure-append commit: change_feed serves it from the manifest's
-    # added dirs (appended_dirs fast path, no sidecar, no snapshot
-    # join) — feed input bytes should track NEW bytes, the diff
-    # contrast tracks the TABLE
+        def fold():
+            nonlocal view
+            delta = cdc_agg_delta(feed, "grp", "v", value_cast="decimal(18,2)")
+            new_view = (
+                merge_aggregates(view, delta, ["grp"], KINDS)
+                .filter(F.col("d_count") > 0)
+                .persist()
+            )
+            new_view.count()
+            view.unpersist()
+            view = new_view
+
+        row["ivm"] = stamped_runs(lambda: _timed(fold), n_runs=1)
+        commits.append(row)
+        print(f"[{strategy}] {json.dumps(row)}", flush=True)
+        if strategy == "merge_on_read" and (i + 1) in (5, 10):
+            read_amp.append(
+                {
+                    "stacked_commits": i + 1,
+                    "read": stamped_runs(
+                        lambda: _measure(spark, store.read("t")), n_runs=3
+                    ),
+                }
+            )
+
+    doc = {"seed": seed, "commits": commits}
+    if strategy == "merge_on_read":
+        compact = stamped_runs(lambda: _timed(lambda: store.compact("t")), n_runs=1)
+        read_amp.append(
+            {
+                "stacked_commits": 0,
+                "post_compact": True,
+                "read": stamped_runs(
+                    lambda: _measure(spark, store.read("t")), n_runs=3
+                ),
+            }
+        )
+        doc["read_amplification"] = read_amp
+        doc["compact"] = compact
+        print(f"[merge_on_read] compact: {json.dumps(compact)}", flush=True)
+    return doc, store, view
+
+
+def append_rung(spark, store, view, n_rows: int):
+    """Pure-append commit over the CoW store: change_feed serves it
+    from the manifest's added dirs (appended_dirs fast path) — feed
+    input bytes track NEW bytes, the diff contrast tracks the TABLE."""
     n_app = max(1, n_rows // 100)
     app_lo = 2_000_000_000
     app = spark.range(app_lo, app_lo + n_app).select(
@@ -213,67 +279,170 @@ def main() -> None:
         (F.col("id") % N_GROUPS).alias("grp"),
         F.lit(5.0).alias("v"),
     )
-    t0 = time.perf_counter()
-    store.append("t", app)
-    app_apply_sec = time.perf_counter() - t0
+    apply = stamped_runs(lambda: _timed(lambda: store.append("t", app)), n_runs=1)
     v_hi = store.current_version("t")
     assert store.appended_dirs("t", v_hi), "append commit not detected"
     feed = change_feed(store, "t", ["k"], from_version=v_hi - 1, to_version=v_hi)
-    app_sec, app_m = _measure(spark, feed)
+    fp = stamped_runs(lambda: _measure(spark, feed), n_runs=1)
     n_app_changes = feed.count()
     diff = snapshot_diff(
         store.read("t", version=v_hi - 1),
         store.read("t", version=v_hi),
         ["k"],
     ).withColumn("commit_version", F.lit(v_hi).cast("long"))
-    adiff_sec, adiff_m = _measure(spark, diff)
-    t0 = time.perf_counter()
-    delta = cdc_agg_delta(feed, "grp", "v", value_cast="decimal(18,2)")
-    view = merge_aggregates(view, delta, ["grp"], KINDS).filter(
-        F.col("d_count") > 0
-    ).persist()
-    view.count()
-    app_ivm_sec = time.perf_counter() - t0
-    append_row = {
-        "commit": "append",
-        "apply_sec": round(app_apply_sec, 2),
-        "n_changes": n_app_changes,
-        "feed_fastpath_sec": round(app_sec, 2),
-        "feed_fastpath_input_mb": round(app_m["inputBytes"] / 1e6, 1),
-        "feed_diff_sec": round(adiff_sec, 2),
-        "feed_diff_input_mb": round(adiff_m["inputBytes"] / 1e6, 1),
-        "ivm_sec": round(app_ivm_sec, 2),
-    }
-    print(append_row, flush=True)
+    fd = stamped_runs(lambda: _measure(spark, diff), n_runs=1)
 
-    # final equivalence: maintained view == full recompute
-    recomputed = (
-        store.read("t")
-        .groupBy("grp")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+    def fold():
+        nonlocal view
+        delta = cdc_agg_delta(feed, "grp", "v", value_cast="decimal(18,2)")
+        view = (
+            merge_aggregates(view, delta, ["grp"], KINDS)
+            .filter(F.col("d_count") > 0)
+            .persist()
         )
+        view.count()
+
+    ivm = stamped_runs(lambda: _timed(fold), n_runs=1)
+    row = {
+        "commit": "append",
+        "apply": apply,
+        "n_changes": n_app_changes,
+        "feed_fastpath": {
+            "sec": fp["sec"],
+            "input_mb": round(fp["inputBytes"] / 1e6, 1),
+            "canary_ms": fp["canary_ms"],
+        },
+        "feed_diff": {
+            "sec": fd["sec"],
+            "input_mb": round(fd["inputBytes"] / 1e6, 1),
+            "canary_ms": fd["canary_ms"],
+        },
+        "ivm": ivm,
+    }
+    print(json.dumps(row), flush=True)
+    return row, view
+
+
+def independence_rung(spark, root: str, sizes: list[int], batch: int):
+    """The literal merge-on-read claim: apply_sec is independent of
+    table size. Same scattered ``batch``-key update against tables of
+    each size, CDC capture OFF (capture is the one O(affected
+    buckets) read left on the write path — measured separately by the
+    main rung). n_runs=3 per size: each run commits another delta, so
+    the stamp's dispersion also shows apply staying flat as deltas
+    stack."""
+    out = []
+    for n in sizes:
+        store = BucketedTableStore(
+            spark,
+            os.path.join(root, f"indep_{n}"),
+            keys={"t": ["k"]},
+            n_buckets=64,
+            retain_versions=4,
+            capture_cdc=False,
+        )
+        store.overwrite("t", _base_frame(spark, n))
+        stride = max(1, n // batch)
+        ups = spark.range(0, n, stride).select(
+            F.col("id").alias("k"),
+            (F.col("id") % N_GROUPS).alias("grp"),
+            F.lit(7.0).alias("v"),
+        )
+
+        def one():
+            return _timed(
+                lambda: store.apply_keyed_mutation(
+                    "t", ups, ["k"], ["v"], "update", strategy="merge_on_read"
+                )
+            )
+
+        stamp = stamped_runs(one, n_runs=3)
+        out.append({"n_rows": n, "batch_rows": min(batch, n), "apply": stamp})
+        print(f"[independence] {json.dumps(out[-1])}", flush=True)
+    return out
+
+
+def main() -> None:
+    args = sys.argv[1:]
+
+    def opt(flag: str, default):
+        if flag in args:
+            i = args.index(flag)
+            val = args[i + 1]
+            del args[i : i + 2]
+            return type(default)(val) if default is not None else val
+        return default
+
+    n_rows = opt("--rows", 60_000_000)
+    n_commits = opt("--commits", 10)
+    json_out = opt("--json", None)
+
+    spark = get_spark(
+        "lakehouse-bench", extra_conf={"spark.ui.enabled": "true"}
     )
-    reported = view.select(
-        "grp",
-        F.col("d_count").alias("n"),
-        F.when(F.col("d_nn") > 0, F.col("d_sum")).alias("s"),
+    root = tempfile.mkdtemp(prefix="lakehouse_bench_")
+
+    cow_doc, cow_store, cow_view = run_rung(
+        spark, root, n_rows, n_commits, "copy_on_write"
     )
-    drift = (
-        reported.exceptAll(recomputed).count()
-        + recomputed.exceptAll(reported).count()
+    append_row, cow_view = append_rung(spark, cow_store, cow_view, n_rows)
+    cow_doc["append_commit"] = append_row
+
+    mor_doc, mor_store, mor_view = run_rung(
+        spark, root, n_rows, n_commits, "merge_on_read"
     )
+
+    # equivalence 1: after the same 10-commit stream (pre-append, the
+    # CoW store took one extra append commit), MoR snapshot == CoW
+    # snapshot. Compare via full-column exceptAll both ways.
+    cow_pre_append = cow_store.read(
+        "t", version=cow_store.current_version("t") - 1
+    )
+    mor_final = mor_store.read("t")
+    mor_vs_cow_drift = (
+        cow_pre_append.exceptAll(mor_final).count()
+        + mor_final.exceptAll(cow_pre_append).count()
+    )
+
+    # equivalence 2: each maintained view == full recompute
+    def view_drift(store, view):
+        recomputed = (
+            store.read("t")
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+            )
+        )
+        reported = view.select(
+            "grp",
+            F.col("d_count").alias("n"),
+            F.when(F.col("d_nn") > 0, F.col("d_sum")).alias("s"),
+        )
+        return (
+            reported.exceptAll(recomputed).count()
+            + recomputed.exceptAll(reported).count()
+        )
+
+    cow_drift = view_drift(cow_store, cow_view)
+    mor_drift = view_drift(mor_store, mor_view)
+
+    indep = independence_rung(
+        spark, root, sizes=[n_rows // 10, n_rows], batch=max(1, n_rows // 100)
+    )
+
     doc = {
         "metric": "lakehouse_per_commit",
         "n_rows": n_rows,
         "n_commits": n_commits,
-        "seed_sec": round(seed_sec, 1),
-        "commits": commits,
-        "append_commit": append_row,
-        "ivm_drift_rows": drift,
-        "host_canary_ms_pre": canary_pre,
-        "host_canary_ms_post": bench.host_canary_ms(),
+        "protocol": protocol_header(
+            1, canary=PROTOCOL_VERSION, steady_state_reads_runs=3
+        ),
+        "copy_on_write": cow_doc,
+        "merge_on_read": mor_doc,
+        "table_size_independence": indep,
+        "ivm_drift_rows": {"copy_on_write": cow_drift, "merge_on_read": mor_drift},
+        "mor_vs_cow_drift_rows": mor_vs_cow_drift,
     }
     print(json.dumps(doc))
     if json_out:

@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from etl_notifier_pipeline_spark import caching, plans  # noqa: E402
 from etl_notifier_pipeline_spark.session import get_spark  # noqa: E402
+from tools.benchproto import PROTOCOL_VERSION, stamped_runs  # noqa: E402
 
 METRIC_FIELDS = (
     "inputBytes",
@@ -154,16 +155,17 @@ def main() -> None:
         if not no_warm:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             caching.release_all()
-        best_wall, best_m = None, None
-        for _ in range(n_runs):
+
+        def run_once(fn=fn):
             _dedup.LAST_CLUSTER_STATS.clear()
             wall, m = measured_run(spark, fn, sf_dir)
-            if best_wall is None or wall < best_wall:
-                best_wall, best_m = wall, m
-                if _dedup.LAST_CLUSTER_STATS:
-                    best_m = {**m, "cluster": dict(_dedup.LAST_CLUSTER_STATS)}
+            if _dedup.LAST_CLUSTER_STATS:
+                m = {**m, "cluster": dict(_dedup.LAST_CLUSTER_STATS)}
             caching.release_all()
-        out[name] = {"sec": round(best_wall, 3), **best_m}
+            return wall, m
+
+        out[name] = stamped_runs(run_once, n_runs=n_runs)
+        best_wall, best_m = out[name]["sec"], out[name]
         if with_rows:
             out[name]["rows"] = fn(spark, sf_dir).count()
             caching.release_all()
@@ -186,14 +188,15 @@ def main() -> None:
         {}
         if no_duck
         else bench.duckdb_twin_times(
-            sf_dir, names, n_runs=n_runs, warm=not no_warm, profile=profile
+            sf_dir, names, n_runs=n_runs, warm=not no_warm, profile=profile,
+            stamped=True,
         )
     )
     spark_total = sum(v["sec"] for v in out.values())
     spark_paired = sum(
         v["sec"] for n, v in out.items() if duck.get(n) is not None
     )
-    duck_total = sum(t for t in duck.values() if t is not None)
+    duck_total = sum(t["sec"] for t in duck.values() if t is not None)
     from etl_notifier_pipeline_spark.operators import starjoin
 
     doc = {
@@ -202,6 +205,7 @@ def main() -> None:
         "unit": "sec",
         "protocol": {
             "runs": n_runs,
+            "canary": PROTOCOL_VERSION,
             "warm": not no_warm,
             "symmetric": True,  # DuckDB twins use the same warm+runs
             "numeric_profile": profile,

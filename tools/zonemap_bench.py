@@ -28,6 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from etl_notifier_pipeline_spark.session import get_spark  # noqa: E402
 from etl_notifier_pipeline_spark.storage import TableStore  # noqa: E402
 from scale_bench import measured_run  # noqa: E402
+from tools.benchproto import PROTOCOL_VERSION, stamped_runs  # noqa: E402
 
 LO = datetime.datetime(2000, 1, 1)
 HI = datetime.datetime(2000, 12, 31, 23, 59, 59)
@@ -60,7 +61,7 @@ def main() -> None:
     out: dict = {
         "metric": "zonemap_scan",
         "sf_dir": sf_dir,
-        "protocol": {"warm": True, "runs": 2},
+        "protocol": {"warm": True, "runs": 2, "canary": PROTOCOL_VERSION},
         # Once clustered, parquet's own row-group pushdown already
         # skips non-matching files' DATA pages — what file-level zone
         # maps additionally remove is the per-file metadata cost (a
@@ -133,12 +134,9 @@ def main() -> None:
             ("pruned_scan", pruned_scan),
         ):
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best_wall, best_m = None, None
-            for _ in range(2):
-                wall, m = measured_run(spark, fn, sf_dir)
-                if best_wall is None or wall < best_wall:
-                    best_wall, best_m = wall, m
-            cell[name] = {"sec": round(best_wall, 3), **best_m}
+            cell[name] = stamped_runs(
+                lambda fn=fn: measured_run(spark, fn, sf_dir), n_runs=2
+            )
 
         full = {tuple(r) for r in full_scan(spark, sf_dir).collect()}
         pruned = {tuple(r) for r in pruned_scan(spark, sf_dir).collect()}
