@@ -52,9 +52,29 @@ QUANT = np.array(
     dtype=np.int32,
 )
 
+# Annex-K chrominance quantization (same mid quality point) — used by
+# the 4:4:4 color path for Cb/Cr.
+QUANT_C = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
 # standard luminance DC table (bits per code length 1..16, then symbols)
 DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 DC_VALS = list(range(12))
+
+# standard chrominance DC table (T.81 Table K.4)
+DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_VALS_C = list(range(12))
 
 # standard luminance AC table
 AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
@@ -79,6 +99,32 @@ AC_VALS = [
     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# standard chrominance AC table (T.81 Table K.6)
+AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
 
@@ -120,6 +166,8 @@ def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int
 
 _DC_CODES = _huffman_codes(DC_BITS, DC_VALS)
 _AC_CODES = _huffman_codes(AC_BITS, AC_VALS)
+_DC_CODES_C = _huffman_codes(DC_BITS_C, DC_VALS_C)
+_AC_CODES_C = _huffman_codes(AC_BITS_C, AC_VALS_C)
 
 
 class _BitWriter:
@@ -154,68 +202,156 @@ def _amplitude(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
+def _encode_block(
+    w: _BitWriter,
+    block: np.ndarray,
+    quant: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    prev_dc: int,
+) -> int:
+    """DCT+quantize+entropy-code one level-shifted 8x8 block; returns
+    the new DC predictor."""
+    coef = _DCT @ block @ _DCT.T
+    q = np.round(coef / quant).astype(np.int64)
+    zz = q.flatten()[ZIGZAG]
+    # DC
+    diff = int(zz[0]) - prev_dc
+    prev_dc = int(zz[0])
+    size = _category(diff)
+    code, length = dc_codes[size]
+    w.write(code, length)
+    if size:
+        w.write(_amplitude(diff, size), size)
+    # AC
+    run = 0
+    for v in zz[1:]:
+        v = int(v)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        size = _category(v)
+        code, length = ac_codes[(run << 4) | size]
+        w.write(code, length)
+        w.write(_amplitude(v, size), size)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]  # EOB
+        w.write(code, length)
+    return prev_dc
+
+
+def _pad_to_blocks(img: np.ndarray) -> np.ndarray:
+    """Pad to 8x8 multiples by edge replication (standard practice)."""
+    height, width = img.shape
+    ph = (height + 7) // 8 * 8
+    pw = (width + 7) // 8 * 8
+    return np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge")
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
 def encode_gray(pixels: list[int], width: int, height: int) -> bytes:
     """8-bit grayscale pixels (row-major, len == width*height) ->
     baseline JFIF bytes."""
     if len(pixels) != width * height:
         raise ValueError("pixel count != width*height")
     img = np.asarray(pixels, dtype=np.float64).reshape(height, width)
-    # pad to 8x8 multiples by edge replication (standard practice)
-    ph = (height + 7) // 8 * 8
-    pw = (width + 7) // 8 * 8
-    padded = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge")
+    padded = _pad_to_blocks(img)
+    ph, pw = padded.shape
 
     w = _BitWriter()
     prev_dc = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            block = padded[by : by + 8, bx : bx + 8] - 128.0
-            coef = _DCT @ block @ _DCT.T
-            q = np.round(coef / QUANT).astype(np.int64)
-            zz = q.flatten()[ZIGZAG]
-            # DC
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            size = _category(diff)
-            code, length = _DC_CODES[size]
-            w.write(code, length)
-            if size:
-                w.write(_amplitude(diff, size), size)
-            # AC
-            run = 0
-            for v in zz[1:]:
-                v = int(v)
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = _AC_CODES[0xF0]  # ZRL
-                    w.write(code, length)
-                    run -= 16
-                size = _category(v)
-                code, length = _AC_CODES[(run << 4) | size]
-                w.write(code, length)
-                w.write(_amplitude(v, size), size)
-                run = 0
-            if run:
-                code, length = _AC_CODES[0x00]  # EOB
-                w.write(code, length)
+            prev_dc = _encode_block(
+                w, padded[by : by + 8, bx : bx + 8] - 128.0,
+                QUANT, _DC_CODES, _AC_CODES, prev_dc,
+            )
     data = w.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, bytes([0]) + bytes(QUANT.flatten()[ZIGZAG].tolist()))
-    out += seg(
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, bytes([0]) + bytes(QUANT.flatten()[ZIGZAG].tolist()))
+    out += _seg(
         0xFFC0,
         struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
     )
-    out += seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
-    out += seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
-    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """JFIF full-range YCbCr (ITU-R BT.601 coefficients)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.stack([r, g, b], axis=-1)
+
+
+def encode_rgb(pixels: list[int], width: int, height: int) -> bytes:
+    """8-bit interleaved RGB pixels (row-major, len == 3*width*height)
+    -> baseline 4:4:4 color JFIF bytes (3 components, no chroma
+    subsampling, interleaved MCUs = one 8x8 block per component,
+    Annex-K luma/chroma quant + standard luminance/chrominance
+    Huffman tables). Decodes in any JPEG reader."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixel count != 3*width*height")
+    rgb = np.asarray(pixels, dtype=np.float64).reshape(height, width, 3)
+    planes = [_pad_to_blocks(p) for p in _rgb_to_ycbcr(rgb)]
+    ph, pw = planes[0].shape
+    tables = [
+        (QUANT, _DC_CODES, _AC_CODES),        # Y
+        (QUANT_C, _DC_CODES_C, _AC_CODES_C),  # Cb
+        (QUANT_C, _DC_CODES_C, _AC_CODES_C),  # Cr
+    ]
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, (plane, (q, dc, ac)) in enumerate(zip(planes, tables)):
+                prev_dc[ci] = _encode_block(
+                    w, plane[by : by + 8, bx : bx + 8] - 128.0,
+                    q, dc, ac, prev_dc[ci],
+                )
+    data = w.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, bytes([0]) + bytes(QUANT.flatten()[ZIGZAG].tolist()))
+    out += _seg(0xFFDB, bytes([1]) + bytes(QUANT_C.flatten()[ZIGZAG].tolist()))
+    # SOF0: 3 components, all 1x1 sampling (4:4:4); Y->qt0, Cb/Cr->qt1
+    out += _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    out += _seg(0xFFC4, bytes([0x01]) + bytes(DC_BITS_C) + bytes(DC_VALS_C))
+    out += _seg(0xFFC4, bytes([0x11]) + bytes(AC_BITS_C) + bytes(AC_VALS_C))
+    # SOS: Y uses dc0/ac0, Cb/Cr dc1/ac1
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += data
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -313,19 +449,21 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_gray(blob: bytes) -> tuple[int, int, list[int]]:
-    """Baseline grayscale JPEG -> (width, height, row-major pixels).
-
-    Raises ``NotImplementedError`` for progressive/arithmetic/
-    multi-component streams (PIL's territory when installed) and
-    ``ValueError`` for malformed bytes."""
+def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Shared baseline decoder: parse tables + SOF0 + SOS, entropy-
+    decode interleaved MCUs, return (width, height, [component
+    planes] in SOF order, un-level-shifted floats). Handles 1
+    component (grayscale) and 3 components at 4:4:4; chroma
+    subsampling / progressive / arithmetic / restart intervals gate to
+    ``NotImplementedError``; malformed bytes raise ``ValueError``."""
     if not is_jpeg(blob):
         raise ValueError("not a JPEG stream")
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     width = height = 0
+    comps: list[dict] = []  # SOF order: {"cid": int, "tq": int}
+    scan: dict[int, tuple[int, int]] = {}  # cid -> (dc_id, ac_id)
     sos_at = None
-    dc_id = ac_id = qt_id = 0
     for marker, payload, end in _segments(blob):
         if marker == 0xFFDB:
             j = 0
@@ -352,12 +490,19 @@ def decode_gray(blob: bytes) -> tuple[int, int, list[int]]:
             prec, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only single-component (grayscale) JPEG is supported "
-                    "by the stdlib codec — color needs Pillow"
+                    f"{ncomp}-component JPEG not supported by the stdlib "
+                    "codec (grayscale and 3-component color only)"
                 )
-            qt_id = payload[8]
+            for ci in range(ncomp):
+                cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                if ncomp > 1 and hv != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG (sampling != 4:4:4) not "
+                        "supported by the stdlib codec — needs Pillow"
+                    )
+                comps.append({"cid": cid, "tq": tq})
         elif marker == 0xFFC4:
             j = 0
             while j < len(payload):
@@ -379,50 +524,92 @@ def decode_gray(blob: bytes) -> tuple[int, int, list[int]]:
                 "stdlib JPEG codec — needs Pillow"
             )
         elif marker == 0xFFDA:
-            dc_id, ac_id = payload[2] >> 4, payload[2] & 0xF
+            ns = payload[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG not "
+                    "supported by the stdlib codec"
+                )
+            for si in range(ns):
+                cs, tbl = payload[1 + 2 * si : 3 + 2 * si]
+                scan[cs] = (tbl >> 4, tbl & 0xF)
             sos_at = end
-    if sos_at is None or not width:
+    if sos_at is None or not width or not comps:
         raise ValueError("truncated JPEG: no SOS/SOF")
     try:
-        dc_tbl, ac_tbl = huff[(0, dc_id)], huff[(1, ac_id)]
-        q = quant[qt_id]
+        ctabs = [
+            (huff[(0, scan[c["cid"]][0])], huff[(1, scan[c["cid"]][1])],
+             quant[c["tq"]])
+            for c in comps
+        ]
     except KeyError as e:
         raise ValueError(
             f"JPEG references undeclared Huffman/quant table {e}"
         ) from e
     r = _BitReader(blob[sos_at:])
     ph, pw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
-    img = np.zeros((ph, pw))
-    prev_dc = 0
+    planes = [np.zeros((ph, pw)) for _ in comps]
+    prev_dc = [0] * len(comps)
     try:
         for by in range(0, ph, 8):
             for bx in range(0, pw, 8):
-                zz = np.zeros(64, dtype=np.int64)
-                size = _read_symbol(r, dc_tbl)
-                diff = _extend(r.bits(size), size) if size else 0
-                prev_dc += diff
-                zz[0] = prev_dc
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(r, ac_tbl)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    zz[k] = _extend(r.bits(size), size)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[ZIGZAG] = zz
-                block = _DCT.T @ (coef.reshape(8, 8) * q) @ _DCT
-                img[by : by + 8, bx : bx + 8] = block + 128.0
+                for ci, (dc_tbl, ac_tbl, q) in enumerate(ctabs):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = _read_symbol(r, dc_tbl)
+                    diff = _extend(r.bits(size), size) if size else 0
+                    prev_dc[ci] += diff
+                    zz[0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _read_symbol(r, ac_tbl)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 0xF
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += run
+                        zz[k] = _extend(r.bits(size), size)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[ZIGZAG] = zz
+                    block = _DCT.T @ (coef.reshape(8, 8) * q) @ _DCT
+                    planes[ci][by : by + 8, bx : bx + 8] = block + 128.0
     except (EOFError, KeyError, IndexError) as e:
         # A malformed/truncated entropy stream is bad DATA, not a
         # missing capability — surface it as ValueError so callers
         # (and multimodal's per-row error column) classify it as a
         # decode failure rather than crashing the UDF (r7 advice #3).
         raise ValueError(f"malformed JPEG entropy stream: {e}") from e
-    out = np.clip(np.round(img[:height, :width]), 0, 255).astype(np.uint8)
+    return width, height, [p[:height, :width] for p in planes]
+
+
+def decode_gray(blob: bytes) -> tuple[int, int, list[int]]:
+    """Baseline grayscale JPEG -> (width, height, row-major pixels).
+
+    Raises ``NotImplementedError`` for progressive/arithmetic/
+    subsampled streams — and for COLOR streams, which this strict-
+    grayscale entry point rejects by contract (``decode_image``
+    handles them) — and ``ValueError`` for malformed bytes."""
+    width, height, planes = _decode_baseline(blob)
+    if len(planes) != 1:
+        raise NotImplementedError(
+            "decode_gray is single-component by contract — use "
+            "decode_image for color JPEG"
+        )
+    out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     return width, height, out.flatten().tolist()
+
+
+def decode_image(blob: bytes) -> tuple[int, int, int, list[int]]:
+    """Baseline JPEG (grayscale or 4:4:4 color) -> (width, height,
+    n_components, row-major pixels — interleaved RGB for color).
+    YCbCr -> RGB uses the JFIF/BT.601 inverse, matching every
+    standard JPEG reader."""
+    width, height, planes = _decode_baseline(blob)
+    if len(planes) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return width, height, 1, out.flatten().tolist()
+    rgb = _ycbcr_to_rgb(*planes)
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return width, height, 3, out.flatten().tolist()

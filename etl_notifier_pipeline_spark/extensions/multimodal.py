@@ -136,11 +136,12 @@ def _decode_impl(blob: bytes, modality: str, codec: str) -> list[float]:
             width, height, px = pngio.gray_pixels(blob)
             return _block_mean_pool(px, width, height)
         if jpegio.is_jpeg(blob):
-            # lossy route: stdlib baseline-grayscale codec; streams it
-            # can't express (progressive, color) gate clearly — PIL's
-            # territory when installed
+            # lossy route: stdlib baseline codec (grayscale AND 4:4:4
+            # color since r9); streams it can't express (progressive,
+            # subsampled, restarts) gate clearly — PIL's territory
+            # when installed
             try:
-                width, height, px = jpegio.decode_gray(blob)
+                width, height, ncomp, px = jpegio.decode_image(blob)
             except (NotImplementedError, ValueError):
                 # NotImplementedError: capability gate (progressive /
                 # restart intervals / exotic layouts). ValueError:
@@ -150,6 +151,15 @@ def _decode_impl(blob: bytes, modality: str, codec: str) -> list[float]:
                 if codec == "auto":
                     return _fake_features(blob)
                 raise
+            if ncomp == 3:
+                # PIL's exact fixed-point ITU-R 601 luma (same formula
+                # as pngio.gray_pixels) so the pooled features match a
+                # convert("L") branch
+                px = [
+                    (px[i] * 19595 + px[i + 1] * 38470
+                     + px[i + 2] * 7471 + 0x8000) >> 16
+                    for i in range(0, len(px), 3)
+                ]
             return _block_mean_pool(px, width, height)
         if codec == "auto":
             return _fake_features(blob)

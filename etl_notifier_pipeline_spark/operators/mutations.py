@@ -254,6 +254,7 @@ def change_feed(
         )
     cdc_dir = getattr(store, "cdc_dir", None)
     app_dirs = getattr(store, "appended_dirs", None)
+    is_comp = getattr(store, "is_compaction", None)
     out = None
     for v in range(lo, hi):
         # Fast paths, cheapest first — all three produce the identical
@@ -266,6 +267,11 @@ def change_feed(
         #    append-stream contract that appends add new keys, the
         #    same precondition snapshot CDC-by-key already has).
         # 3. snapshot_diff: the O(table) general case.
+        # 0. compact() commits rewrite LAYOUT, not data: the feed has
+        #    zero rows for them by construction — skip, don't pay the
+        #    empty O(table) snapshot_diff
+        if is_comp and is_comp(table, v + 1):
+            continue
         sidecar = cdc_dir(table, v + 1) if cdc_dir else None
         added = app_dirs(table, v + 1) if (app_dirs and not sidecar) else None
         if sidecar:

@@ -56,15 +56,45 @@ from etl_notifier_pipeline_spark.catalog import load_table
 #   concurrent tasks) — fact-stage CPU ~114 s -> ~94 s. The custkey
 #   join's co-location is unaffected (dims keep one bucket count);
 #   the onk map was already being exchanged to align with the fact.
-STAR_BUCKETS: dict[str, dict] = {
-    "lineitem": {
-        "key": "l_orderkey",
-        "columns": ("l_orderkey", "l_extendedprice", "l_discount"),
-        "buckets_mult": 4,
+LAYOUTS: dict[str, dict[str, dict]] = {
+    # q05's layout: fact bucketed by orderkey, orders/customer
+    # co-bucketed on custkey (the custkey join is exchange-free on
+    # BOTH sides; the orderkey side aligns the small onk map to the
+    # fact's buckets)
+    "custkey_star": {
+        "lineitem": {
+            "key": "l_orderkey",
+            "columns": ("l_orderkey", "l_extendedprice", "l_discount"),
+            "buckets_mult": 4,
+        },
+        "orders": {"key": "o_custkey"},
+        "customer": {"key": "c_custkey"},
     },
-    "orders": {"key": "o_custkey"},
-    "customer": {"key": "c_custkey"},
+    # the fact-fact layout (q50/TPC-H Q9 shape): lineitem AND orders
+    # co-bucketed on the orderkey with EQUAL bucket counts, so the
+    # join between the two table-sized relations — the join that can
+    # never broadcast and at 100 TB must not shuffle either side — is
+    # storage-partitioned with zero exchange on both legs. Covering
+    # projections keep both scans to the star's columns.
+    "orderkey_star": {
+        "lineitem": {
+            "key": "l_orderkey",
+            "columns": (
+                "l_orderkey", "l_partkey", "l_suppkey",
+                "l_quantity", "l_extendedprice", "l_discount",
+            ),
+            "buckets_mult": 4,
+        },
+        "orders": {
+            "key": "o_orderkey",
+            "columns": ("o_orderkey", "o_orderdate"),
+            "buckets_mult": 4,
+        },
+    },
 }
+
+# backwards-compatible alias (pre-r9 single-layout name)
+STAR_BUCKETS: dict[str, dict] = LAYOUTS["custkey_star"]
 
 LAST_BUILD_SECS: dict[str, float] = {}
 
@@ -73,14 +103,23 @@ def _tag(sf_dir: str) -> str:
     return re.sub(r"\W+", "_", sf_dir).strip("_")
 
 
-def bucketed_table_name(sf_dir: str, table: str, n_buckets: int = 256) -> str:
-    """Layout-versioned catalog name: bucket count and projection
-    width are part of the name, so a spec change can never silently
-    reuse a stale on-disk layout."""
-    spec = STAR_BUCKETS.get(table, {})
+def bucketed_table_name(
+    sf_dir: str, table: str, n_buckets: int = 256, spec: dict | None = None
+) -> str:
+    """Layout-versioned catalog name: bucket key, count and projection
+    width are all part of the name, so a spec change (or the same
+    table appearing in two layouts bucketed by different keys) can
+    never silently reuse a stale on-disk layout."""
+    if spec is None:
+        spec = STAR_BUCKETS.get(table, {})
     nb = n_buckets * spec.get("buckets_mult", 1)
     cols = spec.get("columns")
-    suffix = f"_b{nb}" + (f"_p{len(cols)}" if cols else "")
+    key_tag = f"_k{spec['key']}" if spec.get("key") else ""
+    # the original custkey_star names predate multi-layout support;
+    # keep them stable so existing warehouses/artifacts stay valid
+    if spec is STAR_BUCKETS.get(table):
+        key_tag = ""
+    suffix = f"{key_tag}_b{nb}" + (f"_p{len(cols)}" if cols else "")
     return f"star_{_tag(sf_dir)}__{table}{suffix}"
 
 
@@ -99,12 +138,14 @@ def ensure_bucketed_layout(
     seconds are recorded in ``LAST_BUILD_SECS`` so benchmarks can
     report it honestly rather than hide it."""
     tables = tables or STAR_BUCKETS
+    if isinstance(tables, str):
+        tables = LAYOUTS[tables]
     out: dict[str, DataFrame] = {}
     for table, spec in tables.items():
         key = spec["key"]
         nb = n_buckets * spec.get("buckets_mult", 1)
         cols = spec.get("columns")
-        name = bucketed_table_name(sf_dir, table, n_buckets)
+        name = bucketed_table_name(sf_dir, table, n_buckets, spec)
         if not spark.catalog.tableExists(name):
             # bucket METADATA lives in the session catalog (in-memory
             # here; Hive/Glue/Unity on a deployment) while the bucketed
@@ -237,4 +278,133 @@ def q05_plan_bucketed(
     b = ensure_bucketed_layout(spark, sf_dir, n_buckets=n_buckets)
     return _q05_from_parts(
         b["lineitem"], b["orders"], b["customer"], _nation_map(spark, sf_dir)
+    )
+
+
+def star_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    layout: str | dict,
+    fact: str,
+    dims: list[dict],
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Generic star composition over a registered bucket layout (the
+    r8 ask: promote the q05-only facility to a reusable planner).
+    ``fact`` names the layout's fact table; each dim spec declares its
+    join and — the part that decides 100 TB survival — its STRATEGY:
+
+    - ``{"name": t, "on": (fcol, dcol), "strategy": "colocated"}``
+      the dim is in the layout, bucketed on its join key with the
+      same bucket count as the fact: the join is storage-partitioned,
+      ZERO exchange on both sides (the only strategy that works when
+      both relations are table-sized, e.g. lineitem ⨝ orders).
+    - ``{"df": df, "on": ..., "strategy": "shuffle_hash"}``
+      executor-side hash build: right for a GROWING dim (part,
+      supplier — table-sized at 100 TB, so driver broadcast dies) —
+      the fact pays a shuffle but nothing sorts and nothing lands on
+      the driver.
+    - ``{"df": df, "on": ..., "strategy": "broadcast"}``
+      ONLY for constant-size dims (nation/region: bounded by the
+      world, not the data).
+
+    Joins apply in list order; supply pre-filtered/pre-projected
+    ``df``s so predicate and column pruning reach the scans."""
+    b = ensure_bucketed_layout(spark, sf_dir, tables=layout, n_buckets=n_buckets)
+    df = b[fact]
+    for d in dims:
+        strat = d["strategy"]
+        if strat == "colocated":
+            if d.get("name") not in b:
+                raise ValueError(
+                    f"colocated dim {d.get('name')!r} not in layout"
+                )
+            other = d.get("df") if d.get("df") is not None else b[d["name"]]
+        else:
+            other = d["df"]
+        fcol, dcol = d["on"]
+        if strat == "broadcast":
+            other = F.broadcast(other)
+        elif strat == "shuffle_hash":
+            other = other.hint("shuffle_hash")
+        elif strat != "colocated":
+            raise ValueError(f"unknown strategy {strat!r}")
+        df = df.join(other, F.col(fcol) == F.col(dcol))
+    return df
+
+
+def q50_plan_bucketed(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 256
+) -> DataFrame:
+    """q50 (TPC-H Q9 shape: product-line profit by supplier nation and
+    order year) as a ``star_plan`` over the ``orderkey_star`` layout —
+    the second pinned zero-fact-exchange star (r8 ask #5).
+
+    The scale-killer in the fixture plan (plans/tpch_extra2.py:113) is
+    the lineitem ⨝ orders join: BOTH sides are table-sized, so neither
+    broadcasts, and a shuffle join moves the 600 M-row fact AND the
+    150 M-row orders every query. Here both are read from their
+    co-bucketed covering projections: the scans ARE the join
+    partitioning — zero exchange, zero sort on the fact-fact join.
+    part (LIKE-filtered before the join) and supplier join as
+    executor-built shuffle-hash (they grow with the data: broadcast
+    dies first at 100 TB, and r6 measured the driver-serial build);
+    only the 25-row nation map broadcasts. Deployment numeric profile
+    (double sums) — the bit-exact decimal twin stays in the
+    registry."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    joined = star_plan(
+        spark,
+        sf_dir,
+        layout="orderkey_star",
+        fact="lineitem",
+        dims=[
+            {
+                "name": "orders",
+                "on": ("l_orderkey", "o_orderkey"),
+                "strategy": "colocated",
+            },
+            {
+                "df": p,
+                "on": ("l_partkey", "p_partkey"),
+                "strategy": "shuffle_hash",
+            },
+            {
+                "df": s,
+                "on": ("l_suppkey", "s_suppkey"),
+                "strategy": "shuffle_hash",
+            },
+            {
+                "df": nat,
+                "on": ("s_nationkey", "n_nationkey"),
+                "strategy": "broadcast",
+            },
+        ],
+        n_buckets=n_buckets,
+    )
+    vol = F.col("l_extendedprice").cast("double") * (
+        F.lit(1.0) - F.col("l_discount").cast("double")
+    )
+    cost = (
+        F.col("l_quantity").cast("double")
+        * F.col("p_retailprice").cast("double")
+        * F.lit(0.2)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("o_year"),
+    ).agg(
+        F.sum(vol - cost).alias("profit"),
+        F.count(F.lit(1)).alias("n_lineitems"),
     )

@@ -1338,3 +1338,138 @@ def m20_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "m21_ivm_over_mor",
+    category="mutation",
+    oracle=f"""
+WITH ev AS ({_EV_SQL}),
+s1 AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'purchase') WHERE rn = 1
+),
+last_click AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'click' AND user_id % 2 = 0) WHERE rn = 1
+),
+s2 AS (
+  SELECT t.* FROM s1 t
+  WHERE NOT EXISTS (SELECT 1 FROM last_click l WHERE l.user_id = t.user_id)
+  UNION ALL
+  SELECT * FROM last_click
+),
+s3 AS (
+  SELECT * FROM s2 t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ev d WHERE d.event_type = 'error'
+      AND d.user_id % 7 = 0 AND d.user_id = t.user_id)
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM s3 GROUP BY event_type
+""",
+)
+def m21_ivm_over_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM consumer over a MERGE-ON-READ commit chain with the
+    delta-stack auto-compact policy engaged (r8 verdict ask #6): the
+    same three-commit history as m20, but the maintained aggregate is
+    folded from ``change_feed`` — whose source commits are MoR delta
+    commits (write-time CDC sidecars over O(batch) deltas) and whose
+    range INCLUDES the auto-triggered ``compact()`` commit, which the
+    feed must recognize as a zero-change layout rewrite (manifest
+    ``compaction`` marker) and skip rather than re-derive. Oracle
+    equality on the maintained view therefore proves, end to end:
+    MoR CDC sidecars carry exactly the copy-on-write change
+    semantics, auto-compaction fires without corrupting the feed, and
+    the fold (``cdc_agg_delta`` + ``merge_aggregates``) reconstructs
+    the final aggregate bit-for-bit without ever recomputing the
+    view. m20's compacted-snapshot aggregate checks the DATA path;
+    this checks the FEED path over the identical history."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from etl_notifier_pipeline_spark.operators import change_feed
+    from etl_notifier_pipeline_spark.operators.incremental import (
+        cdc_agg_delta,
+        merge_aggregates,
+    )
+    from etl_notifier_pipeline_spark.storage import BucketedTableStore
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    s1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    store = BucketedTableStore(
+        spark, tempfile.mkdtemp(prefix="m21_"),
+        keys={"t": ["user_id"]}, n_buckets=16, retain_versions=6,
+        capture_cdc=True,
+        # any bucket exceeding ONE stacked delta dir triggers
+        # compact() right after the commit: the delete commit stacks a
+        # second delta on buckets the update already touched, so the
+        # chain ends v1 seed, v2 MoR update, v3 MoR delete, v4
+        # compaction — and the feed below must skip v4
+        auto_compact_deltas=1,
+    )
+    store.overwrite("t", s1)
+    dec = "decimal(18,2)"
+    view = (
+        store.read("t", version=1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("d_count"),
+            F.coalesce(
+                F.sum(F.col("value").cast("decimal(12,2)")),
+                F.lit(0).cast(dec),
+            ).cast(dec).alias("d_sum"),
+            F.count("value").alias("d_nn"),
+        )
+    )
+    store.apply_keyed_mutation(
+        "t",
+        ev.filter(
+            (F.col("event_type") == "click") & (F.col("user_id") % 2 == 0)
+        ),
+        ["user_id"],
+        ["event_id"],
+        "update",
+        strategy="merge_on_read",
+    )
+    v_final = store.apply_keyed_mutation(
+        "t",
+        ev.filter(
+            (F.col("event_type") == "error") & (F.col("user_id") % 7 == 0)
+        ).select("user_id"),
+        ["user_id"],
+        [],
+        "delete",
+        strategy="merge_on_read",
+    )
+    # the policy must actually have fired: the returned version is the
+    # compaction commit, stacked deltas folded away
+    assert store.is_compaction("t", v_final), "auto-compact did not fire"
+    assert not store._manifest("t", v_final).get("deltas")
+    feed = change_feed(
+        store, "t", ["user_id"], from_version=1, to_version=v_final
+    )
+    folded = merge_aggregates(
+        view,
+        cdc_agg_delta(feed, "event_type", "value", value_cast="decimal(12,2)"),
+        ["event_type"],
+        {"d_count": "count", "d_sum": "sum", "d_nn": "count"},
+    ).filter(F.col("d_count") > 0)
+    return folded.select(
+        "event_type",
+        F.col("d_count").alias("n_rows"),
+        F.when(F.col("d_nn") > 0, F.col("d_sum"))
+        .cast("double")
+        .alias("total_value"),
+    )

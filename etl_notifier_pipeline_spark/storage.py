@@ -850,11 +850,18 @@ class BucketedTableStore:
         n_buckets: int = 64,
         retain_versions: int = 2,
         capture_cdc: bool = False,
+        auto_compact_deltas: int | None = None,
     ) -> None:
         self.spark = spark
         self.root = root
         self.keys = dict(keys or {})
         self.n_buckets = n_buckets
+        # Delta-stack policy (Delta's optimized-write/auto-compaction
+        # analog): after a merge_on_read commit, if any bucket has
+        # accumulated more than this many delta dirs, compact() runs
+        # automatically — bounding read amplification without the
+        # caller scheduling maintenance. None = manual compaction.
+        self.auto_compact_deltas = auto_compact_deltas
         # How many trailing versions survive vacuum: the time-travel
         # horizon. Every retained version is readable via
         # ``read(table, version=n)`` (snapshot isolation: a version dir
@@ -905,6 +912,8 @@ class BucketedTableStore:
         affected: set[int] | None, cdc_df: DataFrame | None = None,
         delta_df: DataFrame | None = None,
         carry_deltas: dict[str, list[str]] | None = None,
+        manifest_extra: dict | None = None,
+        cdc_from_staged=None,
     ) -> int:
         """Write ``df``'s rows bucket-partitioned into the next version
         dir and commit a manifest that is ``carry`` (prior entries for
@@ -914,6 +923,16 @@ class BucketedTableStore:
         the CDC sidecar commits atomically with the version it
         describes — a version either has its complete change set or
         none (readers fall back to snapshot_diff).
+        ``cdc_from_staged`` is the non-double-evaluation alternative:
+        a callback invoked AFTER ``df`` is staged, with a reader over
+        the staged parquet — the sidecar it returns diffs exactly the
+        bytes being committed, so data and feed cannot disagree even
+        when the mutation plan has order_by ties (r7 advice #4)
+        without pinning an O(affected-buckets) checkpoint in memory.
+        ``manifest_extra``
+        merges extra marker keys into the manifest (e.g. compact()'s
+        ``"compaction": true``, which lets change_feed skip the commit
+        as a zero-change layout rewrite).
 
         Merge-on-read extensions: ``delta_df`` (rows with the
         ``__mor_deleted``/``__mor_seq`` helper columns) is staged
@@ -926,6 +945,21 @@ class BucketedTableStore:
         v = (self.current_version(table) or 0) + 1
         vrel = f"v={v}"
         staging = self._bstage(table, df)
+        if cdc_from_staged is not None:
+            try:
+                staged = self.spark.read.parquet(
+                    os.path.join(staging, "data")
+                )
+                staged = staged.select(
+                    *[c for c in staged.columns if c != "__bucket"]
+                )
+            except Exception:
+                # zero staged rows -> no partition dirs to infer from;
+                # the schema anchor gives the empty typed frame
+                staged = self.spark.read.parquet(
+                    os.path.join(staging, "schema")
+                )
+            cdc_df = cdc_from_staged(staged)
         if cdc_df is not None:
             cdc_df.write.mode("overwrite").parquet(
                 os.path.join(staging, "cdc")
@@ -962,6 +996,8 @@ class BucketedTableStore:
         manifest = {"schema": f"{vrel}/schema", "buckets": buckets}
         if deltas:
             manifest["deltas"] = deltas
+        if manifest_extra:
+            manifest.update(manifest_extra)
         self._bcommit(table, v, manifest, staging)
         return v
 
@@ -1274,9 +1310,17 @@ class BucketedTableStore:
             for r in incoming.select(bucket.alias("b")).distinct().collect()
         }
         if strategy == "merge_on_read":
-            return self._apply_mutation_mor(
+            v = self._apply_mutation_mor(
                 table, incoming, keys, order_by, op, affected
             )
+            if self.auto_compact_deltas is not None:
+                m = self._manifest(table, v)
+                if any(
+                    len(dirs) > self.auto_compact_deltas
+                    for dirs in m.get("deltas", {}).values()
+                ):
+                    v = self.compact(table) or v
+            return v
         current = self._read_paths(table, affected)
         if op == "insert":
             result = insert_if_absent(current, incoming, keys, order_by)
@@ -1286,29 +1330,38 @@ class BucketedTableStore:
             result = delete_by_keys(current, incoming.select(*keys), keys)
         else:
             raise ValueError(f"unknown operation {op!r}")
-        cdc_df = None
+        cdc_fn = None
         if self.capture_cdc:
             from etl_notifier_pipeline_spark.operators.mutations import (
                 snapshot_diff,
             )
 
-            # Materialize the mutation plan ONCE before anything reads
-            # it: the staged data files and the CDC sidecar are two
-            # separate actions over `result`, and if a caller's
-            # order_by has ties the two executions could pick different
-            # winners — committing data that disagrees with its own
-            # change feed (r7 advice #4). localCheckpoint pins one
-            # evaluation; both readers consume the checkpointed rows.
-            result = result.localCheckpoint(eager=True)
-            # change rows can only involve the batch's keys: diff the
-            # key-matched slices of old vs new affected-bucket
-            # contents — O(batch + matched rows), never O(table)
+            # The staged data files and the CDC sidecar must describe
+            # the SAME evaluation of `result`: with order_by ties, two
+            # executions could pick different winners — committing
+            # data that disagrees with its own change feed (r7 advice
+            # #4). r8 pinned one evaluation with localCheckpoint, but
+            # checkpointing an O(affected buckets) CoW result pins
+            # ~the whole table in executor memory on scattered-key
+            # commits (measured: 60-80 s/commit -> 180 s + GC-locker
+            # thrash at 60 M rows). Instead the sidecar is now derived
+            # FROM THE STAGED FILES — _write_version stages `result`
+            # first, then calls this back with a reader over the
+            # staged parquet, so the feed diffs exactly the bytes
+            # being committed: consistency by construction, zero
+            # double-evaluation, zero pinned memory. Change rows can
+            # only involve the batch's keys: diff the key-matched
+            # slices — O(batch + matched rows), never O(table).
             batch_keys = incoming.select(*keys).distinct()
-            cdc_df = snapshot_diff(
-                current.join(batch_keys, list(keys), "left_semi"),
-                result.join(batch_keys, list(keys), "left_semi"),
-                keys,
-            )
+            old_matched = current.join(batch_keys, list(keys), "left_semi")
+
+            def cdc_fn(staged: DataFrame) -> DataFrame:
+                return snapshot_diff(
+                    old_matched,
+                    staged.join(batch_keys, list(keys), "left_semi"),
+                    keys,
+                )
+
         v = self.current_version(table)
         m = self._manifest(table, v)
         # a copy-on-write commit reads the MERGED view of the affected
@@ -1316,7 +1369,7 @@ class BucketedTableStore:
         # base; other buckets' deltas carry forward
         return self._write_version(
             table, result, carry=m["buckets"], affected=affected,
-            cdc_df=cdc_df, carry_deltas=m.get("deltas"),
+            cdc_from_staged=cdc_fn, carry_deltas=m.get("deltas"),
         )
 
     def _apply_mutation_mor(
@@ -1493,7 +1546,20 @@ class BucketedTableStore:
         return self._write_version(
             table, rows, carry=m["buckets"], affected=fragmented,
             carry_deltas=m.get("deltas"),
+            # marker: this commit changes LAYOUT, not data — change
+            # feeds skip it instead of paying an empty snapshot_diff
+            manifest_extra={"compaction": True},
         )
+
+    def is_compaction(self, table: str, v: int) -> bool:
+        """True when commit ``v`` was a compact() layout rewrite —
+        zero data change by construction, so change_feed emits no rows
+        for it (and skips the O(table) empty snapshot_diff it would
+        otherwise pay)."""
+        try:
+            return bool(self._manifest(table, v).get("compaction"))
+        except FileNotFoundError:
+            return False
 
     def _vacuum(self, table: str, keep: int) -> None:
         """Delete version dirs not referenced by any of the last

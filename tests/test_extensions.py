@@ -165,7 +165,7 @@ class TestMultimodal:
         assert os.path.isdir(M.MEDIA_FIXTURE_DIR), "fixture not committed"
         media = M.media_from_dir(spark, M.MEDIA_FIXTURE_DIR)
         rows = media.select("media_id", "content").collect()
-        assert len(rows) == 12  # 8 PNG + 4 JPEG
+        assert len(rows) == 14  # 8 PNG + 4 gray JPEG + 2 color JPEG
         feats = {
             r["media_id"]: r["features"]
             for r in M.extract_features(media, codec="real").collect()
@@ -181,6 +181,11 @@ class TestMultimodal:
             if feats[1_000_000][i] != feats[1_000_005][i]
         ]
         assert diffs == [0]  # the nudged pixel lives in block (0, 0)
+        # color JPEG pair (img_012 / img_013, byte-identical): the
+        # REAL branch — stdlib 4:4:4 color decode + fixed-point luma —
+        # executes in this sandbox, no Pillow involved
+        assert feats[1_000_012] == feats[1_000_013]
+        assert 0.0 < sum(feats[1_000_012]) < M.FEATURE_DIM  # non-degenerate
 
     def test_codec_auto_mixes_real_and_fake(self, spark):
         """codec='auto': PNG bytes decode for real (bit-equal to the
@@ -266,12 +271,24 @@ class TestMultimodal:
             n for n in sorted(os.listdir(M.MEDIA_FIXTURE_DIR))
             if n.endswith(".jpg")
         ]
-        assert len(jpgs) == 4
+        assert len(jpgs) == 6  # 4 grayscale + 2 color (4:4:4)
         for name in jpgs:
             blob = open(os.path.join(M.MEDIA_FIXTURE_DIR, name), "rb").read()
-            fw, fh, px = jpegio.decode_gray(blob)
-            assert (fw, fh) == jpegio.dimensions(blob)[:2] == (32, 32)
+            fw, fh, ncomp = jpegio.dimensions(blob)
+            assert (fw, fh) == (32, 32)
+            if ncomp == 1:
+                gw, gh, px = jpegio.decode_gray(blob)
+            else:
+                gw, gh, nc, px = jpegio.decode_image(blob)
+                assert nc == 3 and len(px) == 3 * 32 * 32
+            assert (gw, gh) == (32, 32)
             assert all(0 <= p <= 255 for p in px)
+        assert sum(
+            1 for n in jpgs
+            if jpegio.dimensions(
+                open(os.path.join(M.MEDIA_FIXTURE_DIR, n), "rb").read()
+            )[2] == 3
+        ) == 2
         # non-8-multiple dimensions: edge padding round-trips the
         # declared size, not the padded one
         ww, hh, _ = jpegio.decode_gray(
@@ -1038,3 +1055,57 @@ def test_incremental_semantic_dedup_matches_bruteforce(spark):
         ).collect()
     }
     assert poisoned == got
+
+
+def test_jpeg_color_roundtrip_and_gates():
+    """r8 ask #7: baseline 4:4:4 color JPEG on the stdlib Huffman
+    core — encode->decode roundtrip error bounded by the quant tables
+    (flat blocks near-exact, gradients within a few levels), the
+    strict-grayscale entry point rejects color by contract, and
+    decode_image serves both layouts."""
+    import math
+
+    from etl_notifier_pipeline_spark.extensions import jpegio
+
+    w = h = 24
+    rgb = []
+    for y in range(h):
+        for x in range(w):
+            rgb += [min(255, 5 * x), min(255, 5 * y), 128]
+    blob = jpegio.encode_rgb(rgb, w, h)
+    assert jpegio.is_jpeg(blob) and blob[-2:] == b"\xff\xd9"
+    assert jpegio.dimensions(blob) == (w, h, 3)
+    w2, h2, nc, out = jpegio.decode_image(blob)
+    assert (w2, h2, nc) == (w, h, 3) and len(out) == 3 * w * h
+    rmse = math.sqrt(
+        sum((a - b) ** 2 for a, b in zip(rgb, out)) / len(rgb)
+    )
+    assert rmse < 6.0, rmse
+    # flat color block: chroma quantization keeps it within a couple
+    # of levels per channel
+    flat = [200, 64, 32] * 64
+    _, _, _, fout = jpegio.decode_image(jpegio.encode_rgb(flat, 8, 8))
+    assert max(abs(a - b) for a, b in zip(flat, fout)) <= 4
+    # decode_gray is single-component by contract
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="decode_image"):
+        jpegio.decode_gray(blob)
+    # grayscale streams flow through decode_image too
+    gray = [(3 * x + 2 * y) % 256 for y in range(16) for x in range(16)]
+    gblob = jpegio.encode_gray(gray, 16, 16)
+    gw, gh, gnc, gpx = jpegio.decode_image(gblob)
+    assert (gw, gh, gnc) == (16, 16, 1)
+    assert gpx == jpegio.decode_gray(gblob)[2]
+    # non-8-multiple color dimensions: edge padding round-trips the
+    # declared size
+    odd = [10, 20, 30] * (10 * 6)
+    ow, oh, onc, _ = jpegio.decode_image(jpegio.encode_rgb(odd, 10, 6))
+    assert (ow, oh, onc) == (10, 6, 3)
+    # chroma-subsampled streams still gate (only 4:4:4 implemented):
+    # fabricate a SOF0 with 2x2 luma sampling
+    idx = blob.find(b"\xff\xc0")
+    bad = bytearray(blob)
+    bad[idx + 7 + 4] = 0x22  # Y component sampling 2x2
+    with _pytest.raises(NotImplementedError, match="subsampl"):
+        jpegio.decode_image(bytes(bad))
