@@ -167,9 +167,25 @@ def _q05_deployment(spark, sf_dir: str):
     return q05_plan_bucketed(spark, sf_dir)
 
 
+def _q50_deployment(spark, sf_dir: str):
+    # The second storage-partitioned star (operators/starjoin.py
+    # LAYOUTS["orderkey_star"], r8 ask #5): lineitem and orders are
+    # BOTH table-sized, so their join can never broadcast — here both
+    # are read from co-bucketed covering projections (zero exchange,
+    # zero sort on the fact-fact join); part/supplier join as
+    # executor-built shuffle-hash, only the 25-row nation map
+    # broadcasts.
+    from etl_notifier_pipeline_spark.operators.starjoin import (
+        q50_plan_bucketed,
+    )
+
+    return q50_plan_bucketed(spark, sf_dir)
+
+
 DEPLOYMENT_SPARK = {
     "q01_pricing_summary": _q01_deployment,
     "q05_revenue_by_nation": _q05_deployment,
+    "q50_product_profit": _q50_deployment,
 }
 
 DEPLOYMENT_SQL = {
@@ -199,6 +215,20 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name IN ('AMERICA', 'ASIA') AND o.o_orderstatus = 'F'
 GROUP BY n.n_name
+""",
+    "q50_product_profit": """
+SELECT n.n_name AS nation,
+       EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+       SUM(l.l_extendedprice::DOUBLE * (1 - l.l_discount::DOUBLE)
+           - l.l_quantity::DOUBLE * p.p_retailprice::DOUBLE * 0.2) AS profit,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
 """,
 }
 
@@ -385,15 +415,24 @@ def main() -> None:
     # (partition coalescing after wide shuffles), and it's the
     # load-bearing setting at 100 TB — bench what you'd deploy.
     spark = get_spark("bench")
+    from tools.benchproto import stamped_runs
+
     timings: dict[str, float] = {}
+    stamps: dict[str, dict] = {}
     for name in HEADLINE:
         fn, _ = resolve(name, profile)
 
-        def run() -> None:
+        def run() -> float:
+            t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
 
         run()  # warm
-        timings[name] = best_of(N_RUNS, run)
+        # per-measurement canary stamp (tools/benchproto): a per-query
+        # drift across rounds is adjudicated from the artifact itself
+        # (host vs real) instead of from one artifact-wide canary pair
+        stamps[name] = stamped_runs(run, n_runs=N_RUNS)
+        timings[name] = stamps[name]["sec"]
         caching.release_all()  # bound cache growth across the sweep
     duck = duckdb_twin_times(sf_dir, HEADLINE, profile=profile)
     spark_paired = sum(t for n, t in timings.items() if duck.get(n) is not None)
@@ -405,6 +444,11 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                # per-query protocol stamps (runs, per-run canary
+                # brackets, dispersion) — "queries" stays plain floats
+                # for the driver's reader and vs_prev comparisons
+                "query_stamps": stamps,
+                "protocol": "canary-per-measurement-v1",
                 "duckdb": duck,
                 "duckdb_total": round(duck_total, 4),
                 "ratio_vs_duckdb": (

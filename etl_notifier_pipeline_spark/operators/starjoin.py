@@ -67,8 +67,18 @@ LAYOUTS: dict[str, dict[str, dict]] = {
             "columns": ("l_orderkey", "l_extendedprice", "l_discount"),
             "buckets_mult": 4,
         },
-        "orders": {"key": "o_custkey"},
-        "customer": {"key": "c_custkey"},
+        # r9: covering projections on BOTH dim-side tables too —
+        # q05 reads exactly these columns, so the scans decode 3-of-9
+        # and 2-of-5 column chunks instead of full width (the same
+        # Vertica-projection argument the fact already measured)
+        "orders": {
+            "key": "o_custkey",
+            "columns": ("o_orderkey", "o_custkey", "o_orderstatus"),
+        },
+        "customer": {
+            "key": "c_custkey",
+            "columns": ("c_custkey", "c_nationkey"),
+        },
     },
     # the fact-fact layout (q50/TPC-H Q9 shape): lineitem AND orders
     # co-bucketed on the orderkey with EQUAL bucket counts, so the
@@ -328,7 +338,13 @@ def star_plan(
             other = F.broadcast(other)
         elif strat == "shuffle_hash":
             other = other.hint("shuffle_hash")
-        elif strat != "colocated":
+        elif strat == "colocated":
+            # both sides already report the bucket HashPartitioning, so
+            # no exchange either way — the hint picks the executor-side
+            # hash build over sort-merge (which would SORT the fact in
+            # place: no shuffle, but a full fact-side sort per query)
+            other = other.hint("shuffle_hash")
+        else:
             raise ValueError(f"unknown strategy {strat!r}")
         df = df.join(other, F.col(fcol) == F.col(dcol))
     return df

@@ -165,3 +165,86 @@ def test_registry_q05_adaptive_strategies_agree(spark, monkeypatch):
     monkeypatch.setattr(R, "BROADCAST_DIM_LIMIT", -1)  # force scale path
     big = run()
     assert small == big and len(small) > 0
+
+
+class TestQ50OrderkeyStar:
+    """The second storage-partitioned star (r8 ask #5): q50's
+    fact-fact join (lineitem ⨝ orders, both table-sized — broadcast
+    can never work) reads both sides from co-bucketed covering
+    projections with zero exchange and zero sort between the scans;
+    part/supplier join as executor-built shuffle-hash; only the
+    25-row nation map broadcasts."""
+
+    @pytest.fixture()
+    def no_broadcast(self, spark):
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        yield spark
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+    def test_q50_bucketed_plan_shape(self, no_broadcast):
+        from etl_notifier_pipeline_spark.operators.starjoin import (
+            LAYOUTS,
+            bucketed_table_name,
+            q50_plan_bucketed,
+        )
+
+        spark = no_broadcast
+        df = q50_plan_bucketed(spark, SF_DIR, n_buckets=2)
+        df.collect()  # finalize AQE so the executed plan is real
+        plan = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        li = bucketed_table_name(
+            SF_DIR, "lineitem", 2, LAYOUTS["orderkey_star"]["lineitem"]
+        )
+        o = bucketed_table_name(
+            SF_DIR, "orders", 2, LAYOUTS["orderkey_star"]["orders"]
+        )
+        assert li in plan and o in plan
+        # nothing sorts either fact leg
+        assert "SortMergeJoin" not in plan
+        # the fact-fact join plus part/supplier are executor hash builds
+        assert plan.count("ShuffledHashJoin") == 3
+        # only the nation map broadcasts
+        for chunk in plan.split("BroadcastExchange")[1:]:
+            scan = chunk.split("FileScan", 1)[1][:200] if "FileScan" in chunk else ""
+            assert "orders" not in scan and "lineitem" not in scan
+            assert "part" not in scan and "supplier" not in scan
+        # exchanges: part join (2 sides) + supplier join (2 sides) +
+        # final agg — the lineitem⨝orders join contributes ZERO
+        assert plan.count("Exchange hashpartitioning") <= 5, plan
+        # and neither bucketed scan feeds through an exchange: the text
+        # between each scan and its join contains no Exchange
+        fact_leg = plan.split(li)[0]
+        last_join = fact_leg.rfind("ShuffledHashJoin")
+        assert "Exchange" not in fact_leg[last_join:]
+
+    def test_q50_bucketed_matches_registry(self, no_broadcast):
+        from etl_notifier_pipeline_spark.operators.starjoin import (
+            q50_plan_bucketed,
+        )
+        from etl_notifier_pipeline_spark.plans import get
+
+        spark = no_broadcast
+        want = {
+            (r["nation"], r["o_year"]): (
+                round(float(r["profit"]), 4),
+                r["n_lineitems"],
+            )
+            for r in get("q50_product_profit").fn(spark, SF_DIR).collect()
+        }
+        got = {
+            (r["nation"], r["o_year"]): (
+                round(float(r["profit"]), 4),
+                r["n_lineitems"],
+            )
+            for r in q50_plan_bucketed(spark, SF_DIR, n_buckets=2).collect()
+        }
+        assert got == want and len(got) > 0
