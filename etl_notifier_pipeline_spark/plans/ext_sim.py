@@ -530,3 +530,36 @@ def s13_incremental_semantic_dedup(
     return S.incremental_semantic_dedup(
         emb.filter(~is_batch), emb.filter(is_batch), threshold=S13_THRESHOLD
     )
+
+
+@register(
+    "s15_ivf_index_serve",
+    category="similarity",
+    oracle=f"""
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+) WHERE rank <= 5
+""",
+)
+def s15_ivf_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-once/serve-many ANN path (r8 ask #4's API split)
+    under the VALUE-HASH gate: ``ivf_build`` constructs the cell-
+    assigned index, ``ivf_query`` serves a query batch from it — and
+    with n_probe == n_cells the probe degenerates to exact search, so
+    the result must hash-equal s01's brute-force oracle bit-for-bit
+    (the index path's norms are computed as the same sequential
+    left-fold the JVM runs; any drift in the assign pass, the probe
+    ranking, or the rerank arithmetic fails the gate). The recall
+    tests cover the approximate operating points; THIS pins the
+    serving machinery itself to the exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    index, params = S.ivf_build(emb, n_cells=4)
+    return S.ivf_query(index, params, queries, k=5, n_probe=4)

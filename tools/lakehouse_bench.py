@@ -362,6 +362,50 @@ def independence_rung(spark, root: str, sizes: list[int], batch: int):
     return out
 
 
+def _view_drift(store, view) -> int:
+    """Maintained view == full recompute (0 = exact)."""
+    recomputed = (
+        store.read("t")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+        )
+    )
+    reported = view.select(
+        "grp",
+        F.col("d_count").alias("n"),
+        F.when(F.col("d_nn") > 0, F.col("d_sum")).alias("s"),
+    )
+    return (
+        reported.exceptAll(recomputed).count()
+        + recomputed.exceptAll(reported).count()
+    )
+
+
+def _child(rung: str, root: str, n_rows: int, n_commits: int) -> dict:
+    """Run one rung in a FRESH subprocess (the r6 'measure in
+    isolation' protocol, docs/SCALE.md): a 30-commit history in one
+    JVM accretes session state (stage bookkeeping, block-manager
+    residue, GC pressure) that inflated late commits ~2-3x in the
+    shared-session version of this harness — per-rung processes make
+    each strategy's numbers its own."""
+    import subprocess
+
+    out = os.path.join(root, f"{rung}.json")
+    subprocess.run(
+        [
+            sys.executable, os.path.abspath(__file__),
+            "--rung", rung, "--root", root,
+            "--rows", str(n_rows), "--commits", str(n_commits),
+            "--json", out,
+        ],
+        check=True,
+    )
+    with open(out) as f:
+        return json.load(f)
+
+
 def main() -> None:
     args = sys.argv[1:]
 
@@ -376,80 +420,88 @@ def main() -> None:
     n_rows = opt("--rows", 60_000_000)
     n_commits = opt("--commits", 10)
     json_out = opt("--json", None)
+    rung = opt("--rung", "all")
+    root = opt("--root", None)
+
+    if rung == "all":
+        root = tempfile.mkdtemp(prefix="lakehouse_bench_")
+        try:
+            cow = _child("copy_on_write", root, n_rows, n_commits)
+            mor = _child("merge_on_read", root, n_rows, n_commits)
+            indep = _child("independence", root, n_rows, n_commits)
+            comp = _child("compare", root, n_rows, n_commits)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        doc = {
+            "metric": "lakehouse_per_commit",
+            "n_rows": n_rows,
+            "n_commits": n_commits,
+            "protocol": protocol_header(
+                1,
+                canary=PROTOCOL_VERSION,
+                steady_state_reads_runs=3,
+                isolation="one subprocess per rung",
+            ),
+            "copy_on_write": cow,
+            "merge_on_read": mor,
+            "table_size_independence": indep["sizes"],
+            "ivm_drift_rows": {
+                "copy_on_write": cow.pop("ivm_drift_rows"),
+                "merge_on_read": mor.pop("ivm_drift_rows"),
+            },
+            "mor_vs_cow_drift_rows": comp["mor_vs_cow_drift_rows"],
+        }
+        print(json.dumps(doc))
+        if json_out:
+            with open(json_out, "w") as f:
+                json.dump(doc, f, indent=1, sort_keys=True)
+            print(f"wrote {json_out}")
+        return
 
     spark = get_spark(
-        "lakehouse-bench", extra_conf={"spark.ui.enabled": "true"}
+        f"lakehouse-bench-{rung}", extra_conf={"spark.ui.enabled": "true"}
     )
-    root = tempfile.mkdtemp(prefix="lakehouse_bench_")
-
-    cow_doc, cow_store, cow_view = run_rung(
-        spark, root, n_rows, n_commits, "copy_on_write"
-    )
-    append_row, cow_view = append_rung(spark, cow_store, cow_view, n_rows)
-    cow_doc["append_commit"] = append_row
-
-    mor_doc, mor_store, mor_view = run_rung(
-        spark, root, n_rows, n_commits, "merge_on_read"
-    )
-
-    # equivalence 1: after the same 10-commit stream (pre-append, the
-    # CoW store took one extra append commit), MoR snapshot == CoW
-    # snapshot. Compare via full-column exceptAll both ways.
-    cow_pre_append = cow_store.read(
-        "t", version=cow_store.current_version("t") - 1
-    )
-    mor_final = mor_store.read("t")
-    mor_vs_cow_drift = (
-        cow_pre_append.exceptAll(mor_final).count()
-        + mor_final.exceptAll(cow_pre_append).count()
-    )
-
-    # equivalence 2: each maintained view == full recompute
-    def view_drift(store, view):
-        recomputed = (
-            store.read("t")
-            .groupBy("grp")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+    if rung in ("copy_on_write", "merge_on_read"):
+        doc, store, view = run_rung(spark, root, n_rows, n_commits, rung)
+        if rung == "copy_on_write":
+            append_row, view = append_rung(spark, store, view, n_rows)
+            doc["append_commit"] = append_row
+        doc["ivm_drift_rows"] = _view_drift(store, view)
+    elif rung == "independence":
+        doc = {
+            "sizes": independence_rung(
+                spark, root,
+                sizes=[n_rows // 10, n_rows],
+                batch=max(1, n_rows // 100),
             )
+        }
+    elif rung == "compare":
+        # cross-strategy equivalence: after the same commit stream
+        # (pre-append — the CoW store took one extra append commit),
+        # the MoR snapshot must equal the CoW snapshot exactly
+        cow_store = BucketedTableStore(
+            spark, os.path.join(root, "copy_on_write"),
+            keys={"t": ["k"]}, n_buckets=64, retain_versions=4,
         )
-        reported = view.select(
-            "grp",
-            F.col("d_count").alias("n"),
-            F.when(F.col("d_nn") > 0, F.col("d_sum")).alias("s"),
+        mor_store = BucketedTableStore(
+            spark, os.path.join(root, "merge_on_read"),
+            keys={"t": ["k"]}, n_buckets=64, retain_versions=4,
         )
-        return (
-            reported.exceptAll(recomputed).count()
-            + recomputed.exceptAll(reported).count()
+        cow_pre_append = cow_store.read(
+            "t", version=cow_store.current_version("t") - 1
         )
-
-    cow_drift = view_drift(cow_store, cow_view)
-    mor_drift = view_drift(mor_store, mor_view)
-
-    indep = independence_rung(
-        spark, root, sizes=[n_rows // 10, n_rows], batch=max(1, n_rows // 100)
-    )
-
-    doc = {
-        "metric": "lakehouse_per_commit",
-        "n_rows": n_rows,
-        "n_commits": n_commits,
-        "protocol": protocol_header(
-            1, canary=PROTOCOL_VERSION, steady_state_reads_runs=3
-        ),
-        "copy_on_write": cow_doc,
-        "merge_on_read": mor_doc,
-        "table_size_independence": indep,
-        "ivm_drift_rows": {"copy_on_write": cow_drift, "merge_on_read": mor_drift},
-        "mor_vs_cow_drift_rows": mor_vs_cow_drift,
-    }
-    print(json.dumps(doc))
-    if json_out:
-        with open(json_out, "w") as f:
-            json.dump(doc, f, indent=1, sort_keys=True)
-        print(f"wrote {json_out}")
-    shutil.rmtree(root, ignore_errors=True)
+        mor_final = mor_store.read("t")
+        doc = {
+            "mor_vs_cow_drift_rows": (
+                cow_pre_append.exceptAll(mor_final).count()
+                + mor_final.exceptAll(cow_pre_append).count()
+            )
+        }
+    else:
+        raise SystemExit(f"unknown rung {rung!r}")
+    with open(json_out, "w") as f:
+        json.dump(doc, f, sort_keys=True)
+    print(f"[{rung}] wrote {json_out}", flush=True)
 
 
 if __name__ == "__main__":
