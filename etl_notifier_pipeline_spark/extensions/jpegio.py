@@ -1,5 +1,5 @@
-"""Minimal stdlib+numpy baseline JPEG codec (grayscale, no
-subsampling) — the lossy twin of ``pngio``.
+"""Minimal stdlib+numpy baseline JPEG codec (grayscale + color at
+4:4:4 / 4:2:0 / 4:2:2) — the lossy twin of ``pngio``.
 
 Why it exists: the container has no Pillow, but the engine's
 multimodal layer (SURVEY §2.10 X4) must exercise LOSSY-format routing
@@ -21,9 +21,10 @@ baseline JPEG's validity depends only on the declared tables being
 internally consistent, which the encode->decode roundtrip test pins
 (pixel error bounded by the quantization table, exactly the lossy
 contract). Scope gates are explicit: progressive (SOF2), arithmetic
-coding, and >1 component raise ``NotImplementedError`` with the gate
-message the multimodal layer surfaces (PIL handles those when
-installed).
+coding, restart intervals, sampling factors above 2, and 3-component
+streams that aren't YCbCr (Adobe APP14 transform=0 / exotic component
+ids) raise ``NotImplementedError`` with the gate message the
+multimodal layer surfaces (PIL handles those when installed).
 
 Reference parity note: the reference repo has no media path at all —
 this extends the engine's training-data-pipeline surface (brief §X4).
@@ -308,17 +309,29 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
-def encode_rgb(pixels: list[int], width: int, height: int) -> bytes:
+def encode_rgb(
+    pixels: list[int], width: int, height: int, subsampling: str = "444"
+) -> bytes:
     """8-bit interleaved RGB pixels (row-major, len == 3*width*height)
-    -> baseline 4:4:4 color JFIF bytes (3 components, no chroma
-    subsampling, interleaved MCUs = one 8x8 block per component,
-    Annex-K luma/chroma quant + standard luminance/chrominance
-    Huffman tables). Decodes in any JPEG reader."""
+    -> baseline color JFIF bytes (3 components, Annex-K luma/chroma
+    quant + standard luminance/chrominance Huffman tables). Decodes in
+    any JPEG reader.
+
+    ``subsampling="444"`` (default): no chroma subsampling —
+    interleaved MCUs of one 8x8 block per component.
+    ``subsampling="420"``: 2x2 chroma subsampling, the dominant form
+    of real-world JPEG — 16x16 MCUs of four Y blocks (raster order)
+    plus one 2x2-box-averaged Cb and Cr block each (SOF0 sampling
+    Y=2x2, Cb=Cr=1x1).
+    ``subsampling="422"``: horizontal-only subsampling — 16x8 MCUs of
+    two Y blocks plus one 1x2-averaged Cb and Cr block each (SOF0
+    sampling Y=2x1, Cb=Cr=1x1)."""
     if len(pixels) != 3 * width * height:
         raise ValueError("pixel count != 3*width*height")
+    if subsampling not in ("444", "420", "422"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     rgb = np.asarray(pixels, dtype=np.float64).reshape(height, width, 3)
-    planes = [_pad_to_blocks(p) for p in _rgb_to_ycbcr(rgb)]
-    ph, pw = planes[0].shape
+    y, cb, cr = _rgb_to_ycbcr(rgb)
     tables = [
         (QUANT, _DC_CODES, _AC_CODES),        # Y
         (QUANT_C, _DC_CODES_C, _AC_CODES_C),  # Cb
@@ -326,13 +339,56 @@ def encode_rgb(pixels: list[int], width: int, height: int) -> bytes:
     ]
     w = _BitWriter()
     prev_dc = [0, 0, 0]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, (plane, (q, dc, ac)) in enumerate(zip(planes, tables)):
-                prev_dc[ci] = _encode_block(
-                    w, plane[by : by + 8, bx : bx + 8] - 128.0,
-                    q, dc, ac, prev_dc[ci],
-                )
+    if subsampling == "444":
+        planes = [_pad_to_blocks(p) for p in (y, cb, cr)]
+        ph, pw = planes[0].shape
+        y_hv = 0x11
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for ci, (plane, (q, dc, ac)) in enumerate(
+                    zip(planes, tables)
+                ):
+                    prev_dc[ci] = _encode_block(
+                        w, plane[by : by + 8, bx : bx + 8] - 128.0,
+                        q, dc, ac, prev_dc[ci],
+                    )
+    else:  # 420 / 422
+        # pad Y to the MCU footprint, box-average the chroma by the
+        # sampling ratio — the padded chroma planes land exactly on
+        # 8-multiples, one block per MCU
+        sy = 2 if subsampling == "420" else 1  # vertical chroma ratio
+        ph = (height + 8 * sy - 1) // (8 * sy) * (8 * sy)
+        pw = (width + 15) // 16 * 16
+        yp = np.pad(y, ((0, ph - height), (0, pw - width)), mode="edge")
+        chroma = []
+        for p in (cb, cr):
+            p = np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
+            chroma.append(
+                p.reshape(ph // sy, sy, pw // 2, 2).mean(axis=(1, 3))
+            )
+        y_hv = 0x22 if subsampling == "420" else 0x21
+        for my in range(0, ph, 8 * sy):
+            for mx in range(0, pw, 16):
+                q, dc, ac = tables[0]
+                for by in range(0, 8 * sy, 8):
+                    for bx in (0, 8):
+                        prev_dc[0] = _encode_block(
+                            w,
+                            yp[
+                                my + by : my + by + 8,
+                                mx + bx : mx + bx + 8,
+                            ] - 128.0,
+                            q, dc, ac, prev_dc[0],
+                        )
+                for ci, plane in enumerate(chroma, start=1):
+                    q, dc, ac = tables[ci]
+                    prev_dc[ci] = _encode_block(
+                        w,
+                        plane[
+                            my // sy : my // sy + 8, mx // 2 : mx // 2 + 8
+                        ] - 128.0,
+                        q, dc, ac, prev_dc[ci],
+                    )
     data = w.flush()
 
     out = bytearray()
@@ -340,11 +396,11 @@ def encode_rgb(pixels: list[int], width: int, height: int) -> bytes:
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xFFDB, bytes([0]) + bytes(QUANT.flatten()[ZIGZAG].tolist()))
     out += _seg(0xFFDB, bytes([1]) + bytes(QUANT_C.flatten()[ZIGZAG].tolist()))
-    # SOF0: 3 components, all 1x1 sampling (4:4:4); Y->qt0, Cb/Cr->qt1
+    # SOF0: Y->qt0 at y_hv sampling, Cb/Cr->qt1 at 1x1
     out += _seg(
         0xFFC0,
         struct.pack(">BHHB", 8, height, width, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, y_hv, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     out += _seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
     out += _seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
@@ -452,10 +508,14 @@ def _extend(v: int, size: int) -> int:
 def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
     """Shared baseline decoder: parse tables + SOF0 + SOS, entropy-
     decode interleaved MCUs, return (width, height, [component
-    planes] in SOF order, un-level-shifted floats). Handles 1
-    component (grayscale) and 3 components at 4:4:4; chroma
-    subsampling / progressive / arithmetic / restart intervals gate to
-    ``NotImplementedError``; malformed bytes raise ``ValueError``."""
+    planes] in SOF order, upsampled to full resolution). Handles 1
+    component (grayscale) and 3 components at any sampling with
+    factors in {1, 2} — 4:4:4, 4:2:0 (the dominant real-world form:
+    16x16 MCUs of four Y blocks + one Cb + one Cr), and 4:2:2;
+    subsampled chroma is upsampled by pixel replication (the standard
+    fast path). Sampling factors above 2 / progressive / arithmetic /
+    restart intervals gate to ``NotImplementedError``; malformed
+    bytes raise ``ValueError``."""
     if not is_jpeg(blob):
         raise ValueError("not a JPEG stream")
     quant: dict[int, np.ndarray] = {}
@@ -464,8 +524,16 @@ def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
     comps: list[dict] = []  # SOF order: {"cid": int, "tq": int}
     scan: dict[int, tuple[int, int]] = {}  # cid -> (dc_id, ac_id)
     sos_at = None
+    adobe_transform: int | None = None
     for marker, payload, end in _segments(blob):
-        if marker == 0xFFDB:
+        if marker == 0xFFEE and payload[:5] == b"Adobe":
+            # APP14: byte 11 is the color transform (0 = components
+            # are RGB/CMYK as-is, 1 = YCbCr, 2 = YCCK). Decoding a
+            # transform=0 stream as YCbCr would produce silently
+            # garbled pixels, so record it and gate below
+            # (r9 advice #5).
+            adobe_transform = payload[11] if len(payload) > 11 else None
+        elif marker == 0xFFDB:
             j = 0
             while j < len(payload):
                 pq, tq = payload[j] >> 4, payload[j] & 0xF
@@ -497,12 +565,16 @@ def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
                 )
             for ci in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                if ncomp > 1 and hv != 0x11:
+                # single-component scans are non-interleaved by spec:
+                # the MCU is one block, sampling factors don't apply
+                h, v = (hv >> 4, hv & 0xF) if ncomp > 1 else (1, 1)
+                if h not in (1, 2) or v not in (1, 2):
                     raise NotImplementedError(
-                        "chroma-subsampled JPEG (sampling != 4:4:4) not "
-                        "supported by the stdlib codec — needs Pillow"
+                        f"sampling factor {h}x{v} not supported by the "
+                        "stdlib codec (factors 1 and 2 only: 4:4:4, "
+                        "4:2:0, 4:2:2) — needs Pillow"
                     )
-                comps.append({"cid": cid, "tq": tq})
+                comps.append({"cid": cid, "tq": tq, "h": h, "v": v})
         elif marker == 0xFFC4:
             j = 0
             while j < len(payload):
@@ -536,6 +608,25 @@ def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
             sos_at = end
     if sos_at is None or not width or not comps:
         raise ValueError("truncated JPEG: no SOS/SOF")
+    if len(comps) == 3:
+        # This decoder applies the JFIF/BT.601 YCbCr->RGB transform to
+        # every 3-component stream. That is only correct when the
+        # components ARE YCbCr: Adobe APP14 transform=0 declares raw
+        # RGB components, and non-JFIF streams with exotic component
+        # ids (JFIF mandates 1/2/3) signal the same. Both decode
+        # without error but with garbled colors — gate them so the
+        # multimodal codec="auto" path falls back instead of emitting
+        # wrong features (r9 advice #5).
+        cids = [c["cid"] for c in comps]
+        if adobe_transform == 0 or (
+            adobe_transform is None and cids != [1, 2, 3]
+        ):
+            raise NotImplementedError(
+                "3-component JPEG without a YCbCr color space "
+                f"(Adobe transform={adobe_transform}, component "
+                f"ids={cids}) not supported by the stdlib codec — "
+                "needs Pillow"
+            )
     try:
         ctabs = [
             (huff[(0, scan[c["cid"]][0])], huff[(1, scan[c["cid"]][1])],
@@ -547,41 +638,66 @@ def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
             f"JPEG references undeclared Huffman/quant table {e}"
         ) from e
     r = _BitReader(blob[sos_at:])
-    ph, pw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
-    planes = [np.zeros((ph, pw)) for _ in comps]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    # MCU footprint is (8*hmax x 8*vmax) image pixels; each component
+    # contributes h*v blocks per MCU in raster order (T.81 A.2.3)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"])) for c in comps
+    ]
     prev_dc = [0] * len(comps)
+
+    def _one_block(dc_tbl, ac_tbl, q, ci: int) -> np.ndarray:
+        zz = np.zeros(64, dtype=np.int64)
+        size = _read_symbol(r, dc_tbl)
+        diff = _extend(r.bits(size), size) if size else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = _read_symbol(r, ac_tbl)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0xF
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            zz[k] = _extend(r.bits(size), size)
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[ZIGZAG] = zz
+        return _DCT.T @ (coef.reshape(8, 8) * q) @ _DCT + 128.0
+
     try:
-        for by in range(0, ph, 8):
-            for bx in range(0, pw, 8):
-                for ci, (dc_tbl, ac_tbl, q) in enumerate(ctabs):
-                    zz = np.zeros(64, dtype=np.int64)
-                    size = _read_symbol(r, dc_tbl)
-                    diff = _extend(r.bits(size), size) if size else 0
-                    prev_dc[ci] += diff
-                    zz[0] = prev_dc[ci]
-                    k = 1
-                    while k < 64:
-                        sym = _read_symbol(r, ac_tbl)
-                        if sym == 0x00:  # EOB
-                            break
-                        run, size = sym >> 4, sym & 0xF
-                        if sym == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += run
-                        zz[k] = _extend(r.bits(size), size)
-                        k += 1
-                    coef = np.zeros(64, dtype=np.float64)
-                    coef[ZIGZAG] = zz
-                    block = _DCT.T @ (coef.reshape(8, 8) * q) @ _DCT
-                    planes[ci][by : by + 8, bx : bx + 8] = block + 128.0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (c, (dc_tbl, ac_tbl, q)) in enumerate(
+                    zip(comps, ctabs)
+                ):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = (
+                                _one_block(dc_tbl, ac_tbl, q, ci)
+                            )
     except (EOFError, KeyError, IndexError) as e:
         # A malformed/truncated entropy stream is bad DATA, not a
         # missing capability — surface it as ValueError so callers
         # (and multimodal's per-row error column) classify it as a
         # decode failure rather than crashing the UDF (r7 advice #3).
         raise ValueError(f"malformed JPEG entropy stream: {e}") from e
-    return width, height, [p[:height, :width] for p in planes]
+    out: list[np.ndarray] = []
+    for c, p in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            # replicate subsampled chroma back to full resolution
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out.append(p[:height, :width])
+    return width, height, out
 
 
 def decode_gray(blob: bytes) -> tuple[int, int, list[int]]:

@@ -126,8 +126,11 @@ def bucketed_table_name(
     cols = spec.get("columns")
     key_tag = f"_k{spec['key']}" if spec.get("key") else ""
     # the original custkey_star names predate multi-layout support;
-    # keep them stable so existing warehouses/artifacts stay valid
-    if spec is STAR_BUCKETS.get(table):
+    # keep them stable so existing warehouses/artifacts stay valid.
+    # VALUE comparison, not identity: an equal-but-copied spec (caller
+    # dict literal, deepcopy of LAYOUTS) must map to the same catalog
+    # name or the whole bucketed layout silently rebuilds (r9 advice #4)
+    if spec == STAR_BUCKETS.get(table):
         key_tag = ""
     suffix = f"{key_tag}_b{nb}" + (f"_p{len(cols)}" if cols else "")
     return f"star_{_tag(sf_dir)}__{table}{suffix}"

@@ -1443,7 +1443,7 @@ def m21_ivm_over_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         strategy="merge_on_read",
     )
-    v_final = store.apply_keyed_mutation(
+    store.apply_keyed_mutation(
         "t",
         ev.filter(
             (F.col("event_type") == "error") & (F.col("user_id") % 7 == 0)
@@ -1453,8 +1453,11 @@ def m21_ivm_over_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delete",
         strategy="merge_on_read",
     )
-    # the policy must actually have fired: the returned version is the
-    # compaction commit, stacked deltas folded away
+    # the policy must actually have fired: the follow-up compaction
+    # commit (exposed separately from the mutation's own version —
+    # r9 advice #2) is the head, stacked deltas folded away
+    v_final = store.last_auto_compact_version
+    assert v_final is not None, "auto-compact did not fire"
     assert store.is_compaction("t", v_final), "auto-compact did not fire"
     assert not store._manifest("t", v_final).get("deltas")
     feed = change_feed(

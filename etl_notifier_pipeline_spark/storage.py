@@ -862,6 +862,12 @@ class BucketedTableStore:
         # automatically — bounding read amplification without the
         # caller scheduling maintenance. None = manual compaction.
         self.auto_compact_deltas = auto_compact_deltas
+        # Version of the most recent POLICY-triggered compaction (set
+        # by apply_keyed_mutation when auto_compact_deltas fires, None
+        # otherwise) — the mutation's own version is always the return
+        # value, so CDC/feed consumers never mistake a layout rewrite
+        # for the data commit they asked about.
+        self.last_auto_compact_version: int | None = None
         # How many trailing versions survive vacuum: the time-travel
         # horizon. Every retained version is readable via
         # ``read(table, version=n)`` (snapshot isolation: a version dir
@@ -1071,6 +1077,13 @@ class BucketedTableStore:
         ]
         if not delta_paths:
             return base
+        if not self.keys.get(table):
+            raise ValueError(
+                f"{table!r}: manifest carries merge-on-read deltas but no "
+                f"bucket keys are declared — reconciliation (and append's "
+                f"delta-shadow check) need the key columns. Re-declare "
+                f"keys for the table (r9 advice #3)."
+            )
         return self._reconcile_deltas(
             base, self.spark.read.parquet(*delta_paths), self.keys[table]
         )
@@ -1200,7 +1213,20 @@ class BucketedTableStore:
         v = self.current_version(table)
         m = self._manifest(table, v)
         if m.get("deltas"):
-            keys = self.keys.get(table) or []
+            # Deltas only exist via apply_keyed_mutation, which
+            # requires declared bucket keys — and those are the columns
+            # reconciliation shadows by. If the registry lost them, the
+            # shadow check below would silently skip (or check the
+            # wrong columns), letting an appended row vanish behind a
+            # carried delta; refuse instead (r9 advice #3).
+            keys = self.keys.get(table)
+            if not keys:
+                raise ValueError(
+                    f"append to {table!r}: manifest carries merge-on-read "
+                    f"deltas but no bucket keys are declared for the table "
+                    f"— cannot verify appended keys don't collide with "
+                    f"pending delta keys. Declare keys or compact() first."
+                )
             delta_paths = [
                 os.path.join(self._dir(table), d)
                 for dirs in m["deltas"].values()
@@ -1296,6 +1322,9 @@ class BucketedTableStore:
             )
         if strategy not in ("copy_on_write", "merge_on_read"):
             raise ValueError(f"unknown strategy {strategy!r}")
+        # per-mutation signal: set again below iff the auto-compact
+        # policy fires for THIS commit
+        self.last_auto_compact_version = None
         data_cols = [c for c in incoming.columns if not c.startswith("__")]
         if not self.exists(table):
             self._write_version(
@@ -1313,13 +1342,19 @@ class BucketedTableStore:
             v = self._apply_mutation_mor(
                 table, incoming, keys, order_by, op, affected
             )
+            # Always return the MUTATION commit's version — callers
+            # locate its CDC sidecar (cdc_dir(table, v)) or bound a
+            # feed at it, and a marker-skipped follow-up compaction is
+            # the wrong answer for both (r9 advice #2). The policy-
+            # triggered compaction, when it fires, is exposed as
+            # ``last_auto_compact_version``.
             if self.auto_compact_deltas is not None:
                 m = self._manifest(table, v)
                 if any(
                     len(dirs) > self.auto_compact_deltas
                     for dirs in m.get("deltas", {}).values()
                 ):
-                    v = self.compact(table) or v
+                    self.last_auto_compact_version = self.compact(table)
             return v
         current = self._read_paths(table, affected)
         if op == "insert":
@@ -1398,6 +1433,16 @@ class BucketedTableStore:
             snapshot_diff,
         )
 
+        # Read-side reconciliation (_reconcile_deltas) shadows by the
+        # DECLARED bucket keys; a delta written under different key
+        # columns would be reconciled wrongly and append()'s shadow
+        # check would probe the wrong columns (r9 advice #3).
+        if list(keys) != list(self.keys[table]):
+            raise ValueError(
+                f"merge_on_read mutation keys {list(keys)} must equal the "
+                f"declared bucket keys {list(self.keys[table])} for "
+                f"{table!r} — reconciliation shadows by the declared keys"
+            )
         # delta rows carry the BASE table's full column set (a delete
         # batch brings only keys — its tombstones get typed NULLs)
         base_schema = self.read(table).schema
@@ -1475,7 +1520,15 @@ class BucketedTableStore:
         ``TableStore.restore``: commit a new version whose manifest
         (schema anchor + per-bucket dir lists) is ``version``'s
         verbatim. Zero data movement; undone versions stay
-        time-travelable until vacuumed."""
+        time-travelable until vacuumed.
+
+        Commit-NATURE markers (``"compaction"``) are stripped from the
+        copy: they describe what the ORIGINAL commit did, not this one.
+        A restore targeting a compact() head (the common case once
+        ``auto_compact_deltas`` makes every head a compaction version)
+        DOES change data relative to the current head, so carrying the
+        marker would make ``change_feed``'s is_compaction skip emit
+        zero rows for a data-changing rollback (r9 advice #1)."""
         import copy
 
         if version not in self.versions(table):
@@ -1484,6 +1537,7 @@ class BucketedTableStore:
                 f"(retained: {self.versions(table)})"
             )
         manifest = copy.deepcopy(self._manifest(table, version))
+        manifest.pop("compaction", None)
         os.makedirs(self._dir(table), exist_ok=True)
         staging = tempfile.mkdtemp(dir=self._dir(table), prefix=".staging-")
         new_v = (self.current_version(table) or 0) + 1

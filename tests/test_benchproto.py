@@ -42,3 +42,14 @@ def test_best_run_extras_merged():
     stamp = stamped_runs(lambda: next(seq), n_runs=3)
     assert stamp["sec"] == 1.0 and stamp["rows"] == 10
     assert "extra" not in stamp
+
+
+def test_single_run_stamp_has_null_dispersion():
+    """r9 what's-wrong #2: a one-shot stamp (n_runs=1) must label
+    dispersion None — 0.0 would read as a convergence claim the single
+    run cannot make."""
+    from tools.benchproto import stamped_runs
+
+    stamp = stamped_runs(lambda: 1.5, n_runs=1)
+    assert stamp["dispersion_pct"] is None
+    assert stamp["sec"] == 1.5 and stamp["runs_sec"] == [1.5]

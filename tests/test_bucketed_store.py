@@ -1173,3 +1173,118 @@ class TestMergeOnRead:
         assert {r["k"]: r["v"] for r in store.read("t").collect()} == {
             1: "reborn", 2: "B", 9: "new"
         }
+
+
+class TestR9AdviceFixes:
+    """Regression pins for the round-9 ADVICE defects in the
+    versioned-store surface (restore marker leak, auto-compact return
+    version, delta-shadow key derivation)."""
+
+    def _mk(self, spark, rows, cols=("k", "v")):
+        return spark.createDataFrame(rows, list(cols)).withColumn(
+            "__file_order", F.monotonically_increasing_id()
+        )
+
+    def test_restore_to_compaction_version_is_not_a_compaction(
+        self, spark, tmp_path
+    ):
+        """r9 advice #1 (medium): restore() used to deep-copy the
+        target manifest VERBATIM, so restoring to a compact() head
+        stamped the rollback itself as a compaction — and change_feed
+        would skip it as zero-change even though a rollback changes
+        data vs the current head. The marker must describe the commit
+        that carries it, not the commit it was copied from."""
+        from etl_notifier_pipeline_spark.operators import change_feed
+
+        store = BucketedTableStore(
+            spark, str(tmp_path / "rc"), keys={"t": ["k"]}, n_buckets=4,
+            retain_versions=8,
+        )
+        store.overwrite("t", spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+        store.apply_keyed_mutation(
+            "t", self._mk(spark, [(2, "B2")]), ["k"], ["__file_order"],
+            "update", strategy="merge_on_read",
+        )
+        v_comp = store.compact("t")  # v3, marked compaction
+        assert store.is_compaction("t", v_comp)
+        store.apply_keyed_mutation(
+            "t", self._mk(spark, [(2, "B4")]), ["k"], ["__file_order"],
+            "update",
+        )  # v4: data changed after the compaction
+        v_restored = store.restore("t", v_comp)  # roll back to v3
+        # the restore commit is NOT a compaction: it changes data
+        # relative to the v4 head it supersedes
+        assert not store.is_compaction("t", v_restored)
+        assert {r["k"]: r["v"] for r in store.read("t").collect()} == {
+            1: "a", 2: "B2"
+        }
+        # and the feed across the rollback reports the value change
+        # instead of silently emitting zero rows
+        feed = change_feed(
+            store, "t", ["k"], from_version=v_comp, to_version=v_restored
+        )
+        kinds = {(r["k"], r["change"]) for r in feed.collect()}
+        assert (2, "update") in kinds, kinds
+
+    def test_auto_compact_returns_mutation_version(self, spark, tmp_path):
+        """r9 advice #2: with auto_compact_deltas set, the returned
+        version must be the MUTATION commit (whose CDC sidecar the
+        caller may look up), with the policy compaction exposed
+        separately via last_auto_compact_version."""
+        store = BucketedTableStore(
+            spark, str(tmp_path / "ac"), keys={"t": ["k"]}, n_buckets=4,
+            capture_cdc=True, auto_compact_deltas=0,
+        )
+        store.overwrite("t", spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+        v = store.apply_keyed_mutation(
+            "t", self._mk(spark, [(2, "B")]), ["k"], ["__file_order"],
+            "update", strategy="merge_on_read",
+        )
+        # the mutation commit: has a CDC sidecar, is not a compaction
+        assert v == 2
+        assert store.cdc_dir("t", v) is not None
+        assert not store.is_compaction("t", v)
+        # the policy fired right after and is reported separately
+        assert store.last_auto_compact_version == v + 1
+        assert store.is_compaction("t", store.last_auto_compact_version)
+        # a copy-on-write mutation resets the signal
+        store.apply_keyed_mutation(
+            "t", self._mk(spark, [(1, "A")]), ["k"], ["__file_order"],
+            "update",
+        )
+        assert store.last_auto_compact_version is None
+
+    def test_append_with_deltas_requires_declared_keys(self, spark, tmp_path):
+        """r9 advice #3: append()'s delta-shadow check derives its key
+        columns from the declared registry; if the registry lost the
+        table while deltas are pending, it must refuse rather than
+        silently skip the check."""
+        store = BucketedTableStore(
+            spark, str(tmp_path / "dk"), keys={"t": ["k"]}, n_buckets=4
+        )
+        store.overwrite("t", spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+        store.apply_keyed_mutation(
+            "t", self._mk(spark, [(2, "B")]), ["k"], ["__file_order"],
+            "update", strategy="merge_on_read",
+        )
+        del store.keys["t"]
+        with pytest.raises(ValueError, match="no bucket keys"):
+            store.append("t", spark.createDataFrame([(9, "x")], ["k", "v"]))
+        # reads refuse for the same reason (reconciliation shadows by
+        # the declared keys) instead of a bare KeyError
+        with pytest.raises(ValueError, match="no bucket keys"):
+            store.read("t").collect()
+
+    def test_mor_rejects_divergent_mutation_keys(self, spark, tmp_path):
+        """r9 advice #3 (root cause): merge-on-read reconciliation
+        shadows by the DECLARED bucket keys, so a mutation submitted
+        under different key columns is unsound and must raise."""
+        store = BucketedTableStore(
+            spark, str(tmp_path / "dv"), keys={"t": ["k"]}, n_buckets=4
+        )
+        store.overwrite("t", spark.createDataFrame([(1, "a")], ["k", "v"]))
+        with pytest.raises(ValueError, match="declared bucket keys"):
+            store.apply_keyed_mutation(
+                "t", self._mk(spark, [(1, "A")]), ["v"], ["__file_order"],
+                "update", strategy="merge_on_read",
+            )

@@ -248,3 +248,32 @@ class TestQ50OrderkeyStar:
             for r in q50_plan_bucketed(spark, SF_DIR, n_buckets=2).collect()
         }
         assert got == want and len(got) > 0
+
+
+def test_bucketed_table_name_value_equality_reuses_legacy_name():
+    """r9 advice #4: the legacy (pre-multi-layout) name suppression
+    compared specs by IDENTITY, so an equal-but-copied spec (caller
+    dict literal, deepcopy of LAYOUTS) silently produced a DIFFERENT
+    catalog name and rebuilt the whole bucketed layout. Equal specs
+    must map to the same name."""
+    import copy
+
+    from etl_notifier_pipeline_spark.operators.starjoin import (
+        LAYOUTS,
+        STAR_BUCKETS,
+        bucketed_table_name,
+    )
+
+    canonical = bucketed_table_name("/x/sf", "orders", 256)
+    copied = bucketed_table_name(
+        "/x/sf", "orders", 256, copy.deepcopy(STAR_BUCKETS["orders"])
+    )
+    literal = bucketed_table_name(
+        "/x/sf", "orders", 256, dict(STAR_BUCKETS["orders"])
+    )
+    assert canonical == copied == literal
+    # a genuinely different layout spec still gets its own name
+    other = bucketed_table_name(
+        "/x/sf", "orders", 256, LAYOUTS["orderkey_star"]["orders"]
+    )
+    assert other != canonical

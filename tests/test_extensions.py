@@ -165,7 +165,8 @@ class TestMultimodal:
         assert os.path.isdir(M.MEDIA_FIXTURE_DIR), "fixture not committed"
         media = M.media_from_dir(spark, M.MEDIA_FIXTURE_DIR)
         rows = media.select("media_id", "content").collect()
-        assert len(rows) == 14  # 8 PNG + 4 gray JPEG + 2 color JPEG
+        # 8 PNG + 4 gray JPEG + 2 color 4:4:4 JPEG + 2 color 4:2:0 JPEG
+        assert len(rows) == 16
         feats = {
             r["media_id"]: r["features"]
             for r in M.extract_features(media, codec="real").collect()
@@ -186,6 +187,12 @@ class TestMultimodal:
         # executes in this sandbox, no Pillow involved
         assert feats[1_000_012] == feats[1_000_013]
         assert 0.0 < sum(feats[1_000_012]) < M.FEATURE_DIM  # non-degenerate
+        # 4:2:0 chroma-subsampled color pair (img_014 / img_015,
+        # byte-identical): the dominant real-world JPEG form now
+        # decodes for REAL in-sandbox (r9 ask #6) — 16x16 MCUs, four Y
+        # blocks + replicated chroma
+        assert feats[1_000_014] == feats[1_000_015]
+        assert 0.0 < sum(feats[1_000_014]) < M.FEATURE_DIM
 
     def test_codec_auto_mixes_real_and_fake(self, spark):
         """codec='auto': PNG bytes decode for real (bit-equal to the
@@ -271,24 +278,26 @@ class TestMultimodal:
             n for n in sorted(os.listdir(M.MEDIA_FIXTURE_DIR))
             if n.endswith(".jpg")
         ]
-        assert len(jpgs) == 6  # 4 grayscale + 2 color (4:4:4)
+        # 4 grayscale + 2 color 4:4:4 (32x32) + 2 color 4:2:0 (36x20,
+        # deliberately non-MCU-multiple)
+        assert len(jpgs) == 8
         for name in jpgs:
             blob = open(os.path.join(M.MEDIA_FIXTURE_DIR, name), "rb").read()
             fw, fh, ncomp = jpegio.dimensions(blob)
-            assert (fw, fh) == (32, 32)
+            assert (fw, fh) == ((36, 20) if "420" in name or "015" in name else (32, 32))
             if ncomp == 1:
                 gw, gh, px = jpegio.decode_gray(blob)
             else:
                 gw, gh, nc, px = jpegio.decode_image(blob)
-                assert nc == 3 and len(px) == 3 * 32 * 32
-            assert (gw, gh) == (32, 32)
+                assert nc == 3 and len(px) == 3 * fw * fh
+            assert (gw, gh) == (fw, fh)
             assert all(0 <= p <= 255 for p in px)
         assert sum(
             1 for n in jpgs
             if jpegio.dimensions(
                 open(os.path.join(M.MEDIA_FIXTURE_DIR, n), "rb").read()
             )[2] == 3
-        ) == 2
+        ) == 4
         # non-8-multiple dimensions: edge padding round-trips the
         # declared size, not the padded one
         ww, hh, _ = jpegio.decode_gray(
@@ -367,10 +376,15 @@ class TestMultimodal:
     def test_pil_decodes_stdlib_jpegs_within_tolerance(self):
         """Where Pillow IS installed: the committed fixture JPEGs are
         genuine enough for libjpeg — PIL must decode them with the
-        same dimensions and pixels within +/-1 of the stdlib decoder
-        (IDCT rounding is implementation-defined; the standard allows
-        unit differences)."""
+        same dimensions and near-identical pixels. Grayscale: +/-1
+        (IDCT rounding is implementation-defined). 4:4:4 color: +/-2
+        (adds YCbCr->RGB fixed-point vs float rounding). 4:2:0 color:
+        libjpeg's DEFAULT chroma upsampling is triangular ("fancy"),
+        ours is replication — chroma may differ near edges, but the
+        full-resolution LUMA recomputed from both RGB outputs must
+        still agree within rounding, and overall RMSE stays small."""
         import io
+        import math
 
         from PIL import Image
 
@@ -380,11 +394,37 @@ class TestMultimodal:
             if not name.endswith(".jpg"):
                 continue
             blob = open(os.path.join(M.MEDIA_FIXTURE_DIR, name), "rb").read()
-            w, h, px = jpegio.decode_gray(blob)
-            img = Image.open(io.BytesIO(blob)).convert("L")
+            w, h, nc, px = jpegio.decode_image(blob)
+            if nc == 1:
+                img = Image.open(io.BytesIO(blob)).convert("L")
+                assert (img.width, img.height) == (w, h), name
+                pil_px = list(img.getdata())
+                assert max(
+                    abs(a - b) for a, b in zip(px, pil_px)
+                ) <= 1, name
+                continue
+            img = Image.open(io.BytesIO(blob)).convert("RGB")
             assert (img.width, img.height) == (w, h), name
-            pil_px = list(img.getdata())
-            assert max(abs(a - b) for a, b in zip(px, pil_px)) <= 1, name
+            pil_px = [v for t in img.getdata() for v in t]
+            sof = blob.find(b"\xff\xc0")
+            y_hv = blob[sof + 2 + 2 + 6 + 1]
+            if y_hv == 0x11:  # 4:4:4 — no upsampling in either decoder
+                assert max(
+                    abs(a - b) for a, b in zip(px, pil_px)
+                ) <= 2, name
+            else:  # subsampled: upsampling filters legitimately differ
+                luma = lambda p, i: (  # noqa: E731
+                    0.299 * p[i] + 0.587 * p[i + 1] + 0.114 * p[i + 2]
+                )
+                max_luma_diff = max(
+                    abs(luma(px, i) - luma(pil_px, i))
+                    for i in range(0, len(px), 3)
+                )
+                assert max_luma_diff <= 3.0, (name, max_luma_diff)
+                rmse = math.sqrt(
+                    sum((a - b) ** 2 for a, b in zip(px, pil_px)) / len(px)
+                )
+                assert rmse < 6.0, (name, rmse)
 
     def test_frame_sampling_explodes_by_duration(self, spark, media):
         frames = M.sample_frames(media, every_ms=1000, deterministic_fake=True).collect()
@@ -1102,10 +1142,143 @@ def test_jpeg_color_roundtrip_and_gates():
     odd = [10, 20, 30] * (10 * 6)
     ow, oh, onc, _ = jpegio.decode_image(jpegio.encode_rgb(odd, 10, 6))
     assert (ow, oh, onc) == (10, 6, 3)
-    # chroma-subsampled streams still gate (only 4:4:4 implemented):
-    # fabricate a SOF0 with 2x2 luma sampling
+    # sampling factors above 2 gate (1 and 2 are decoded for real):
+    # fabricate a SOF0 with 3x3 luma sampling
     idx = blob.find(b"\xff\xc0")
     bad = bytearray(blob)
-    bad[idx + 7 + 4] = 0x22  # Y component sampling 2x2
-    with _pytest.raises(NotImplementedError, match="subsampl"):
+    bad[idx + 7 + 4] = 0x33  # Y component sampling 3x3
+    with _pytest.raises(NotImplementedError, match="sampling factor"):
+        jpegio.decode_image(bytes(bad))
+
+
+def test_jpeg_420_chroma_subsampling_roundtrip():
+    """r9 ask #6: 4:2:0 chroma subsampling — the dominant real-world
+    JPEG form — decodes for real in-sandbox: 16x16 MCUs of four Y
+    blocks + one box-averaged Cb/Cr block each, chroma replicated back
+    to full resolution. Error vs the source stays bounded by quant +
+    subsampling loss; luma (full-res in 4:2:0) stays as tight as
+    4:4:4."""
+    import math
+
+    from etl_notifier_pipeline_spark.extensions import jpegio
+
+    w, h = 40, 24  # multiple MCU columns, non-square
+    rgb = []
+    for y in range(h):
+        for x in range(w):
+            rgb += [min(255, 4 * x + 2 * y), (x * 7) % 256, min(255, 3 * y)]
+    blob = jpegio.encode_rgb(rgb, w, h, subsampling="420")
+    assert jpegio.is_jpeg(blob)
+    assert jpegio.dimensions(blob) == (w, h, 3)
+    # SOF0 declares Y=2x2, Cb=Cr=1x1
+    sof = blob.find(b"\xff\xc0")
+    assert blob[sof + 2 + 2 + 6 + 1] == 0x22
+    assert blob[sof + 2 + 2 + 6 + 4] == 0x11
+    w2, h2, nc, out = jpegio.decode_image(blob)
+    assert (w2, h2, nc) == (w, h, 3)
+    rmse = math.sqrt(sum((a - b) ** 2 for a, b in zip(rgb, out)) / len(rgb))
+    # bound vs the information-theoretic floor for THIS image: what a
+    # lossless codec would produce after the same 2x2 box-average +
+    # replicate chroma path (the G channel is a 7px sawtooth, so the
+    # subsampling itself costs ~14 RMSE here) — quantization may add
+    # only a few levels on top
+    import numpy as np
+
+    a = np.asarray(rgb, dtype=np.float64).reshape(h, w, 3)
+    from etl_notifier_pipeline_spark.extensions.jpegio import (
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+    )
+
+    ych = _rgb_to_ycbcr(a)
+
+    def _sub(p):
+        ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        s = p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        return np.repeat(np.repeat(s, 2, axis=0), 2, axis=1)[:h, :w]
+
+    floor = np.clip(
+        np.round(_ycbcr_to_rgb(ych[0], _sub(ych[1]), _sub(ych[2]))), 0, 255
+    )
+    floor_rmse = math.sqrt(float(np.mean((floor - a) ** 2)))
+    assert rmse < floor_rmse + 4.0, (rmse, floor_rmse)
+    # luma carries full resolution: the decoded Y plane must match the
+    # source Y within 4:4:4-grade error even though chroma is halved
+    src_y = [
+        0.299 * rgb[i] + 0.587 * rgb[i + 1] + 0.114 * rgb[i + 2]
+        for i in range(0, len(rgb), 3)
+    ]
+    got_y = [
+        0.299 * out[i] + 0.587 * out[i + 1] + 0.114 * out[i + 2]
+        for i in range(0, len(out), 3)
+    ]
+    yrmse = math.sqrt(
+        sum((a - b) ** 2 for a, b in zip(src_y, got_y)) / len(src_y)
+    )
+    assert yrmse < 5.0, yrmse
+    # flat color: subsampling loses nothing, quant error only
+    flat = [200, 64, 32] * (16 * 16)
+    _, _, _, fout = jpegio.decode_image(
+        jpegio.encode_rgb(flat, 16, 16, subsampling="420")
+    )
+    assert max(abs(a - b) for a, b in zip(flat, fout)) <= 4
+    # odd (non-MCU-multiple) dimensions round-trip the declared size
+    odd = [10, 20, 30] * (18 * 9)
+    ow, oh, onc, _ = jpegio.decode_image(
+        jpegio.encode_rgb(odd, 18, 9, subsampling="420")
+    )
+    assert (ow, oh, onc) == (18, 9, 3)
+    # 4:2:2 (Y 2x1, horizontal-only subsampling) round-trips too
+    blob422 = jpegio.encode_rgb(rgb, w, h, subsampling="422")
+    sof = blob422.find(b"\xff\xc0")
+    assert blob422[sof + 2 + 2 + 6 + 1] == 0x21
+    w3, h3, nc3, out422 = jpegio.decode_image(blob422)
+    assert (w3, h3, nc3) == (w, h, 3)
+    rmse422 = math.sqrt(
+        sum((a - b) ** 2 for a, b in zip(rgb, out422)) / len(rgb)
+    )
+    # 422 keeps vertical chroma, so on any image it can't do worse
+    # than 420 (this image's chroma detail is horizontal — the G
+    # sawtooth — so the two land close; quant noise allows ~1 level)
+    assert rmse422 < rmse + 1.0, (rmse422, rmse)
+
+
+def test_jpeg_adobe_app14_rgb_gate():
+    """r9 advice #5: a 3-component stream that is NOT JFIF YCbCr must
+    gate to NotImplementedError instead of silently applying the
+    BT.601 inverse and emitting garbled pixels. Two detectable forms:
+    Adobe APP14 transform=0 (components are raw RGB), and non-JFIF
+    component ids."""
+    import struct
+
+    import pytest as _pytest
+
+    from etl_notifier_pipeline_spark.extensions import jpegio
+
+    rgb = [100, 150, 200] * 64
+    blob = jpegio.encode_rgb(rgb, 8, 8)
+
+    def with_app14(transform: int) -> bytes:
+        payload = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform)
+        seg = struct.pack(">HH", 0xFFEE, len(payload) + 2) + payload
+        return blob[:2] + seg + blob[2:]  # splice right after SOI
+
+    with _pytest.raises(NotImplementedError, match="YCbCr"):
+        jpegio.decode_image(with_app14(0))
+    # transform=1 explicitly declares YCbCr: decodes fine
+    w, h, nc, px = jpegio.decode_image(with_app14(1))
+    assert (w, h, nc) == (8, 8, 3)
+    assert px == jpegio.decode_image(blob)[3]
+
+    # exotic component ids without an Adobe transform: same gate.
+    # Patch cids in SOF0 (1,2,3 -> 82,71,66 "RGB") and in SOS.
+    bad = bytearray(blob)
+    sof = bad.find(b"\xff\xc0")
+    for ci, cid in enumerate((82, 71, 66)):
+        bad[sof + 2 + 2 + 6 + 3 * ci] = cid
+    sos = bad.find(b"\xff\xda")
+    for si, cid in enumerate((82, 71, 66)):
+        bad[sos + 2 + 2 + 1 + 2 * si] = cid
+    with _pytest.raises(NotImplementedError, match="component"):
         jpegio.decode_image(bytes(bad))

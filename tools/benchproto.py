@@ -47,6 +47,10 @@ def stamped_runs(run_once, n_runs: int = 3) -> dict:
                          total, so the bracket cost stays ~50 ms/run)
     - ``dispersion_pct`` (max-min)/median * 100 across runs — did
                          best-of-N converge, or is the host unstable?
+                         ``None`` when n_runs == 1: a one-shot stamp
+                         carries no convergence information, and a
+                         literal 0.0 would read as a convergence CLAIM
+                         (r9 verdict, what's-wrong #2)
     """
     import bench
 
@@ -69,7 +73,9 @@ def stamped_runs(run_once, n_runs: int = 3) -> dict:
         "runs_sec": runs,
         "canary_ms": canaries,
         "dispersion_pct": (
-            round(100.0 * (max(runs) - min(runs)) / med, 1) if med else 0.0
+            round(100.0 * (max(runs) - min(runs)) / med, 1)
+            if n_runs > 1 and med
+            else None
         ),
     }
     if extras[best_i]:

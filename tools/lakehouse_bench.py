@@ -323,6 +323,113 @@ def append_rung(spark, store, view, n_rows: int):
     return row, view
 
 
+def autocompact_rung(spark, root: str, n_rows: int, n_commits: int):
+    """The policy's cost envelope (r9 verdict missing #4): the same
+    scattered commit stream as the merge_on_read rung, but with
+    ``auto_compact_deltas=5`` — compact() fires automatically whenever
+    any bucket stacks more than 5 delta dirs. Measured per round:
+
+    - ``apply``: the 3 sub-commits' wall (INCLUDING any policy
+      compaction they trigger — the amortized write-time price);
+      ``auto_compactions`` lists the compaction commit versions.
+    - ``read``: full-scan agg seconds — the read-time BOUND the policy
+      buys (the manual-compact rung measured 69 s at 10 stacked).
+    - ``max_stacked`` : deepest per-bucket delta stack after the
+      round — must stay <= auto_compact_deltas + 3 (one round's
+      sub-commits land before the policy check).
+    - ``ivm``: the fold over a feed whose range INCLUDES the policy's
+      compaction commits, which change_feed must skip via the manifest
+      marker (m21's correctness claim, here at scale).
+
+    Final: maintained view drift vs full recompute (must be 0), and
+    the total write-path seconds for comparison against the
+    merge_on_read rung's sum(apply) + one manual compact."""
+    store = BucketedTableStore(
+        spark,
+        os.path.join(root, "autocompact"),
+        keys={"t": ["k"]},
+        n_buckets=64,
+        # a round = 3 mutation commits + up to 1 policy compaction;
+        # feeds read one round back, so 8 covers it with headroom
+        retain_versions=8,
+        capture_cdc=True,
+        auto_compact_deltas=5,
+    )
+    seed = stamped_runs(
+        lambda: _timed(lambda: store.overwrite("t", _base_frame(spark, n_rows))),
+        n_runs=1,
+    )
+    print(f"[autocompact] seeded {n_rows:,} rows in {seed['sec']}s", flush=True)
+    view = _seed_view(store)
+    rounds = []
+    for i in range(n_commits):
+        ups, dels, ins = _commit_batches(spark, n_rows, i)
+        v_start = store.current_version("t")
+        compactions: list[int] = []
+
+        def one_commit():
+            t0 = time.perf_counter()
+            for df, op, ob in (
+                (ups, "update", ["v"]),
+                (dels, "delete", []),
+                (ins, "insert", ["v"]),
+            ):
+                store.apply_keyed_mutation(
+                    "t", df, ["k"], ob, op, strategy="merge_on_read"
+                )
+                if store.last_auto_compact_version is not None:
+                    compactions.append(store.last_auto_compact_version)
+            return time.perf_counter() - t0
+
+        apply = stamped_runs(one_commit, n_runs=1)
+        v_hi = store.current_version("t")
+        m = store._manifest("t", v_hi)
+        max_stacked = max(
+            (len(d) for d in m.get("deltas", {}).values()), default=0
+        )
+        feed = change_feed(
+            store, "t", ["k"], from_version=v_start, to_version=v_hi
+        )
+        n_changes = feed.count()
+
+        def fold():
+            nonlocal view
+            delta = cdc_agg_delta(feed, "grp", "v", value_cast="decimal(18,2)")
+            new_view = (
+                merge_aggregates(view, delta, ["grp"], KINDS)
+                .filter(F.col("d_count") > 0)
+                .persist()
+            )
+            new_view.count()
+            view.unpersist()
+            view = new_view
+
+        row = {
+            "commit": i + 1,
+            "apply": apply,
+            "auto_compactions": compactions,
+            "max_stacked_deltas": max_stacked,
+            "read": stamped_runs(
+                lambda: _measure(spark, store.read("t")), n_runs=2
+            ),
+            "n_changes": n_changes,
+            "ivm": stamped_runs(lambda: _timed(fold), n_runs=1),
+        }
+        rounds.append(row)
+        print(f"[autocompact] {json.dumps(row)}", flush=True)
+    doc = {
+        "seed": seed,
+        "policy": {"auto_compact_deltas": 5},
+        "commits": rounds,
+        "total_write_path_sec": round(
+            sum(r["apply"]["sec"] for r in rounds), 3
+        ),
+        "n_auto_compactions": sum(len(r["auto_compactions"]) for r in rounds),
+        "ivm_drift_rows": _view_drift(store, view),
+    }
+    return doc
+
+
 def independence_rung(spark, root: str, sizes: list[int], batch: int):
     """The literal merge-on-read claim: apply_sec is independent of
     table size. Same scattered ``batch``-key update against tables of
@@ -332,13 +439,32 @@ def independence_rung(spark, root: str, sizes: list[int], batch: int):
     the stamp's dispersion also shows apply staying flat as deltas
     stack."""
     out = []
+    # Pre-warm the write path on a throwaway table: the r9 artifact's
+    # 6 M cell carried 48% dispersion because its FIRST scattered MoR
+    # apply paid one-time JVM/codegen/parquet-writer initialization
+    # that the 60 M cell (running second) never saw — polluting the
+    # very comparison the rung exists to make (r9 ask #8).
+    warm_store = BucketedTableStore(
+        spark, os.path.join(root, "indep_warm"), keys={"t": ["k"]},
+        n_buckets=64, retain_versions=2, capture_cdc=False,
+    )
+    warm_store.overwrite("t", _base_frame(spark, max(1, sizes[0] // 10)))
+    warm_store.apply_keyed_mutation(
+        "t",
+        spark.range(0, max(1, sizes[0] // 10), 7).select(
+            F.col("id").alias("k"),
+            (F.col("id") % N_GROUPS).alias("grp"),
+            F.lit(7.0).alias("v"),
+        ),
+        ["k"], ["v"], "update", strategy="merge_on_read",
+    )
     for n in sizes:
         store = BucketedTableStore(
             spark,
             os.path.join(root, f"indep_{n}"),
             keys={"t": ["k"]},
             n_buckets=64,
-            retain_versions=4,
+            retain_versions=6,
             capture_cdc=False,
         )
         store.overwrite("t", _base_frame(spark, n))
@@ -356,7 +482,7 @@ def independence_rung(spark, root: str, sizes: list[int], batch: int):
                 )
             )
 
-        stamp = stamped_runs(one, n_runs=3)
+        stamp = stamped_runs(one, n_runs=5)
         out.append({"n_rows": n, "batch_rows": min(batch, n), "apply": stamp})
         print(f"[independence] {json.dumps(out[-1])}", flush=True)
     return out
@@ -422,12 +548,40 @@ def main() -> None:
     json_out = opt("--json", None)
     rung = opt("--rung", "all")
     root = opt("--root", None)
+    add_rung = opt("--add-rung", None)
+
+    if add_rung:
+        # Incremental artifact maintenance: run ONE rung in a fresh
+        # subprocess and merge its doc into an existing artifact
+        # (every measurement carries its own canary bracket, so rungs
+        # from different sessions stay comparable — that's the whole
+        # point of canary-per-measurement-v1).
+        key = {
+            "autocompact": "merge_on_read_autocompact",
+            "independence": "table_size_independence",
+        }.get(add_rung, add_rung)
+        root = tempfile.mkdtemp(prefix="lakehouse_bench_")
+        try:
+            child = _child(add_rung, root, n_rows, n_commits)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        with open(json_out) as f:
+            doc = json.load(f)
+        doc[key] = child.get("sizes", child)
+        doc.setdefault("protocol", {})[f"{key}_added"] = protocol_header(
+            1, canary=PROTOCOL_VERSION, isolation="one subprocess per rung"
+        )
+        with open(json_out, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(f"merged rung {add_rung!r} into {json_out}")
+        return
 
     if rung == "all":
         root = tempfile.mkdtemp(prefix="lakehouse_bench_")
         try:
             cow = _child("copy_on_write", root, n_rows, n_commits)
             mor = _child("merge_on_read", root, n_rows, n_commits)
+            ac = _child("autocompact", root, n_rows, n_commits)
             indep = _child("independence", root, n_rows, n_commits)
             comp = _child("compare", root, n_rows, n_commits)
         finally:
@@ -444,6 +598,7 @@ def main() -> None:
             ),
             "copy_on_write": cow,
             "merge_on_read": mor,
+            "merge_on_read_autocompact": ac,
             "table_size_independence": indep["sizes"],
             "ivm_drift_rows": {
                 "copy_on_write": cow.pop("ivm_drift_rows"),
@@ -467,6 +622,8 @@ def main() -> None:
             append_row, view = append_rung(spark, store, view, n_rows)
             doc["append_commit"] = append_row
         doc["ivm_drift_rows"] = _view_drift(store, view)
+    elif rung == "autocompact":
+        doc = autocompact_rung(spark, root, n_rows, n_commits)
     elif rung == "independence":
         doc = {
             "sizes": independence_rung(
