@@ -182,10 +182,27 @@ def _q50_deployment(spark, sf_dir: str):
     return q50_plan_bucketed(spark, sf_dir)
 
 
+def _q56_deployment(spark, sf_dir: str):
+    # The third star shape through the layout REGISTRY (r9 ask #7) —
+    # and the proof the layouts are shared capital: q56 reuses q50's
+    # orderkey_star (union covering projection), and its whole
+    # scan -> colocated join -> per-(order,supplier) agg -> per-order
+    # window chain runs with ZERO exchange because every downstream
+    # clustering key contains the bucket key. No decimal sums in the
+    # query (counts only), so the deployment twin differs from the
+    # registry entry only by the storage layout.
+    from etl_notifier_pipeline_spark.operators.starjoin import (
+        q56_plan_bucketed,
+    )
+
+    return q56_plan_bucketed(spark, sf_dir)
+
+
 DEPLOYMENT_SPARK = {
     "q01_pricing_summary": _q01_deployment,
     "q05_revenue_by_nation": _q05_deployment,
     "q50_product_profit": _q50_deployment,
+    "q56_late_sole_suppliers": _q56_deployment,
 }
 
 DEPLOYMENT_SQL = {
@@ -238,7 +255,13 @@ def resolve(name: str, profile: str = "oracle"):
     numeric profile. "oracle" = the registry's bit-exact contract;
     "deployment" = double-sum twins for the scan-aggs that have one."""
     if profile == "deployment" and name in DEPLOYMENT_SPARK:
-        return DEPLOYMENT_SPARK[name], DEPLOYMENT_SQL[name]
+        # a deployment twin without its own SQL (q56: counts only, no
+        # decimal-vs-double divergence) runs against the registry
+        # oracle — the twin differs only by storage layout
+        return (
+            DEPLOYMENT_SPARK[name],
+            DEPLOYMENT_SQL.get(name) or plans.get(name).oracle,
+        )
     spec = plans.get(name)
     return spec.fn, (spec.oracle or TWIN_SQL.get(name))
 

@@ -80,24 +80,30 @@ LAYOUTS: dict[str, dict[str, dict]] = {
             "columns": ("c_custkey", "c_nationkey"),
         },
     },
-    # the fact-fact layout (q50/TPC-H Q9 shape): lineitem AND orders
-    # co-bucketed on the orderkey with EQUAL bucket counts, so the
-    # join between the two table-sized relations — the join that can
-    # never broadcast and at 100 TB must not shuffle either side — is
-    # storage-partitioned with zero exchange on both legs. Covering
-    # projections keep both scans to the star's columns.
+    # the fact-fact layout (q50/TPC-H Q9 and q56/Q21 shapes): lineitem
+    # AND orders co-bucketed on the orderkey with EQUAL bucket counts,
+    # so the join between the two table-sized relations — the join
+    # that can never broadcast and at 100 TB must not shuffle either
+    # side — is storage-partitioned with zero exchange on both legs.
+    # The covering projection is the UNION of its stars' columns
+    # (q50: partkey/suppkey/quantity/price/discount + orderdate; q56
+    # adds shipdate + orderstatus): one stored fact copy serves every
+    # query of the shape — projections are per-JOIN-GEOMETRY capital,
+    # not per-query — and columnar scans still decode only each
+    # query's columns, so q50 pays nothing for q56's extra two.
     "orderkey_star": {
         "lineitem": {
             "key": "l_orderkey",
             "columns": (
                 "l_orderkey", "l_partkey", "l_suppkey",
                 "l_quantity", "l_extendedprice", "l_discount",
+                "l_shipdate",
             ),
             "buckets_mult": 4,
         },
         "orders": {
             "key": "o_orderkey",
-            "columns": ("o_orderkey", "o_orderdate"),
+            "columns": ("o_orderkey", "o_orderdate", "o_orderstatus"),
             "buckets_mult": 4,
         },
     },
@@ -323,7 +329,11 @@ def star_plan(
       world, not the data).
 
     Joins apply in list order; supply pre-filtered/pre-projected
-    ``df``s so predicate and column pruning reach the scans."""
+    ``df``s so predicate and column pruning reach the scans. A
+    colocated dim can't take a caller ``df`` (the caller has no handle
+    on the bucketed table) — pass ``"transform": fn`` instead and it
+    is applied to the bucketed frame; filters/projections preserve the
+    bucket HashPartitioning, so the join stays exchange-free."""
     b = ensure_bucketed_layout(spark, sf_dir, tables=layout, n_buckets=n_buckets)
     df = b[fact]
     for d in dims:
@@ -333,7 +343,9 @@ def star_plan(
                 raise ValueError(
                     f"colocated dim {d.get('name')!r} not in layout"
                 )
-            other = d.get("df") if d.get("df") is not None else b[d["name"]]
+            other = b[d["name"]]
+            if d.get("transform") is not None:
+                other = d["transform"](other)
         else:
             other = d["df"]
         fcol, dcol = d["on"]
@@ -426,4 +438,85 @@ def q50_plan_bucketed(
     ).agg(
         F.sum(vol - cost).alias("profit"),
         F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+def q56_plan_bucketed(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 256
+) -> DataFrame:
+    """q56 (TPC-H Q21 shape: suppliers who were the SOLE late supplier
+    on a finalized multi-supplier order) as a ``star_plan`` over the
+    SAME ``orderkey_star`` layout q50 uses (r9 ask #7: a third star
+    shape through the registry, reusing stored layout capital instead
+    of minting a per-query copy).
+
+    This shape is the registry's best case: after the zero-exchange
+    fact ⨝ orders join, EVERY downstream clustering requirement is
+    already satisfied by the bucket partitioning —
+
+    - groupBy (l_orderkey, l_suppkey): HashPartitioning(l_orderkey)
+      clusters any key set CONTAINING l_orderkey, so the per-(order,
+      supplier) aggregate runs with no exchange and no partial/final
+      split (one pass).
+    - the per-order windows partition by l_orderkey: same property —
+      a local sort, zero shuffle.
+
+    So the only exchange in the whole plan is the final 20-row
+    top-k's singlePartition gather plus the supplier decoration join
+    on the (tiny) surviving rows — at any scale the fact is scanned
+    once from its covering projection and never moves. supplier joins
+    shuffle_hash (it grows with the data; broadcast dies at 100 TB);
+    the status filter is pushed into the colocated orders scan via
+    the ``transform`` hook (filters preserve bucket partitioning)."""
+    from pyspark.sql.window import Window
+
+    joined = star_plan(
+        spark,
+        sf_dir,
+        layout="orderkey_star",
+        fact="lineitem",
+        dims=[
+            {
+                "name": "orders",
+                "on": ("l_orderkey", "o_orderkey"),
+                "strategy": "colocated",
+                "transform": lambda o: o.filter(
+                    F.col("o_orderstatus") == "F"
+                ).select("o_orderkey", "o_orderdate"),
+            },
+        ],
+        n_buckets=n_buckets,
+    )
+    enriched = joined.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("late"),
+    )
+    per_os = enriched.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_orderkey", "l_suppkey", "supp_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("supp_late").over(w).alias("n_late"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        flagged.filter(
+            (F.col("supp_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .join(supp.hint("shuffle_hash"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
     )

@@ -277,3 +277,83 @@ def test_bucketed_table_name_value_equality_reuses_legacy_name():
         "/x/sf", "orders", 256, LAYOUTS["orderkey_star"]["orders"]
     )
     assert other != canonical
+
+
+class TestQ56StarRegistry:
+    """r9 ask #7: a THIRD star shape (q56, TPC-H Q21) routed through
+    star_plan — over the SAME orderkey_star layout q50 uses, proving
+    the registry's layouts are shared capital across queries rather
+    than one-offs. This shape composes further than q50: the
+    per-(order,supplier) aggregate AND the per-order windows after the
+    colocated join are clustered by a superset of the bucket key, so
+    the whole chain scan -> join -> agg -> window runs with zero
+    exchange."""
+
+    @pytest.fixture(scope="class")
+    def no_broadcast(self, spark):
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        yield spark
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+    def test_q56_bucketed_plan_shape(self, no_broadcast):
+        from etl_notifier_pipeline_spark.operators.starjoin import (
+            LAYOUTS,
+            bucketed_table_name,
+            q56_plan_bucketed,
+        )
+
+        spark = no_broadcast
+        df = q56_plan_bucketed(spark, SF_DIR, n_buckets=2)
+        df.collect()  # finalize AQE so the executed plan is real
+        plan = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        li = bucketed_table_name(
+            SF_DIR, "lineitem", 2, LAYOUTS["orderkey_star"]["lineitem"]
+        )
+        o = bucketed_table_name(
+            SF_DIR, "orders", 2, LAYOUTS["orderkey_star"]["orders"]
+        )
+        assert li in plan and o in plan
+        # the fact-fact join and the supplier join are executor builds
+        assert plan.count("ShuffledHashJoin") == 2
+        # zero-exchange chain: the colocated join, the (l_orderkey,
+        # l_suppkey) aggregate (clustered by a SUPERSET of the bucket
+        # key), and the per-order window all reuse the bucket
+        # partitioning — the only hash exchanges allowed are the two
+        # sides of the supplier join and the final 20-row s_name
+        # aggregate, all on post-filter row counts, never the fact
+        assert plan.count("Exchange hashpartitioning") <= 3, plan
+        # nothing between the bucketed fact scan and the first join
+        fact_leg = plan.split(li)[0]
+        last_join = fact_leg.rfind("ShuffledHashJoin")
+        assert "Exchange" not in fact_leg[last_join:]
+        # the orders-side status filter reached the bucketed scan's
+        # leg (transform hook), not a post-join filter
+        assert "o_orderstatus" in plan
+
+    def test_q56_bucketed_matches_registry(self, no_broadcast):
+        from etl_notifier_pipeline_spark.operators.starjoin import (
+            q56_plan_bucketed,
+        )
+        from etl_notifier_pipeline_spark.plans import get
+
+        spark = no_broadcast
+        want = [
+            (r["s_name"], r["numwait"])
+            for r in get("q56_late_sole_suppliers").fn(spark, SF_DIR).collect()
+        ]
+        got = [
+            (r["s_name"], r["numwait"])
+            for r in q56_plan_bucketed(spark, SF_DIR, n_buckets=2).collect()
+        ]
+        assert got == want and len(got) > 0
