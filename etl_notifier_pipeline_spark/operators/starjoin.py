@@ -114,6 +114,16 @@ STAR_BUCKETS: dict[str, dict] = LAYOUTS["custkey_star"]
 
 LAST_BUILD_SECS: dict[str, float] = {}
 
+# strategy="auto" records (per dim-join key) the measured size and the
+# path it chose, so a benchmark artifact shows which plan actually ran
+LAST_STAR_DECISIONS: dict[str, dict] = {}
+
+# the measured dim sizes behind strategy="auto", keyed by
+# (sf_dir, fact, dim join key): a catalog-statistics cache, so
+# re-planning the same star (every run of a repeated query) doesn't
+# re-pay the count job — exactly what ANALYZE-maintained stats are
+_AUTO_SIZE_CACHE: dict[tuple, int] = {}
+
 
 def _tag(sf_dir: str) -> str:
     return re.sub(r"\W+", "_", sf_dir).strip("_")
@@ -308,6 +318,8 @@ def star_plan(
     fact: str,
     dims: list[dict],
     n_buckets: int = 256,
+    fact_transform=None,
+    broadcast_budget_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Generic star composition over a registered bucket layout (the
     r8 ask: promote the q05-only facility to a reusable planner).
@@ -327,15 +339,38 @@ def star_plan(
     - ``{"df": df, "on": ..., "strategy": "broadcast"}``
       ONLY for constant-size dims (nation/region: bounded by the
       world, not the data).
+    - ``{"df": df, "on": ..., "strategy": "auto"}``
+      size-adaptive: broadcast while the (pre-filtered) dim fits
+      ``broadcast_budget_bytes`` — MEASURED with a count job (the dim
+      is small relative to the fact by premise; stats-based estimates
+      lie after a LIKE filter) at ~24 bytes/column — else degrade to
+      shuffle_hash. This is the strategy for a dim that grows with
+      the data but is FILTERED before the join (q50's widget parts:
+      12.5% of 20 M parts broadcasts fine at sf100; at 100 TB the
+      same spec quietly becomes an executor-side build). Decisions
+      are recorded in ``LAST_STAR_DECISIONS`` so benchmarks report
+      which path a run actually took.
 
     Joins apply in list order; supply pre-filtered/pre-projected
     ``df``s so predicate and column pruning reach the scans. A
     colocated dim can't take a caller ``df`` (the caller has no handle
     on the bucketed table) — pass ``"transform": fn`` instead and it
     is applied to the bucketed frame; filters/projections preserve the
-    bucket HashPartitioning, so the join stays exchange-free."""
+    bucket HashPartitioning, so the join stays exchange-free. A
+    colocated dim may also set ``"build": "fact"`` to hash-build the
+    (often smaller, e.g. semi-filtered) fact side and stream the dim.
+
+    ``fact_transform`` is applied to the bucketed FACT before any dim
+    join — the hook for selectivity pushdown (a filter, or a
+    broadcast LEFT-SEMI against a keys-only dim projection): both
+    preserve the bucket partitioning, so the colocated joins stay
+    exchange-free while every downstream shuffle carries only the
+    qualifying fraction of the fact."""
+    LAST_STAR_DECISIONS.clear()
     b = ensure_bucketed_layout(spark, sf_dir, tables=layout, n_buckets=n_buckets)
     df = b[fact]
+    if fact_transform is not None:
+        df = fact_transform(df)
     for d in dims:
         strat = d["strategy"]
         if strat == "colocated":
@@ -349,6 +384,20 @@ def star_plan(
         else:
             other = d["df"]
         fcol, dcol = d["on"]
+        if strat == "auto":
+            ck = (sf_dir, fact, dcol)
+            est = _AUTO_SIZE_CACHE.get(ck)
+            if est is None:
+                est = other.count() * 24 * len(other.columns)
+                _AUTO_SIZE_CACHE[ck] = est
+            strat = (
+                "broadcast"
+                if est <= broadcast_budget_bytes
+                else "shuffle_hash"
+            )
+            LAST_STAR_DECISIONS[dcol] = {
+                "est_bytes": int(est), "chose": strat,
+            }
         if strat == "broadcast":
             other = F.broadcast(other)
         elif strat == "shuffle_hash":
@@ -357,8 +406,15 @@ def star_plan(
             # both sides already report the bucket HashPartitioning, so
             # no exchange either way — the hint picks the executor-side
             # hash build over sort-merge (which would SORT the fact in
-            # place: no shuffle, but a full fact-side sort per query)
-            other = other.hint("shuffle_hash")
+            # place: no shuffle, but a full fact-side sort per query).
+            # "build": "fact" hints the fact leg instead: the hash map
+            # is built from the (semi-filtered, smaller) fact rows and
+            # the dim streams — measured ~1 s at sf100 where the fact
+            # side holds 75 M rows vs orders' 150 M.
+            if d.get("build") == "fact":
+                df = df.hint("shuffle_hash")
+            else:
+                other = other.hint("shuffle_hash")
         else:
             raise ValueError(f"unknown strategy {strat!r}")
         df = df.join(other, F.col(fcol) == F.col(dcol))
@@ -366,7 +422,8 @@ def star_plan(
 
 
 def q50_plan_bucketed(
-    spark: SparkSession, sf_dir: str, n_buckets: int = 256
+    spark: SparkSession, sf_dir: str, n_buckets: int = 256,
+    broadcast_budget_bytes: int = 128 << 20,
 ) -> DataFrame:
     """q50 (TPC-H Q9 shape: product-line profit by supplier nation and
     order year) as a ``star_plan`` over the ``orderkey_star`` layout —
@@ -378,51 +435,84 @@ def q50_plan_bucketed(
     150 M-row orders every query. Here both are read from their
     co-bucketed covering projections: the scans ARE the join
     partitioning — zero exchange, zero sort on the fact-fact join.
-    part (LIKE-filtered before the join) and supplier join as
-    executor-built shuffle-hash (they grow with the data: broadcast
-    dies first at 100 TB, and r6 measured the driver-serial build);
-    only the 25-row nation map broadcasts. Deployment numeric profile
-    (double sums) — the bit-exact decimal twin stays in the
-    registry."""
-    p = (
-        load_table(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("%widget%"))
-        .select("p_partkey", "p_retailprice")
+
+    Three measured refinements from the first sf100 run (33.1 s,
+    21.5 GB shuffled — the part/supplier decorations were moving the
+    FULL fact):
+
+    1. **Selectivity pushdown**: the fact scan is LEFT-SEMI filtered
+       against the qualifying PARTKEY SET (keys-only broadcast — 8
+       B/key; past broadcast size this becomes a bloom runtime
+       filter, same plan position) BEFORE any join. The broadcast
+       semi preserves the bucket partitioning, so the colocated
+       orders join stays exchange-free and every downstream shuffle
+       carries only the qualifying ~12.5% (21.5 -> 4.6 GB, 33.1 ->
+       19.3 s).
+    2. **Fact-side build** on the colocated join: the semi-filtered
+       fact (75 M rows at sf100) is the hash-build side, the 150 M
+       orders stream (~1 s).
+    3. **strategy="auto" dims**: the LIKE-filtered part payload and
+       the supplier->nation map are measured against a 128 MB
+       broadcast budget — they fit at sf100 (40 MB / 30 MB) so the
+       remaining shuffles disappear; at 100 TB the same specs
+       measure over budget and degrade to executor-built
+       shuffle-hash (the 19.3 s plan, also measured). Which path ran
+       is recorded in ``LAST_STAR_DECISIONS``.
+
+    Deployment numeric profile (double sums) — the bit-exact decimal
+    twin stays in the registry."""
+    widget = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
     )
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey"
-    )
-    nat = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name"
+    pkeys = widget.select("p_partkey")
+    p = widget.select("p_partkey", "p_retailprice")
+    # supplier -> nation name map: the 25-row nation dim folds into
+    # the supplier payload before the fact ever sees either
+    smap = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
     )
     joined = star_plan(
         spark,
         sf_dir,
         layout="orderkey_star",
         fact="lineitem",
+        fact_transform=lambda li: li.join(
+            F.broadcast(pkeys), F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        ),
         dims=[
             {
                 "name": "orders",
                 "on": ("l_orderkey", "o_orderkey"),
                 "strategy": "colocated",
+                "build": "fact",
+                "transform": lambda o: o.select(
+                    "o_orderkey", F.year("o_orderdate").alias("o_year")
+                ),
             },
             {
                 "df": p,
                 "on": ("l_partkey", "p_partkey"),
-                "strategy": "shuffle_hash",
+                "strategy": "auto",
             },
             {
-                "df": s,
+                "df": smap,
                 "on": ("l_suppkey", "s_suppkey"),
-                "strategy": "shuffle_hash",
-            },
-            {
-                "df": nat,
-                "on": ("s_nationkey", "n_nationkey"),
-                "strategy": "broadcast",
+                "strategy": "auto",
             },
         ],
         n_buckets=n_buckets,
+        broadcast_budget_bytes=broadcast_budget_bytes,
     )
     vol = F.col("l_extendedprice").cast("double") * (
         F.lit(1.0) - F.col("l_discount").cast("double")
@@ -434,7 +524,7 @@ def q50_plan_bucketed(
     )
     return joined.groupBy(
         F.col("n_name").alias("nation"),
-        F.year("o_orderdate").alias("o_year"),
+        F.col("o_year"),
     ).agg(
         F.sum(vol - cost).alias("profit"),
         F.count(F.lit(1)).alias("n_lineitems"),

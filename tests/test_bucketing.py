@@ -185,8 +185,23 @@ class TestQ50OrderkeyStar:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
 
-    def test_q50_bucketed_plan_shape(self, no_broadcast):
+    def _executed_plan(self, df):
+        df.collect()  # finalize AQE so the executed plan is real
+        return (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+
+    def test_q50_bucketed_plan_shape_auto(self, no_broadcast):
+        """Default path: the auto dims measure under the broadcast
+        budget at this sf, so the only ShuffledHashJoin left is the
+        zero-exchange colocated fact-fact join (built on the
+        semi-filtered FACT side) — no hash exchange anywhere but the
+        final aggregate."""
         from etl_notifier_pipeline_spark.operators.starjoin import (
+            LAST_STAR_DECISIONS,
             LAYOUTS,
             bucketed_table_name,
             q50_plan_bucketed,
@@ -194,13 +209,7 @@ class TestQ50OrderkeyStar:
 
         spark = no_broadcast
         df = q50_plan_bucketed(spark, SF_DIR, n_buckets=2)
-        df.collect()  # finalize AQE so the executed plan is real
-        plan = (
-            df._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-            .split("== Initial Plan ==")[0]
-        )
+        plan = self._executed_plan(df)
         li = bucketed_table_name(
             SF_DIR, "lineitem", 2, LAYOUTS["orderkey_star"]["lineitem"]
         )
@@ -208,20 +217,62 @@ class TestQ50OrderkeyStar:
             SF_DIR, "orders", 2, LAYOUTS["orderkey_star"]["orders"]
         )
         assert li in plan and o in plan
-        # nothing sorts either fact leg
         assert "SortMergeJoin" not in plan
-        # the fact-fact join plus part/supplier are executor hash builds
-        assert plan.count("ShuffledHashJoin") == 3
-        # only the nation map broadcasts
+        # the semi filter sits on the fact scan leg BEFORE the
+        # colocated join: qualifying rows only, partitioning intact
+        assert "LeftSemi" in plan
+        # colocated fact-fact join is the only executor hash build;
+        # it is built from the fact leg ("build": "fact") — BuildLeft
+        assert plan.count("ShuffledHashJoin") == 1
+        assert "ShuffledHashJoin [l_orderkey" in plan and "BuildLeft" in plan
+        # auto decisions recorded: both dims measured under budget
+        assert {
+            k: v["chose"] for k, v in LAST_STAR_DECISIONS.items()
+        } == {"p_partkey": "broadcast", "s_suppkey": "broadcast"}
+        # the fact table itself never broadcasts
         for chunk in plan.split("BroadcastExchange")[1:]:
             scan = chunk.split("FileScan", 1)[1][:200] if "FileScan" in chunk else ""
-            assert "orders" not in scan and "lineitem" not in scan
-            assert "part" not in scan and "supplier" not in scan
+            assert "lineitem" not in scan and "orders" not in scan
+        # only the final aggregate exchanges
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+    def test_q50_bucketed_plan_shape_degraded(self, no_broadcast):
+        """budget=0 forces the 100 TB regime: every auto dim degrades
+        to an executor-built shuffle-hash join — the shape the first
+        sf100 measurement pinned (19.3 s / 4.6 GB moved)."""
+        from etl_notifier_pipeline_spark.operators.starjoin import (
+            LAST_STAR_DECISIONS,
+            LAYOUTS,
+            bucketed_table_name,
+            q50_plan_bucketed,
+        )
+
+        spark = no_broadcast
+        df = q50_plan_bucketed(
+            spark, SF_DIR, n_buckets=2, broadcast_budget_bytes=0
+        )
+        plan = self._executed_plan(df)
+        li = bucketed_table_name(
+            SF_DIR, "lineitem", 2, LAYOUTS["orderkey_star"]["lineitem"]
+        )
+        assert "SortMergeJoin" not in plan
+        # colocated + part + supplier-map joins are executor builds
+        assert plan.count("ShuffledHashJoin") == 3
+        assert {
+            k: v["chose"] for k, v in LAST_STAR_DECISIONS.items()
+        } == {"p_partkey": "shuffle_hash", "s_suppkey": "shuffle_hash"}
+        # no dim PAYLOAD broadcasts (the keys-only semi set and the
+        # 25-row nation fold inside smap are the only broadcasts)
+        for chunk in plan.split("BroadcastExchange")[1:]:
+            scan = chunk.split("FileScan", 1)[1][:200] if "FileScan" in chunk else ""
+            assert "lineitem" not in scan and "orders" not in scan
+            assert "supplier" not in scan
+            if "part" in scan:
+                assert "p_retailprice" not in scan, scan
         # exchanges: part join (2 sides) + supplier join (2 sides) +
         # final agg — the lineitem⨝orders join contributes ZERO
         assert plan.count("Exchange hashpartitioning") <= 5, plan
-        # and neither bucketed scan feeds through an exchange: the text
-        # between each scan and its join contains no Exchange
+        # and the bucketed fact scan never feeds through an exchange
         fact_leg = plan.split(li)[0]
         last_join = fact_leg.rfind("ShuffledHashJoin")
         assert "Exchange" not in fact_leg[last_join:]
