@@ -183,11 +183,17 @@ def lsh_query(
         norm(F.col(vec_col)).alias("q_norm"),
         F.explode(_lsh_buckets(tables)(F.col(vec_col))).alias("b"),
     ).select("query_id", "q_vec", "q_norm", "b.tbl", "b.bkt")
+    # Score BEFORE the cross-table dedup: the dedup is the plan's only
+    # exchange, and an exchange that still carries both d-float vectors
+    # moves ~550 B/candidate (measured filling the disk at a 1000-query
+    # batch on 2 M vectors — ~137 GB of spill); scoring first (pure
+    # map-side codegen, deterministic per pair, so table-duplicates
+    # score identically) narrows the exchanged row to 24 B, and the
+    # aggregate's map-side partial dedup shrinks it further before any
+    # byte moves.
     scored = (
         index.join(F.broadcast(q), ["tbl", "bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec", "q_norm", "c_norm")
-        .dropDuplicates(["query_id", "neighbor_id"])  # OR across tables
         .select(
             "query_id",
             "neighbor_id",
@@ -196,6 +202,7 @@ def lsh_query(
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_sim"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])  # OR across tables
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -1023,20 +1030,26 @@ def ivfpq_query(
                     rows.append(
                         (
                             int(pdf[id_col].iloc[i]),
-                            list(map(float, pdf[vec_col].iloc[i])),
-                            float(norms[i]),
                             int(cell),
                             lut,
                         )
                     )
-            yield pd.DataFrame(
-                rows, columns=["query_id", "q_vec", "q_norm", "cell", "luts"]
-            )
+            yield pd.DataFrame(rows, columns=["query_id", "cell", "luts"])
 
+    # LUT frame carries ONLY (query_id, cell, luts): the ADC ranking
+    # exchange below must stay narrow. Query vectors ride separately
+    # and re-join the SHORTLIST (cand_mult*k rows/query), never the
+    # full candidate stream — the pre-fix plan carried q_vec AND c_vec
+    # (~550 B/candidate) through the rank exchange, which filled the
+    # disk at a 1000-query batch on 2 M vectors.
     q = queries.select(id_col, vec_col).mapInPandas(
         qluts,
-        "query_id long, q_vec array<float>, q_norm double, cell int, "
-        "luts array<array<double>>",
+        "query_id long, cell int, luts array<array<double>>",
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     adc = F.aggregate(
         F.zip_with(
@@ -1050,22 +1063,29 @@ def ivfpq_query(
     scored = (
         index.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id", "q_vec", "c_vec", "q_norm", "c_norm",
-            adc.alias("adc"),
-        )
+        .select("query_id", "neighbor_id", adc.alias("adc"))
     )
     wa = W.partitionBy("query_id").orderBy(F.col("adc"), F.col("neighbor_id"))
-    cand = scored.withColumn("arank", F.row_number().over(wa)).filter(
-        F.col("arank") <= cand_mult * k
+    cand = (
+        scored.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= cand_mult * k)
+        .select("query_id", "neighbor_id")
     )
-    exact = cand.select(
-        "query_id",
-        "neighbor_id",
-        (
-            dot(F.col("q_vec"), F.col("c_vec"))
-            / (F.col("q_norm") * F.col("c_norm"))
-        ).alias("cos_sim"),
+    # exact rerank of the bounded shortlist: vectors join back in —
+    # the shortlist broadcasts (16 B/row x cand_mult*k per query), the
+    # corpus side streams its probed rows, nothing wide ever shuffles
+    exact = (
+        index.select("neighbor_id", "c_vec", "c_norm")
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
