@@ -167,10 +167,32 @@ def _decode_impl(blob: bytes, modality: str, codec: str) -> list[float]:
             "decoding 'image' requires Pillow for non-PNG/JPEG formats "
             "(the stdlib codecs handle PNG and baseline grayscale JPEG)"
         )
+    if modality == "audio":
+        from etl_notifier_pipeline_spark.extensions import wavio
+
+        if wavio.is_wav(blob):
+            try:
+                _rate, samples = wavio.mono_samples(blob)
+                return wavio.segment_rms_features(samples, FEATURE_DIM)
+            except (NotImplementedError, ValueError):
+                # NotImplementedError: compressed/companded format tag
+                # (MP3-in-RIFF, μ-law, ADPCM…). ValueError: malformed
+                # container or too-short signal. Under "auto" both mean
+                # "not decodable here" -> fake twin (same taxonomy as
+                # the image branch).
+                if codec == "auto":
+                    return _fake_features(blob)
+                raise
+        if codec == "auto":
+            return _fake_features(blob)
+        raise NotImplementedError(
+            "decoding 'audio' beyond PCM/IEEE-float WAV requires a "
+            "codec library (the stdlib wavio codec handles RIFF/WAVE)"
+        )
     if codec == "auto":
         return _fake_features(blob)
-    # Remaining codecs (torchaudio / pyav) are not in this container —
-    # see module docstring.
+    # Remaining codecs (video: pyav) are not in this container — see
+    # module docstring.
     raise NotImplementedError(
         f"decoding {modality!r} requires a codec library"
     )
@@ -242,11 +264,15 @@ def media_from_dir(
     mime = (
         F.when(F.lower("path").rlike(r"\.jpe?g$"), F.lit("image/jpeg"))
         .when(F.lower("path").rlike(r"\.png$"), F.lit("image/png"))
+        .when(F.lower("path").rlike(r"\.wav$"), F.lit("audio/wav"))
         .otherwise(F.lit("application/octet-stream"))
     )
+    modality = F.when(
+        F.lower("path").rlike(r"\.wav$"), F.lit("audio")
+    ).otherwise(F.lit("image"))
     return raw.select(
         (F.lit(id_offset) + rank).cast("long").alias("media_id"),
-        F.lit("image").alias("modality"),
+        modality.alias("modality"),
         F.col("content"),
         F.struct(
             mime.alias("mime"),
@@ -255,6 +281,52 @@ def media_from_dir(
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+def audio_meta(media: DataFrame) -> DataFrame:
+    """Header-only audio metadata: one Arrow pass over audio-modality
+    rows parsing the RIFF header (``extensions.wavio`` — no sample
+    decode, so the per-blob cost is a ~100-byte chunk walk even for
+    multi-GB assets). Undecodable rows keep NULL fields rather than
+    dropping, so the output is a total function of the input ids —
+    joinable back onto the media frame without row-count surprises."""
+    from etl_notifier_pipeline_spark.extensions import wavio
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("bits_per_sample", T.IntegerType(), True),
+            T.StructField("n_frames", T.LongType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    info = wavio.wav_info(blob)
+                    rows.append(
+                        (mid, info.sample_rate, info.channels,
+                         info.bits_per_sample, info.n_frames,
+                         info.duration_ms)
+                    )
+                except (NotImplementedError, ValueError, TypeError):
+                    rows.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "channels",
+                    "bits_per_sample", "n_frames", "duration_ms",
+                ],
+            )
+
+    return media.filter(F.col("modality") == "audio").select(
+        "media_id", "content"
+    ).mapInPandas(batches, out_schema)
 
 
 def size_partitions(media: DataFrame, target_partition_mb: int = 256) -> DataFrame:

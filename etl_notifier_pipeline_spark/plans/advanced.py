@@ -843,3 +843,55 @@ def xm03_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_cosine(
         feats, probes, k=3, id_col="media_id", vec_col="features"
     )
+
+
+@register("xm04_audio_stats", category="multimodal", oracle=None)
+def xm04_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: the committed PCM WAV fixtures
+    (tests/fixtures/media/snd_*.wav — mono/stereo sine, seeded noise,
+    an exact-duplicate pair) ride the binaryFile source with
+    documents.text audio stand-ins alongside; header metadata comes
+    from one Arrow pass over the RIFF chunks (``multimodal.
+    audio_meta`` — no sample decode) and features from the stdlib
+    ``wavio`` codec under ``codec="auto"`` (WAV rows decode for REAL
+    via segment-RMS pooling; text-byte rows keep the deterministic
+    fake). Output: per-(decodability, sample_rate) asset counts +
+    duration and first-segment-energy means. Rows-only: binary +
+    pandas UDF path has no SQL twin; the decoded values themselves
+    (RMS of a known sine, stdlib-``wave`` header parity, dup-pair
+    bit-identity) are pinned by unit tests in tests/test_extensions.py.
+
+    Scale shape: both passes are single Arrow scans over byte-budget
+    partitions; the meta<->features join keys on media_id AFTER the
+    binary column is dropped — only (id, 6 scalars) rows shuffle,
+    never blobs."""
+    import os as _os
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    if _os.path.isdir(MM.MEDIA_FIXTURE_DIR):
+        media = media.unionByName(
+            MM.media_from_dir(spark, MM.MEDIA_FIXTURE_DIR)
+            .filter(F.col("modality") == "audio")
+            .select("media_id", "modality", "content")
+        )
+    meta = MM.audio_meta(media)
+    feats = MM.extract_features(media, codec="auto")
+    return (
+        feats.join(meta, "media_id")
+        .groupBy(
+            F.col("sample_rate").isNotNull().alias("decoded"),
+            "sample_rate",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.avg("duration_ms").alias("mean_duration_ms"),
+            F.avg(F.element_at("features", 1)).alias("mean_f0"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("decoded", "sample_rate")
+    )

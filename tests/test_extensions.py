@@ -166,7 +166,8 @@ class TestMultimodal:
         media = M.media_from_dir(spark, M.MEDIA_FIXTURE_DIR)
         rows = media.select("media_id", "content").collect()
         # 8 PNG + 4 gray JPEG + 2 color 4:4:4 JPEG + 2 color 4:2:0 JPEG
-        assert len(rows) == 16
+        # + 5 PCM WAV (snd_* sorts after img_*, so image ids are stable)
+        assert len(rows) == 21
         feats = {
             r["media_id"]: r["features"]
             for r in M.extract_features(media, codec="real").collect()
@@ -1282,3 +1283,197 @@ def test_jpeg_adobe_app14_rgb_gate():
         bad[sos + 2 + 2 + 1 + 2 * si] = cid
     with _pytest.raises(NotImplementedError, match="component"):
         jpegio.decode_image(bytes(bad))
+
+
+# ---------------------------------------------------------------- audio/WAV
+
+
+def test_wavio_stdlib_wave_parity_on_fixtures():
+    """Header parity: for every committed snd_*.wav fixture the stdlib
+    ``wave`` module and our RIFF chunk walk must agree on rate /
+    channels / width / frame count (wave IS the public reference
+    parser for PCM WAV)."""
+    import io
+    import wave
+
+    from etl_notifier_pipeline_spark.extensions import wavio
+
+    names = [
+        n for n in sorted(os.listdir(M.MEDIA_FIXTURE_DIR))
+        if n.endswith(".wav")
+    ]
+    assert len(names) == 5  # sine, dup, noise, stereo, near
+    for name in names:
+        blob = open(os.path.join(M.MEDIA_FIXTURE_DIR, name), "rb").read()
+        info = wavio.wav_info(blob)
+        w = wave.open(io.BytesIO(blob))
+        assert w.getframerate() == info.sample_rate, name
+        assert w.getnchannels() == info.channels, name
+        assert w.getsampwidth() * 8 == info.bits_per_sample, name
+        assert w.getnframes() == info.n_frames, name
+        assert info.duration_ms == info.n_frames * 1000 // info.sample_rate
+
+
+def test_wavio_roundtrip_and_pinned_rms():
+    """encode -> decode round-trips within 16-bit quantization, and a
+    known sine pins the feature math: every segment-RMS of a steady
+    0.8-amplitude sine is 0.8/sqrt(2) up to quantization + windowing
+    (each 250-sample segment holds 13.75 cycles)."""
+    import math
+
+    from etl_notifier_pipeline_spark.extensions import wavio
+
+    rate, n = 8000, 4000
+    sig = [0.8 * math.sin(2 * math.pi * 440 * i / rate) for i in range(n)]
+    blob = wavio.encode_wav(sig, rate)
+    got_rate, mono = wavio.mono_samples(blob)
+    assert got_rate == rate and len(mono) == n
+    # bound = half an encode step (1/65534) + the 32767-vs-32768
+    # scale asymmetry (|s|/32768): ~4.0e-5 at amplitude 0.8
+    assert max(abs(a - b) for a, b in zip(sig, mono)) <= 1.5 / 32767
+    feats = wavio.segment_rms_features(mono, 16)
+    want = 0.8 / math.sqrt(2)
+    assert all(abs(f - want) < 5e-3 for f in feats)
+    # determinism: identical bytes -> identical vector, bit for bit
+    assert feats == wavio.segment_rms_features(
+        wavio.mono_samples(wavio.encode_wav(sig, rate))[1], 16
+    )
+
+
+def test_wavio_stereo_mixdown_and_float_formats():
+    """Stereo mixes to mono by per-frame mean; IEEE float32/float64
+    payloads decode (format tag 3), including inside a
+    WAVE_FORMAT_EXTENSIBLE wrapper."""
+    import math
+    import struct as st
+
+    from etl_notifier_pipeline_spark.extensions import wavio
+
+    rate, n = 8000, 800
+    left = [0.5] * n
+    right = [-0.5] * n
+    inter = [v for pair in zip(left, right) for v in pair]
+    blob = wavio.encode_wav(inter, rate, channels=2)
+    _, mono = wavio.mono_samples(blob)
+    assert max(abs(v) for v in mono) <= 1.5 / 32767  # cancels to ~0
+
+    # hand-build a float32 WAV (encoder is PCM16-only by design)
+    sig = [math.sin(2 * math.pi * 100 * i / rate) for i in range(n)]
+    data = st.pack(f"<{n}f", *sig)
+    fmt = b"fmt " + st.pack("<IHHIIHH", 16, 3, 1, rate, rate * 4, 4, 32)
+    f32 = (b"RIFF" + st.pack("<I", 36 + len(data)) + b"WAVE" + fmt
+           + b"data" + st.pack("<I", len(data)) + data)
+    got_rate, mono = wavio.mono_samples(f32)
+    assert got_rate == rate
+    assert max(abs(a - b) for a, b in zip(sig, mono)) < 1e-6
+
+    # extensible wrapper: tag 0xFFFE, SubFormat GUID leading with the
+    # real tag (1 = PCM)
+    pcm = st.pack(f"<{n}h", *[int(s * 32767) for s in sig])
+    sub = st.pack("<H", 1) + b"\x00" * 14
+    ext = st.pack("<IHHIIHH", 40, 0xFFFE, 1, rate, rate * 2, 2, 16)
+    # cbSize=22, validBitsPerSample=16, channelMask=0, 16-byte GUID
+    ext += st.pack("<HHI", 22, 16, 0) + sub
+    exblob = (b"RIFF" + st.pack("<I", 48 + 12 + len(pcm)) + b"WAVE"
+              + b"fmt " + ext + b"data" + st.pack("<I", len(pcm)) + pcm)
+    info = wavio.wav_info(exblob)
+    assert info.format_tag == 1 and info.bits_per_sample == 16
+
+
+def test_wavio_gates_and_malformed():
+    """Capability vs malformed taxonomy (jpegio's): compressed format
+    tags gate NotImplementedError; broken containers raise ValueError;
+    both fall back to the deterministic fake under codec='auto'."""
+    import struct as st
+
+    import pytest as _pytest
+
+    from etl_notifier_pipeline_spark.extensions import wavio
+    from etl_notifier_pipeline_spark.extensions.multimodal import (
+        _decode_impl,
+        _fake_features,
+    )
+
+    # mu-law (tag 7) — a real compressed WAV form
+    data = bytes(range(200))
+    fmt = b"fmt " + st.pack("<IHHIIHH", 16, 7, 1, 8000, 8000, 1, 8)
+    mulaw = (b"RIFF" + st.pack("<I", 36 + len(data)) + b"WAVE" + fmt
+             + b"data" + st.pack("<I", len(data)) + data)
+    with _pytest.raises(NotImplementedError, match="format tag 7"):
+        wavio.wav_info(mulaw)
+    assert _decode_impl(mulaw, "audio", "auto") == _fake_features(mulaw)
+    with _pytest.raises(NotImplementedError):
+        _decode_impl(mulaw, "audio", "real")
+
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        wavio.wav_info(b"\x00" * 64)
+    no_data = (b"RIFF" + st.pack("<I", 28) + b"WAVE"
+               + b"fmt " + st.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16))
+    with _pytest.raises(ValueError, match="missing fmt or data"):
+        wavio.wav_info(no_data)
+    # too-short signal: pooling refuses rather than emitting junk
+    tiny = wavio.encode_wav([0.1] * 8, 8000)
+    with _pytest.raises(ValueError, match="too short"):
+        wavio.segment_rms_features(wavio.mono_samples(tiny)[1], 16)
+    assert _decode_impl(tiny, "audio", "auto") == _fake_features(tiny)
+    # non-WAV audio bytes under real: the modality gate
+    with _pytest.raises(NotImplementedError, match="audio"):
+        _decode_impl(b"mp3 bytes maybe", "audio", "real")
+
+
+def test_audio_fixture_real_branch(spark):
+    """End-to-end over the committed WAV fixtures through the REAL
+    branch: media_from_dir tags .wav rows modality='audio', the dup
+    pair (snd_000/snd_001) produces bit-identical features, the
+    near-dup (snd_004: amplitude 0.79 vs 0.80) is close but not equal,
+    and audio_meta returns exact header facts."""
+    media = M.media_from_dir(spark, M.MEDIA_FIXTURE_DIR).filter(
+        F.col("modality") == "audio"
+    )
+    rows = media.select("media_id", "meta.mime").collect()
+    assert len(rows) == 5
+    assert {r["mime"] for r in rows} == {"audio/wav"}
+    feats = {
+        r["media_id"]: r["features"]
+        for r in M.extract_features(media, codec="real").collect()
+    }
+    # lexicographic rank continues after the 16 image files
+    sine, dup, near = feats[1_000_016], feats[1_000_017], feats[1_000_020]
+    assert sine == dup
+    assert sine != near
+    assert max(abs(a - b) for a, b in zip(sine, near)) < 0.02
+    meta = {
+        r["media_id"]: r for r in M.audio_meta(media).collect()
+    }
+    assert len(meta) == 5
+    for mid, r in meta.items():
+        assert r["sample_rate"] == 8000 and r["duration_ms"] == 500
+        assert r["n_frames"] == 4000 and r["bits_per_sample"] == 16
+        assert r["channels"] == (2 if mid == 1_000_019 else 1)
+
+
+def test_audio_meta_total_on_undecodable(spark):
+    """audio_meta is a total function of the audio rows: text-byte
+    stand-ins keep their id with NULL header fields instead of
+    dropping."""
+    rows = [(1, "audio", b"not a wav"), (2, "image", b"png-ish")]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, content binary"
+    )
+    got = M.audio_meta(media).collect()
+    assert len(got) == 1  # image row filtered, audio row kept
+    assert got[0]["media_id"] == 1 and got[0]["sample_rate"] is None
+
+
+def test_xm04_audio_stats_runs(spark):
+    """Registry smoke: xm04 mixes 5 really-decoded WAV assets with
+    text stand-ins; the decoded group must carry the exact fixture
+    facts (8 kHz, 500 ms, 4000 frames each)."""
+    from etl_notifier_pipeline_spark.plans import all_queries
+
+    df = all_queries()["xm04_audio_stats"](spark, SF_DIR)
+    rows = {r["decoded"]: r for r in df.collect()}
+    assert rows[True]["n_assets"] == 5
+    assert rows[True]["mean_duration_ms"] == 500.0
+    assert rows[True]["total_frames"] == 5 * 4000
+    assert rows[False]["n_assets"] > 0
