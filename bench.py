@@ -518,9 +518,14 @@ def main() -> None:
         "query_stamps": stamps,
         "duckdb": duck,
     }
+    # non-default profiles get their own file: an oracle run and a
+    # deployment run in the same round must not clobber each other's
+    # stamps (the filename, not just the doc field, carries the
+    # profile so neither overwrite wins silently)
+    tag = "" if profile == "oracle" else f"_{profile}"
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        f"BENCH_STAMPS_r{this_round:02d}.json",
+        f"BENCH_STAMPS_r{this_round:02d}{tag}.json",
     )
     with open(path, "w") as f:
         json.dump(stamps_doc, f, indent=1, sort_keys=True)

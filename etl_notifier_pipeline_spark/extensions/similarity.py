@@ -1141,8 +1141,11 @@ def ivfpq_topk(
         corpus, n_cells=n_cells, n_probe=n_probe, m=m, n_codes=n_codes,
         n_iter=n_iter, id_col=id_col, vec_col=vec_col,
     )
+    # ivfpq_query reads the index twice (ADC scoring + exact rerank).
+    # A STORED index pays two parquet scans; this one-shot path would
+    # re-run the whole-corpus encode lineage twice without a persist.
     return ivfpq_query(
-        index, params, queries, k, cand_mult=cand_mult,
+        tracked_persist(index), params, queries, k, cand_mult=cand_mult,
         id_col=id_col, vec_col=vec_col,
     )
 

@@ -130,6 +130,12 @@ def wav_info(blob: bytes) -> WavInfo:
         raise NotImplementedError(f"IEEE float bit depth {bits} unsupported")
     if ch == 0 or rate == 0:
         raise ValueError("zero channels or sample rate")
+    if rate > 10_000_000:
+        # u32 header field, but no real codec emits >10 MHz — an
+        # adversarial value here would otherwise overflow the int32
+        # column audio_meta declares, failing the whole Arrow batch
+        # instead of NULLing one row
+        raise ValueError(f"implausible sample rate {rate}")
     return WavInfo(tag, ch, rate, bits, data[0], data[1])
 
 

@@ -366,7 +366,11 @@ def star_plan(
     preserve the bucket partitioning, so the colocated joins stay
     exchange-free while every downstream shuffle carries only the
     qualifying fraction of the fact."""
-    LAST_STAR_DECISIONS.clear()
+    if any(d["strategy"] == "auto" for d in dims):
+        # "last decisions" = the last plan that actually DECIDED
+        # something; a later auto-free plan (q56) must not wipe the
+        # record a bench artifact is about to stamp.
+        LAST_STAR_DECISIONS.clear()
     b = ensure_bucketed_layout(spark, sf_dir, tables=layout, n_buckets=n_buckets)
     df = b[fact]
     if fact_transform is not None:
@@ -378,6 +382,13 @@ def star_plan(
                 raise ValueError(
                     f"colocated dim {d.get('name')!r} not in layout"
                 )
+            if d.get("df") is not None:
+                raise ValueError(
+                    f"colocated dim {d.get('name')!r} takes no caller "
+                    "'df' (the join must read the bucketed layout to "
+                    "stay exchange-free) — pass 'transform': fn, which "
+                    "is applied to the bucketed frame"
+                )
             other = b[d["name"]]
             if d.get("transform") is not None:
                 other = d["transform"](other)
@@ -385,7 +396,13 @@ def star_plan(
             other = d["df"]
         fcol, dcol = d["on"]
         if strat == "auto":
-            ck = (sf_dir, fact, dcol)
+            # the fingerprint keys the MEASURED frame, not just the
+            # join column: two differently-filtered dims on the same
+            # column must not share a size estimate (a stale hit could
+            # wrongly broadcast an unfiltered table). semanticHash
+            # normalizes expression ids, so repeated identical plans
+            # still hit the cache.
+            ck = (sf_dir, fact, dcol, other.semanticHash())
             est = _AUTO_SIZE_CACHE.get(ck)
             if est is None:
                 est = other.count() * 24 * len(other.columns)

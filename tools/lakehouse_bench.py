@@ -551,6 +551,12 @@ def main() -> None:
     add_rung = opt("--add-rung", None)
 
     if add_rung:
+        if not json_out:
+            raise SystemExit(
+                "--add-rung merges into an existing artifact: pass "
+                "--json <file> (checked BEFORE the multi-minute rung "
+                "runs, not after)"
+            )
         # Incremental artifact maintenance: run ONE rung in a fresh
         # subprocess and merge its doc into an existing artifact
         # (every measurement carries its own canary bracket, so rungs
