@@ -1476,3 +1476,131 @@ def m21_ivm_over_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "m22_vacuum_retention",
+    category="mutation",
+    oracle=f"""
+WITH ev AS ({_EV_SQL}),
+s1 AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'purchase') WHERE rn = 1
+),
+last_click AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'click') WHERE rn = 1
+),
+s2 AS (
+  SELECT t.* FROM s1 t
+  WHERE NOT EXISTS (SELECT 1 FROM last_click l WHERE l.user_id = t.user_id)
+  UNION ALL
+  SELECT * FROM last_click
+),
+s3 AS (
+  SELECT t.* FROM s2 t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ev d WHERE d.event_type = 'error' AND d.user_id = t.user_id)
+),
+first_signup AS (
+  SELECT event_id, user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'signup') WHERE rn = 1
+),
+s4 AS (
+  SELECT t.* FROM s3 t
+  WHERE NOT EXISTS (SELECT 1 FROM first_signup f WHERE f.user_id = t.user_id)
+  UNION ALL
+  SELECT * FROM first_signup
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,
+       CAST(2 AS BIGINT) AS n_retained_versions,
+       CAST(3 AS BIGINT) AS min_retained_version
+FROM s4 GROUP BY event_type
+""",
+)
+def m22_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM / retention (Delta ``VACUUM``, Iceberg
+    ``expire_snapshots``): the storage-cost bound that makes a
+    many-commit table operable at 100 TB. A ``retain_versions=2``
+    store takes four commits (purchases -> click upsert -> error-user
+    delete -> signup upsert); the per-commit vacuum deletes version
+    dirs that are older than the horizon AND unreferenced by any
+    retained manifest, so disk holds ~2 snapshots however long the
+    commit stream runs (the manifest-reference check keeps restore()'s
+    metadata-only commits safe: a re-referenced old dir survives).
+
+    VALUE-checked end to end: the head read after vacuuming must equal
+    the oracle's four-stage replay bit-for-bit (decimal sums) — a
+    vacuum that deleted a still-referenced file would lose rows here —
+    and the retained-horizon literals (2 versions, oldest = v3) ride
+    in the output so the oracle also pins WHAT was vacuumed.
+    Unreadability of vacuumed versions + physical dir deletion are
+    asserted in tests/test_mutations.py."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from etl_notifier_pipeline_spark.storage import TableStore
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    s1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    store = TableStore(
+        spark, tempfile.mkdtemp(prefix="m22_"), retain_versions=2
+    )
+    store.overwrite("t", s1)  # v1
+    store.overwrite(  # v2
+        "t",
+        upsert(
+            store.read("t"),
+            ev.filter(F.col("event_type") == "click"),
+            ["user_id"],
+            ["event_id"],
+        ),
+    )
+    store.overwrite(  # v3 — v1 falls off the horizon here
+        "t",
+        delete_by_keys(
+            store.read("t"),
+            ev.filter(F.col("event_type") == "error").select("user_id"),
+            ["user_id"],
+        ),
+    )
+    store.overwrite(  # v4 — v2 vacuumed; {v3, v4} retained
+        "t",
+        upsert(
+            store.read("t"),
+            ev.filter(F.col("event_type") == "signup"),
+            ["user_id"],
+            ["event_id"],
+        ),
+    )
+    retained = store.versions("t")
+    return (
+        store.read("t")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(10,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .withColumn(
+            "n_retained_versions", F.lit(len(retained)).cast("long")
+        )
+        .withColumn(
+            "min_retained_version", F.lit(min(retained)).cast("long")
+        )
+    )

@@ -263,6 +263,41 @@ class TestChangeFeed:
         ok = change_feed(store, "t", ["k"], from_version=3, to_version=4)
         assert ok.count() == 2  # one delete + one insert
 
+    def test_vacuum_physical_deletion_and_referenced_survival(
+        self, spark, tmp_path
+    ):
+        """The m22 contract, physically: versions past the horizon are
+        DELETED from disk (the storage-cost bound), EXCEPT dirs a
+        retained manifest still references — restore()'s metadata-only
+        commits re-reference old dirs, and vacuuming those would break
+        the current head."""
+        import os
+
+        from etl_notifier_pipeline_spark.storage import TableStore
+
+        store = TableStore(spark, str(tmp_path / "vr"), retain_versions=2)
+        for i in range(1, 4):  # v1, v2, v3
+            store.overwrite("t", spark.createDataFrame([(i,)], "k long"))
+        d = store._dir("t")
+        assert not os.path.isdir(os.path.join(d, "v=1"))  # vacuumed
+        assert os.path.isdir(os.path.join(d, "v=2"))
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            store.read("t", version=1)
+        # v4 = metadata-only rollback to v2: its manifest REFERENCES
+        # v=2's files without copying them
+        store.restore("t", 2)
+        # v5 pushes the horizon to {4, 5}: v=3 is now unreferenced and
+        # must go; v=2 is outside the horizon but referenced by v4's
+        # manifest and must SURVIVE
+        store.overwrite("t", spark.createDataFrame([(99,)], "k long"))
+        # v=2 stays listed: still on disk (referenced) == still
+        # time-travelable, same contract the read() docstring states
+        assert store.versions("t") == [2, 4, 5]
+        assert os.path.isdir(os.path.join(d, "v=2"))
+        assert not os.path.isdir(os.path.join(d, "v=3"))
+        assert [r["k"] for r in store.read("t", version=4).collect()] == [2]
+        assert [r["k"] for r in store.read("t").collect()] == [99]
+
 
 class TestCdcViewMaintenance:
     """cdc_agg_delta: maintained view == full recompute after every
