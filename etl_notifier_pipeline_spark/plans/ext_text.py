@@ -1292,3 +1292,115 @@ def x34_bigram_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+_X36_STOPS = "'the','a','of','and','to','in','is','it'"
+_X36_SCORE = (
+    "(1000 * n_distinct) // n_tokens"
+    " + 2 * ((1000 * n_stop) // n_tokens)"
+    " + LEAST(n_tokens, 200)"
+)
+
+
+@register(
+    "x36_prep_pipeline",
+    category="sampling",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, source, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ({_X36_STOPS}))) AS n_stop
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, source, text, n_tokens FROM feats
+  WHERE {_X36_SCORE} >= 640
+),
+uniq AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT doc_id, source, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated) WHERE rn = 1
+),
+kept AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT doc_id, source, n_tokens,
+           ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY {DUCK_HASH.format(x="doc_id::VARCHAR || ':cap'")},
+                      doc_id
+           ) AS cap_rank
+    FROM uniq) WHERE cap_rank <= 20
+),
+g AS (SELECT source, COUNT(*) AS n_gated FROM gated GROUP BY source),
+u AS (SELECT source, COUNT(*) AS n_unique FROM uniq GROUP BY source),
+k AS (SELECT source, COUNT(*) AS n_kept,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens_kept
+      FROM kept GROUP BY source)
+SELECT g.source, g.n_gated, u.n_unique, k.n_kept, k.sum_tokens_kept
+FROM g LEFT JOIN u ON u.source = g.source
+       LEFT JOIN k ON k.source = g.source
+""",
+)
+def x36_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep funnel as ONE declarative
+    plan — quality gate (x25's bit-exact milli-unit linear score) ->
+    exact dedup (lowest-id survivor per md5(text), d01's rule) ->
+    per-source cap (x24's salted-hash-order top-20) -> per-source
+    funnel accounting (candidates kept at each stage + surviving token
+    mass). This is the composition a corpus team actually ships:
+    every stage is one of the engine's audited primitives, and chaining
+    them stays a single Catalyst plan — the gate's projection pushes
+    into the scan below both windows, nothing materializes between
+    stages.
+
+    Scale shape: one corpus scan; the dedup window shuffles on
+    md5(text) (32 B keys) and the cap window is a WindowGroupLimit
+    rank-predicate (per-source skew absorbed map-side, see
+    extensions.sampling.per_source_cap); the three stage-counts reuse
+    the funnel frames and join on the tiny source key."""
+    from etl_notifier_pipeline_spark.extensions.sampling import (
+        per_source_cap,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+    feats = d.select(
+        "doc_id",
+        "source",
+        # hash the text HERE so nothing downstream carries the
+        # document body: the funnel frames are ~50 B/row however big
+        # the corpus documents are
+        F.md5("text").alias("h"),
+        F.size(X.tokens("text")).alias("n_tokens"),
+        F.size(F.array_distinct(X.tokens("text"))).alias("n_distinct"),
+        F.size(
+            F.expr(f"filter(split(text, ' '), t -> t IN ({stop_list}))")
+        ).alias("n_stop"),
+    )
+    gated = tracked_persist(
+        feats.filter(
+            F.expr(
+                "(1000 * n_distinct) div n_tokens"
+                " + 2 * ((1000 * n_stop) div n_tokens)"
+                " + least(n_tokens, 200)"
+            )
+            >= 640
+        ).select("doc_id", "source", "h", "n_tokens")
+    )
+    dup_w = W.partitionBy("h").orderBy("doc_id")
+    uniq = tracked_persist(
+        gated.withColumn("rn", F.row_number().over(dup_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens")
+    )
+    kept = per_source_cap(uniq, "source", "doc_id", cap=20)
+    g = gated.groupBy("source").agg(F.count(F.lit(1)).alias("n_gated"))
+    u = uniq.groupBy("source").agg(F.count(F.lit(1)).alias("n_unique"))
+    k = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("sum_tokens_kept"),
+    )
+    return g.join(u, "source", "left").join(k, "source", "left")
