@@ -55,10 +55,21 @@ K1 = 1_000_000  # customer / supplier / part / user / doc / vec keys
 K2 = 10_000_000  # orderkey / event_id
 
 
-def _rep(df: DataFrame, factor: int) -> DataFrame:
-    """Cross df with the replica axis (tiny broadcast side)."""
+def _rep(df: DataFrame, factor: int, n_files: int | None = None) -> DataFrame:
+    """Cross df with the replica axis (tiny broadcast side).
+
+    ``n_files`` pre-partitions the SOURCE before the explosion so the
+    fan-out runs n_files-wide and the written layout needs no
+    post-explosion shuffle. Repartitioning the EXPLODED frame instead
+    moved factor x the data through however few splits the source had
+    — at factor 1000, lineitem was a ~60 GB shuffle written by 3 map
+    tasks (measured >30 min); shuffling the 11 MB source costs
+    nothing. Row content is identical either way (every derived
+    column is a function of row values + __rep, never of layout)."""
     spark = df.sparkSession
     reps = spark.range(factor).select(F.col("id").cast("long").alias("__rep"))
+    if n_files is not None:
+        df = df.repartition(n_files)
     return df.crossJoin(F.broadcast(reps))
 
 
@@ -70,12 +81,18 @@ def amplify(
     rep = F.col("__rep")
     counts: dict[str, int] = {}
 
-    def write(name: str, df: DataFrame, n_files: int) -> None:
+    def write(
+        name: str, df: DataFrame, n_files: int, *, shaped: bool = False
+    ) -> None:
+        """``shaped=True`` = the frame was pre-partitioned upstream of
+        the replica explosion (_rep(n_files=...)): write as-is, no
+        post-explosion shuffle."""
         if only is not None and name not in only:
             return
         t0 = time.time()
         path = os.path.join(out, f"{name}.parquet")
-        df.repartition(n_files).write.mode("overwrite").parquet(path)
+        out_df = df if shaped else df.repartition(n_files)
+        out_df.write.mode("overwrite").parquet(path)
         n = spark.read.parquet(path).count()
         counts[name] = n
         print(f"  {name}: {n:,} rows in {time.time()-t0:.1f}s -> {path}")
@@ -84,47 +101,47 @@ def amplify(
     for name in ("region", "nation"):
         write(name, load_table(spark, src, name), 1)
 
-    cust = _rep(load_table(spark, src, "customer"), factor).select(
+    cust = _rep(load_table(spark, src, "customer"), factor, max(1, factor // 8)).select(
         (F.col("c_custkey") + rep * K1).alias("c_custkey"),
         "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
     )
-    write("customer", cust, max(1, factor // 8))
+    write("customer", cust, max(1, factor // 8), shaped=True)
 
-    supp = _rep(load_table(spark, src, "supplier"), factor).select(
+    supp = _rep(load_table(spark, src, "supplier"), factor, max(1, factor // 16)).select(
         (F.col("s_suppkey") + rep * K1).alias("s_suppkey"),
         "s_name", "s_nationkey", "s_acctbal",
     )
-    write("supplier", supp, max(1, factor // 16))
+    write("supplier", supp, max(1, factor // 16), shaped=True)
 
-    part = _rep(load_table(spark, src, "part"), factor).select(
+    part = _rep(load_table(spark, src, "part"), factor, max(1, factor // 8)).select(
         (F.col("p_partkey") + rep * K1).alias("p_partkey"),
         "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
     )
-    write("part", part, max(1, factor // 8))
+    write("part", part, max(1, factor // 8), shaped=True)
 
-    orders = _rep(load_table(spark, src, "orders"), factor).select(
+    orders = _rep(load_table(spark, src, "orders"), factor, max(1, factor // 2)).select(
         (F.col("o_orderkey") + rep * K2).alias("o_orderkey"),
         (F.col("o_custkey") + rep * K1).alias("o_custkey"),
         "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
     )
-    write("orders", orders, max(1, factor // 2))
+    write("orders", orders, max(1, factor // 2), shaped=True)
 
-    li = _rep(load_table(spark, src, "lineitem"), factor).select(
+    li = _rep(load_table(spark, src, "lineitem"), factor, factor).select(
         (F.col("l_orderkey") + rep * K2).alias("l_orderkey"),
         (F.col("l_partkey") + rep * K1).alias("l_partkey"),
         (F.col("l_suppkey") + rep * K1).alias("l_suppkey"),
         "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
         "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
     )
-    write("lineitem", li, factor)
+    write("lineitem", li, factor, shaped=True)
 
-    ev = _rep(load_table(spark, src, "events"), factor).select(
+    ev = _rep(load_table(spark, src, "events"), factor, max(1, factor // 2)).select(
         (F.col("event_id") + rep * K2).alias("event_id"),
         F.col("ts").cast("timestamp_ntz").alias("ts"),
         (F.col("user_id") + rep * K1).alias("user_id"),
         "event_type", "value", "props",
     )
-    write("events", ev, max(1, factor // 2))
+    write("events", ev, max(1, factor // 2), shaped=True)
 
     # replica 0 keeps the original text verbatim; k>0 salts every
     # token with the replica id so near-dup structure is per-replica
@@ -139,12 +156,12 @@ def amplify(
             " ",
         )
     )
-    docs = _rep(load_table(spark, src, "documents"), factor).select(
+    docs = _rep(load_table(spark, src, "documents"), factor, max(1, factor // 4)).select(
         (F.col("doc_id") + rep * K1).alias("doc_id"),
         salted.alias("text"),
         "lang", "source",
     ).withColumn("n_chars", F.length("text").cast("long"))
-    write("documents", docs, max(1, factor // 4))
+    write("documents", docs, max(1, factor // 4), shaped=True)
 
     # Replica k>0 vectors get (a) a deterministic per-replica AFFINE
     # PERMUTATION of the 64 dimensions (pos -> (a*pos + b) % 64, a odd
