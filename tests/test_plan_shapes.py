@@ -440,3 +440,21 @@ def test_filtered_vector_search_pushes_metadata_filter(spark):
     assert "PushedFilters" in plan
     assert "In(label, [2,5,7])" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_x36_funnel_reuses_persisted_frames(spark):
+    """x36 chains gate -> dedup -> cap -> accounting over PERSISTED
+    narrow frames: all three accounting branches must read an
+    InMemoryTableScan (g from the gated cache; u and the cap window
+    from the uniq cache) — a branch showing a bare documents FileScan
+    outside an InMemoryRelation re-derived the funnel from the source.
+    The cap stays a WindowGroupLimit (partial pass absorbs per-source
+    skew map-side) and no cached frame carries the document body (the
+    md5 happens in the first projection)."""
+    plan = plan_of(spark, "x36_prep_pipeline")
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "WindowGroupLimit" in plan
+    # cached output columns are the narrow funnel schema, never text
+    for chunk in plan.split("InMemoryTableScan")[1:]:
+        cols = chunk.split("]", 1)[0]
+        assert "text" not in cols, cols
