@@ -485,7 +485,19 @@ def independence_rung(spark, root: str, sizes: list[int], batch: int):
         stamp = stamped_runs(one, n_runs=5)
         out.append({"n_rows": n, "batch_rows": min(batch, n), "apply": stamp})
         print(f"[independence] {json.dumps(out[-1])}", flush=True)
-    return out
+    return {
+        "sizes": out,
+        # Dispersion here is structural, not noise to hide: each run
+        # COMMITS a real scattered MoR delta (state advances; a warm
+        # re-run of the same commit is impossible), so runs_sec mixes
+        # the stack's first-touch costs with steady applies. The
+        # independence claim compares the BEST cells — the cleanest
+        # apply either table achieved under identical conditions.
+        "caveat": (
+            "per-run state advances (every run commits another delta) "
+            "so dispersion is structural; compare best-of-5 cells"
+        ),
+    }
 
 
 def _view_drift(store, view) -> int:
@@ -574,6 +586,8 @@ def main() -> None:
         with open(json_out) as f:
             doc = json.load(f)
         doc[key] = child.get("sizes", child)
+        if isinstance(child, dict) and "caveat" in child:
+            doc[f"{key}_caveat"] = child["caveat"]
         doc.setdefault("protocol", {})[f"{key}_added"] = protocol_header(
             1, canary=PROTOCOL_VERSION, isolation="one subprocess per rung"
         )
@@ -606,6 +620,7 @@ def main() -> None:
             "merge_on_read": mor,
             "merge_on_read_autocompact": ac,
             "table_size_independence": indep["sizes"],
+            "table_size_independence_caveat": indep.get("caveat"),
             "ivm_drift_rows": {
                 "copy_on_write": cow.pop("ivm_drift_rows"),
                 "merge_on_read": mor.pop("ivm_drift_rows"),
@@ -631,13 +646,11 @@ def main() -> None:
     elif rung == "autocompact":
         doc = autocompact_rung(spark, root, n_rows, n_commits)
     elif rung == "independence":
-        doc = {
-            "sizes": independence_rung(
-                spark, root,
-                sizes=[n_rows // 10, n_rows],
-                batch=max(1, n_rows // 100),
-            )
-        }
+        doc = independence_rung(
+            spark, root,
+            sizes=[n_rows // 10, n_rows],
+            batch=max(1, n_rows // 100),
+        )
     elif rung == "compare":
         # cross-strategy equivalence: after the same commit stream
         # (pre-append — the CoW store took one extra append commit),
