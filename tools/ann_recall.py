@@ -95,7 +95,15 @@ def main() -> None:
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/repo/.scale/sf100"
 
-    spark = get_spark("ann-recall")
+    spark = get_spark(
+        "ann-recall",
+        extra_conf={
+            # the 1000-query exact/LSH batch rungs at 2 M vectors build
+            # broadcast sides for minutes under load; the 300 s default
+            # future timeout killed the first r10 attempt mid-harness
+            "spark.sql.broadcastTimeout": "3600",
+        },
+    )
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     dim = len(emb.select("embedding").head()["embedding"])
