@@ -983,6 +983,13 @@ def ivfpq_build(
     }
 
 
+# ivfpq_query broadcasts the per-(query, probed-cell) ADC lookup tables
+# only while they fit a budget; past it the join degrades to a cell-key
+# shuffle-hash (LUT side builds executor-side, the encoded corpus
+# streams). Module-level so tests can pin the degraded branch.
+LUT_BROADCAST_BUDGET_BYTES = 256 << 20
+
+
 def ivfpq_query(
     index: DataFrame,
     params: dict,
@@ -1060,8 +1067,24 @@ def ivfpq_query(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # The LUT frame weighs nq * n_probe * m * n_codes * 8 B — a
+    # 1000-query batch at 2 M vectors (n_probe ~ n_cells/8 = 176) is
+    # ~2.8 GB, which a broadcast must collect to the driver (measured:
+    # killed by spark.driver.maxResultSize at the r10 batch rung).
+    # Broadcast only under a budget; past it, hash-join on the cell
+    # key with the LUT side as the executor-built side — the encoded
+    # corpus (the big side) streams, the LUT frame shuffles
+    # distributed instead of collecting.
+    lut_bytes = (
+        queries.count() * n_probe * C.shape[0] * C.shape[1] * 8
+    )
+    q_side = (
+        F.broadcast(q)
+        if lut_bytes <= LUT_BROADCAST_BUDGET_BYTES
+        else q.hint("shuffle_hash")
+    )
     scored = (
-        index.join(F.broadcast(q), "cell")
+        index.join(q_side, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", adc.alias("adc"))
     )

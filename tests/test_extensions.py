@@ -1477,3 +1477,22 @@ def test_xm04_audio_stats_runs(spark):
     assert rows[True]["mean_duration_ms"] == 500.0
     assert rows[True]["total_frames"] == 5 * 4000
     assert rows[False]["n_assets"] > 0
+
+
+def test_ivfpq_lut_shuffle_branch_matches_broadcast(spark, monkeypatch):
+    """ivfpq_query degrades the LUT-frame broadcast to a cell-key
+    shuffle-hash join past LUT_BROADCAST_BUDGET_BYTES (a 1000-query
+    batch at 2 M vectors weighs ~2.8 GB — over driver maxResultSize).
+    The two branches must return identical rows: same candidates, same
+    ADC ranks, same exact rerank."""
+    from etl_notifier_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 6)
+    idx, params = S.ivfpq_build(emb, n_cells=8)
+    idx = idx.localCheckpoint()  # freeze: both branches read same index
+    wide = S.ivfpq_query(idx, params, queries, k=4).collect()
+    monkeypatch.setattr(S, "LUT_BROADCAST_BUDGET_BYTES", 0)
+    narrow = S.ivfpq_query(idx, params, queries, k=4).collect()
+    assert sorted(map(tuple, wide)) == sorted(map(tuple, narrow))
+    assert len(wide) > 0

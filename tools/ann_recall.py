@@ -168,6 +168,35 @@ def main() -> None:
         },
     }
     out: dict[str, dict] = {}
+
+    def flush(doc_families):
+        """Write the artifact after EVERY family: a late-family
+        failure (the r10 IVFADC maxResultSize kill) must not discard
+        the measured exact baseline + earlier families."""
+        if not json_out:
+            return
+        doc = {
+            "metric": "ann_recall_at_scale",
+            "sf_dir": sf_dir,
+            "n_vectors": n,
+            "dim": dim,
+            "k": K,
+            "protocol": protocol_header(
+                1,
+                canary=PROTOCOL_VERSION,
+                small_rung_runs=2,
+                batch_rung_runs=1,
+                build_includes_parquet_write=True,
+                queries_served_from_stored_index=True,
+            ),
+            "exact_small": {**exact_small, "n_queries": nq_small},
+            "exact_batch": {**exact_batch, "n_queries": nq_batch},
+            "families": doc_families,
+            "ivf_n_cells": n_cells,
+        }
+        with open(json_out, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+
     for name, fam in families.items():
         path = os.path.join(root, name)
         params_box: dict = {}
@@ -179,65 +208,75 @@ def main() -> None:
             params_box["params"] = params
             return time.perf_counter() - t0
 
-        build_stamp = stamped_runs(build, n_runs=1)
-        stored = spark.read.parquet(path)
-        params = params_box["params"]
+        try:
+            build_stamp = stamped_runs(build, n_runs=1)
+            stored = spark.read.parquet(path)
+            params = params_box["params"]
 
-        approx_small: dict = {}
-        approx_batch: dict = {}
+            approx_small: dict = {}
+            approx_batch: dict = {}
 
-        def qrun(queries, sink, fam=fam, stored=stored, params=params):
-            t0 = time.perf_counter()
-            got = _pairs(fam["query"](stored, params, queries))
-            wall = time.perf_counter() - t0
-            sink.clear()
-            sink.update(got)
-            return wall
+            def qrun(queries, sink, fam=fam, stored=stored, params=params):
+                t0 = time.perf_counter()
+                got = _pairs(fam["query"](stored, params, queries))
+                wall = time.perf_counter() - t0
+                sink.clear()
+                sink.update(got)
+                return wall
 
-        q_small_stamp = stamped_runs(
-            lambda: qrun(q_small, approx_small), n_runs=2
-        )
-        q_batch_stamp = stamped_runs(
-            lambda: qrun(q_batch, approx_batch), n_runs=1
-        )
-        rec_small = _recall(truth_small, approx_small)
-        rec_batch = _recall(truth_batch, approx_batch)
-
-        exact_per_q = exact_batch["sec"] / nq_batch
-        index_per_q = q_batch_stamp["sec"] / nq_batch
-        saves = exact_per_q - index_per_q
-        cell = {
-            "build": build_stamp,
-            "query_small": q_small_stamp,
-            "query_batch": q_batch_stamp,
-            "n_queries_small": nq_small,
-            "n_queries_batch": nq_batch,
-            "recall_at_k_small": rec_small,
-            "recall_at_k_batch": rec_batch,
-            "batch_speedup_vs_exact": round(
-                exact_batch["sec"] / q_batch_stamp["sec"], 2
-            ),
-            "break_even_queries": (
-                int(math.ceil(build_stamp["sec"] / saves))
-                if saves > 0
-                else None
-            ),
-        }
-        if name in TARGETS:
-            cell["target"] = TARGETS[name]
-            cell["meets_target"] = (
-                rec_batch is not None and rec_batch >= TARGETS[name]
+            q_small_stamp = stamped_runs(
+                lambda: qrun(q_small, approx_small), n_runs=2
             )
-        out[name] = cell
-        print(
-            f"{name}: build={build_stamp['sec']}s "
-            f"q{nq_small}={q_small_stamp['sec']}s "
-            f"q{nq_batch}={q_batch_stamp['sec']}s "
-            f"recall={rec_small}/{rec_batch} "
-            f"speedup={cell['batch_speedup_vs_exact']}x "
-            f"break_even={cell['break_even_queries']}",
-            flush=True,
-        )
+            q_batch_stamp = stamped_runs(
+                lambda: qrun(q_batch, approx_batch), n_runs=1
+            )
+            rec_small = _recall(truth_small, approx_small)
+            rec_batch = _recall(truth_batch, approx_batch)
+
+            exact_per_q = exact_batch["sec"] / nq_batch
+            index_per_q = q_batch_stamp["sec"] / nq_batch
+            saves = exact_per_q - index_per_q
+            cell = {
+                "build": build_stamp,
+                "query_small": q_small_stamp,
+                "query_batch": q_batch_stamp,
+                "n_queries_small": nq_small,
+                "n_queries_batch": nq_batch,
+                "recall_at_k_small": rec_small,
+                "recall_at_k_batch": rec_batch,
+                "batch_speedup_vs_exact": round(
+                    exact_batch["sec"] / q_batch_stamp["sec"], 2
+                ),
+                "break_even_queries": (
+                    int(math.ceil(build_stamp["sec"] / saves))
+                    if saves > 0
+                    else None
+                ),
+            }
+            if name in TARGETS:
+                cell["target"] = TARGETS[name]
+                cell["meets_target"] = (
+                    rec_batch is not None and rec_batch >= TARGETS[name]
+                )
+            out[name] = cell
+            flush(out)
+            print(
+                f"{name}: build={build_stamp['sec']}s "
+                f"q{nq_small}={q_small_stamp['sec']}s "
+                f"q{nq_batch}={q_batch_stamp['sec']}s "
+                f"recall={rec_small}/{rec_batch} "
+                f"speedup={cell['batch_speedup_vs_exact']}x "
+                f"break_even={cell['break_even_queries']}",
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001 — harness resilience:
+            # record the failure IN the artifact and keep measuring
+            # the remaining families (r10: one family's kill cost the
+            # whole 45-minute run)
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:500]}
+            flush(out)
+            print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+
 
     # flat-PQ diagnostic rides along one-shot at the small rung: on
     # near-random unit vectors whole-vector quantization error exceeds
@@ -264,29 +303,8 @@ def main() -> None:
         ),
     }
 
-    doc = {
-        "metric": "ann_recall_at_scale",
-        "sf_dir": sf_dir,
-        "n_vectors": n,
-        "dim": dim,
-        "k": K,
-        "protocol": protocol_header(
-            1,
-            canary=PROTOCOL_VERSION,
-            small_rung_runs=2,
-            batch_rung_runs=1,
-            build_includes_parquet_write=True,
-            queries_served_from_stored_index=True,
-        ),
-        "exact_small": {**exact_small, "n_queries": nq_small},
-        "exact_batch": {**exact_batch, "n_queries": nq_batch},
-        "families": out,
-        "ivf_n_cells": n_cells,
-    }
-    print(json.dumps(doc))
+    flush(out)
     if json_out:
-        with open(json_out, "w") as f:
-            json.dump(doc, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
     shutil.rmtree(root, ignore_errors=True)
 
