@@ -21,10 +21,13 @@ baseline JPEG's validity depends only on the declared tables being
 internally consistent, which the encode->decode roundtrip test pins
 (pixel error bounded by the quantization table, exactly the lossy
 contract). Scope gates are explicit: progressive (SOF2), arithmetic
-coding, restart intervals, sampling factors above 2, and 3-component
-streams that aren't YCbCr (Adobe APP14 transform=0 / exotic component
-ids) raise ``NotImplementedError`` with the gate message the
-multimodal layer surfaces (PIL handles those when installed).
+coding, sampling factors above 2, and 3-component streams that
+aren't YCbCr (Adobe APP14 transform=0 / exotic component ids) raise
+``NotImplementedError`` with the gate message the multimodal layer
+surfaces (PIL handles those when installed). Restart intervals
+(DRI/RSTn) decode AND encode natively: DC predictors reset and the
+stream re-aligns at each marker, out-of-sequence markers are bad
+data (``ValueError``).
 
 Reference parity note: the reference repo has no media path at all —
 this extends the engine's training-data-pipeline surface (brief §X4).
@@ -194,6 +197,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-padding per spec
         return bytes(self.buf)
 
+    def restart(self, m: int) -> None:
+        """Pad to the byte boundary (1-bits, stuffed if the pad byte
+        lands on 0xFF) and emit an RSTn marker — markers themselves
+        are never byte-stuffed."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes((0xFF, 0xD0 + (m & 7)))
+
 
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
@@ -258,9 +270,13 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def encode_gray(pixels: list[int], width: int, height: int) -> bytes:
+def encode_gray(
+    pixels: list[int], width: int, height: int, restart_interval: int = 0
+) -> bytes:
     """8-bit grayscale pixels (row-major, len == width*height) ->
-    baseline JFIF bytes."""
+    baseline JFIF bytes. ``restart_interval`` > 0 emits a DRI segment
+    and an RSTn marker (byte-aligned, DC predictor reset) every that
+    many MCUs — the error-resilience framing real encoders use."""
     if len(pixels) != width * height:
         raise ValueError("pixel count != width*height")
     img = np.asarray(pixels, dtype=np.float64).reshape(height, width)
@@ -269,12 +285,17 @@ def encode_gray(pixels: list[int], width: int, height: int) -> bytes:
 
     w = _BitWriter()
     prev_dc = 0
+    mcu_i = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                w.restart((mcu_i // restart_interval - 1) % 8)
+                prev_dc = 0
             prev_dc = _encode_block(
                 w, padded[by : by + 8, bx : bx + 8] - 128.0,
                 QUANT, _DC_CODES, _AC_CODES, prev_dc,
             )
+            mcu_i += 1
     data = w.flush()
 
     out = bytearray()
@@ -287,6 +308,8 @@ def encode_gray(pixels: list[int], width: int, height: int) -> bytes:
     )
     out += _seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
     out += _seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += data
     out += b"\xff\xd9"  # EOI
@@ -310,7 +333,11 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 
 def encode_rgb(
-    pixels: list[int], width: int, height: int, subsampling: str = "444"
+    pixels: list[int],
+    width: int,
+    height: int,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """8-bit interleaved RGB pixels (row-major, len == 3*width*height)
     -> baseline color JFIF bytes (3 components, Annex-K luma/chroma
@@ -339,12 +366,21 @@ def encode_rgb(
     ]
     w = _BitWriter()
     prev_dc = [0, 0, 0]
+    mcu_i = 0
+
+    def _maybe_restart() -> None:
+        nonlocal mcu_i
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            w.restart((mcu_i // restart_interval - 1) % 8)
+            prev_dc[:] = [0, 0, 0]
+
     if subsampling == "444":
         planes = [_pad_to_blocks(p) for p in (y, cb, cr)]
         ph, pw = planes[0].shape
         y_hv = 0x11
         for by in range(0, ph, 8):
             for bx in range(0, pw, 8):
+                _maybe_restart()
                 for ci, (plane, (q, dc, ac)) in enumerate(
                     zip(planes, tables)
                 ):
@@ -352,6 +388,7 @@ def encode_rgb(
                         w, plane[by : by + 8, bx : bx + 8] - 128.0,
                         q, dc, ac, prev_dc[ci],
                     )
+                mcu_i += 1
     else:  # 420 / 422
         # pad Y to the MCU footprint, box-average the chroma by the
         # sampling ratio — the padded chroma planes land exactly on
@@ -369,6 +406,7 @@ def encode_rgb(
         y_hv = 0x22 if subsampling == "420" else 0x21
         for my in range(0, ph, 8 * sy):
             for mx in range(0, pw, 16):
+                _maybe_restart()
                 q, dc, ac = tables[0]
                 for by in range(0, 8 * sy, 8):
                     for bx in (0, 8):
@@ -389,6 +427,7 @@ def encode_rgb(
                         ] - 128.0,
                         q, dc, ac, prev_dc[ci],
                     )
+                mcu_i += 1
     data = w.flush()
 
     out = bytearray()
@@ -406,6 +445,8 @@ def encode_rgb(
     out += _seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
     out += _seg(0xFFC4, bytes([0x01]) + bytes(DC_BITS_C) + bytes(DC_VALS_C))
     out += _seg(0xFFC4, bytes([0x11]) + bytes(AC_BITS_C) + bytes(AC_VALS_C))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     # SOS: Y uses dc0/ac0, Cb/Cr dc1/ac1
     out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += data
@@ -477,6 +518,20 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart_marker(self) -> int:
+        """Discard pad bits to the byte boundary, consume an RSTn
+        marker, return n (0-7). The pad byte (if any) was already
+        consumed by the preceding MCU's last real bits — stuffing
+        included — so the marker starts at ``self.i``."""
+        self.n = 0
+        if self.i + 1 >= len(self.data) or self.data[self.i] != 0xFF:
+            raise EOFError("expected restart marker")
+        m = self.data[self.i + 1]
+        if not 0xD0 <= m <= 0xD7:
+            raise EOFError(f"expected RSTn marker, found {m:#04x}")
+        self.i += 2
+        return m & 7
+
 
 def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol."""
@@ -513,13 +568,17 @@ def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
     factors in {1, 2} — 4:4:4, 4:2:0 (the dominant real-world form:
     16x16 MCUs of four Y blocks + one Cb + one Cr), and 4:2:2;
     subsampled chroma is upsampled by pixel replication (the standard
-    fast path). Sampling factors above 2 / progressive / arithmetic /
-    restart intervals gate to ``NotImplementedError``; malformed
-    bytes raise ``ValueError``."""
+    fast path). Restart intervals (DRI) are honored: at each RSTn the
+    reader byte-aligns, verifies the marker sequence, and resets the
+    DC predictors. Sampling factors above 2 / progressive /
+    arithmetic gate to ``NotImplementedError``; malformed bytes
+    (including out-of-sequence restart markers) raise
+    ``ValueError``."""
     if not is_jpeg(blob):
         raise ValueError("not a JPEG stream")
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
     width = height = 0
     comps: list[dict] = []  # SOF order: {"cid": int, "tq": int}
     scan: dict[int, tuple[int, int]] = {}  # cid -> (dc_id, ac_id)
@@ -584,17 +643,15 @@ def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
                 vals = list(payload[j + 17 : j + 17 + nv])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 j += 17 + nv
-        elif marker == 0xFFDD or 0xFFD0 <= marker <= 0xFFD7:
-            # DRI / RSTn: restart intervals segment the entropy stream
-            # at markers this reader treats as end-of-stream, so a
-            # valid baseline JPEG with restarts would hit EOFError mid-
-            # decode. Gate it as a capability (NotImplementedError ->
-            # multimodal's documented fallback), not a crash
-            # (r7 advice #3).
-            raise NotImplementedError(
-                "restart intervals (DRI/RSTn) not supported by the "
-                "stdlib JPEG codec — needs Pillow"
-            )
+        elif marker == 0xFFDD:
+            # DRI: every `restart_interval` MCUs the entropy stream is
+            # byte-aligned and segmented by an RSTn marker, with DC
+            # predictors reset — consumed in the MCU loop below.
+            restart_interval = struct.unpack(">H", payload[:2])[0]
+        elif 0xFFD0 <= marker <= 0xFFD7:
+            # RSTn are bare markers legal only INSIDE the entropy
+            # stream; seeing one in the header walk is bad data.
+            raise ValueError("RSTn marker outside entropy stream")
         elif marker == 0xFFDA:
             ns = payload[0]
             if ns != len(comps):
@@ -672,8 +729,21 @@ def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
         return _DCT.T @ (coef.reshape(8, 8) * q) @ _DCT + 128.0
 
     try:
+        mcu_i = 0
+        rst_expect = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart_interval and mcu_i and (
+                    mcu_i % restart_interval == 0
+                ):
+                    got = r.restart_marker()
+                    if got != rst_expect:
+                        raise EOFError(
+                            f"restart marker out of sequence: expected "
+                            f"RST{rst_expect}, found RST{got}"
+                        )
+                    rst_expect = (rst_expect + 1) & 7
+                    prev_dc[:] = [0] * len(comps)
                 for ci, (c, (dc_tbl, ac_tbl, q)) in enumerate(
                     zip(comps, ctabs)
                 ):
@@ -684,6 +754,7 @@ def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
                             planes[ci][y0 : y0 + 8, x0 : x0 + 8] = (
                                 _one_block(dc_tbl, ac_tbl, q, ci)
                             )
+                mcu_i += 1
     except (EOFError, KeyError, IndexError) as e:
         # A malformed/truncated entropy stream is bad DATA, not a
         # missing capability — surface it as ValueError so callers

@@ -136,15 +136,16 @@ def _decode_impl(blob: bytes, modality: str, codec: str) -> list[float]:
             width, height, px = pngio.gray_pixels(blob)
             return _block_mean_pool(px, width, height)
         if jpegio.is_jpeg(blob):
-            # lossy route: stdlib baseline codec (grayscale AND 4:4:4
-            # color since r9); streams it can't express (progressive,
-            # subsampled, restarts) gate clearly — PIL's territory
+            # lossy route: stdlib baseline codec (grayscale + color at
+            # any 1/2-factor sampling, restart intervals honored);
+            # streams it can't express (progressive, arithmetic,
+            # factor>2, non-YCbCr) gate clearly — PIL's territory
             # when installed
             try:
                 width, height, ncomp, px = jpegio.decode_image(blob)
             except (NotImplementedError, ValueError):
                 # NotImplementedError: capability gate (progressive /
-                # restart intervals / exotic layouts). ValueError:
+                # exotic layouts). ValueError:
                 # malformed entropy stream. Under "auto" both mean
                 # "these bytes are not decodable here" -> fake twin,
                 # matching the PIL branch's behavior (r7 advice #3).

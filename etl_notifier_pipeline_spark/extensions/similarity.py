@@ -166,13 +166,26 @@ def lsh_query(
     queries: DataFrame,
     k: int = 5,
     *,
+    exclude: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Serve a query batch from a prebuilt ``lsh_build`` index:
     candidates resolve through an equi-join on (table, bucket) — the
     n²·d brute-force pair space never materializes — then exact cosine
-    rerank of the (deduplicated) candidates."""
+    rerank of the (deduplicated) candidates.
+
+    ``exclude``: tombstone mask of ``id_col`` values deleted since the
+    index was built — broadcast-anti-joined out of the stored index at
+    serve time (see ``ivf_query`` for the sizing contract)."""
+    if exclude is not None:
+        index = index.join(
+            F.broadcast(
+                exclude.select(F.col(id_col).alias("neighbor_id")).distinct()
+            ),
+            "neighbor_id",
+            "left_anti",
+        )
     tables = [
         _hyperplanes(params["dim"], params["n_planes"], seed=42 + t)
         for t in range(params["n_tables"])
@@ -452,14 +465,30 @@ def ivf_query(
     k: int = 5,
     *,
     n_probe: int = 2,
+    exclude: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Serve a query batch from a prebuilt ``ivf_build`` index: probe
     the ``n_probe`` nearest cells per query via a broadcast equi-join
     on ``cell`` (the corpus is never shuffled), exact cosine rerank
-    inside the probed cells."""
+    inside the probed cells.
+
+    ``exclude`` is a tombstone mask: a frame whose ``id_col`` lists
+    corpus ids deleted AFTER the index was built. They are masked out
+    of the stored index at serve time (a broadcast anti-join — the
+    index never shuffles), so deletes take effect immediately without
+    an index rebuild. The deleted-id set is bounded by the rebuild /
+    compaction policy — the same contract that bounds a merge-on-read
+    delta stack — which is what keeps the mask broadcast-sized at any
+    corpus scale; when the mask grows past that policy, the answer is
+    a rebuild, not a bigger join."""
     cents = params["centroids"]
+    if exclude is not None:
+        tombs = (
+            exclude.select(F.col(id_col).alias("neighbor_id")).distinct()
+        )
+        index = index.join(F.broadcast(tombs), "neighbor_id", "left_anti")
     probes = F.slice(
         F.array_sort(
             F.array(
@@ -998,16 +1027,30 @@ def ivfpq_query(
     *,
     n_probe: int | None = None,
     cand_mult: int = 40,
+    exclude: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Serve a query batch from a prebuilt ``ivfpq_build`` index: per
     query, compute residual LUTs for the ``n_probe`` nearest cells,
     join the encoded corpus on the cell key, ADC-rank JVM-side, exact
-    cosine rerank of the top ``cand_mult * k``."""
+    cosine rerank of the top ``cand_mult * k``.
+
+    ``exclude``: tombstone mask of ``id_col`` values deleted since the
+    index was built — broadcast-anti-joined out of the stored index
+    (before both the ADC scan and the rerank read; see ``ivf_query``
+    for the sizing contract)."""
     import numpy as np
     import pandas as pd
 
+    if exclude is not None:
+        index = index.join(
+            F.broadcast(
+                exclude.select(F.col(id_col).alias("neighbor_id")).distinct()
+            ),
+            "neighbor_id",
+            "left_anti",
+        )
     cents = params["centroids"]
     books = params["codebooks"]
     if n_probe is None:

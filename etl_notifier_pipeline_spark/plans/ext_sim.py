@@ -563,3 +563,94 @@ def s15_ivf_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8)
     index, params = S.ivf_build(emb, n_cells=4)
     return S.ivf_query(index, params, queries, k=5, n_probe=4)
+
+
+@register(
+    "s16_ivf_serve_tombstones",
+    category="similarity",
+    oracle=f"""
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id AND c.vec_id % 7 <> 3
+) WHERE rank <= 5
+""",
+)
+def s16_ivf_serve_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletes between index rebuilds: serve an ANN query batch from a
+    STORED IVF index with a tombstone mask for corpus vectors deleted
+    after the build (``vec_id % 7 == 3`` here). The mask is a
+    broadcast anti-join against the index — the index never shuffles
+    and never rebuilds; a deleted doc can still BE a query (vec_id 3
+    is both). At full probe the serve path is exact, so the result
+    must hash-equal brute force over the corpus-minus-deleted — which
+    pins the mask semantics (no deleted neighbor survives, no live
+    neighbor is lost) bit-for-bit, the same way s15 pins the unmasked
+    serve machinery."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    deleted = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    index, params = S.ivf_build(emb, n_cells=4)
+    return S.ivf_query(
+        index, params, queries, k=5, n_probe=4, exclude=deleted
+    )
+
+
+@register(
+    "s17_vector_store_serve",
+    category="similarity",
+    oracle=f"""
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id AND c.vec_id % 11 <> 5
+) WHERE rank <= 5
+""",
+)
+def s17_vector_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse->ANN integration, end to end: embeddings live in
+    a versioned ``BucketedTableStore``; the IVF index is built once at
+    version 1; a DELETE lands as a merge-on-read commit (O(batch)
+    tombstones, no bucket rewrite — and no index rebuild); the serve
+    path derives its tombstone mask FROM THE STORE'S OWN CHANGE FEED
+    (v1 -> v2 deleted keys) and masks the stored index with it. At
+    full probe the serve is exact, so the result must hash-equal
+    brute force over the store's CURRENT snapshot — pinning the whole
+    chain: MoR delete commit, CDC feed, mask anti-join, probe rerank.
+    At 100 TB this is how a vector store stays fresh between index
+    rebuilds: deletes cost one delta commit + one broadcast-sized key
+    set at serve time, both bounded by the compaction policy."""
+    import tempfile
+
+    from etl_notifier_pipeline_spark.operators.mutations import change_feed
+    from etl_notifier_pipeline_spark.storage import BucketedTableStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = BucketedTableStore(
+        spark, tempfile.mkdtemp(prefix="s17_"),
+        keys={"vectors": ["vec_id"]}, n_buckets=8,
+    )
+    store.overwrite("vectors", emb)
+    index, params = S.ivf_build(store.read("vectors", version=1), n_cells=4)
+    store.apply_keyed_mutation(
+        "vectors",
+        emb.filter(F.col("vec_id") % 11 == 5).select("vec_id"),
+        ["vec_id"],
+        [],
+        "delete",
+        strategy="merge_on_read",
+    )
+    feed = change_feed(store, "vectors", ["vec_id"], 1, 2)
+    tombs = feed.filter(F.col("change") == "delete").select("vec_id")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.ivf_query(index, params, queries, k=5, n_probe=4, exclude=tombs)

@@ -502,3 +502,72 @@ def test_build_query_split_matches_one_shot(spark, tmp_path):
             cand_mult=40,
         )
     )
+
+
+def test_ivf_query_tombstone_mask(spark, tmp_path):
+    """ivf_query(exclude=...) serves deletes from a STORED index:
+    (a) no tombstoned id ever appears as a neighbor, (b) at full probe
+    the masked serve == brute force over corpus-minus-deleted (exact
+    equivalence, not just exclusion), (c) an empty mask is a no-op."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 6)
+    deleted = emb.filter(F.col("vec_id") % 5 == 2).select("vec_id")
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in df.collect()
+        )
+
+    idx, params = S.ivf_build(emb, n_cells=8)
+    p = str(tmp_path / "ivf_idx_tomb")
+    idx.write.parquet(p)
+    stored = spark.read.parquet(p)
+
+    got = rows(
+        S.ivf_query(stored, params, queries, k=5, n_probe=8, exclude=deleted)
+    )
+    dead = {r["vec_id"] for r in deleted.collect()}
+    assert dead and not {n for (_, _, n) in got} & dead
+    assert got == rows(
+        S.topk_cosine(emb.filter(F.col("vec_id") % 5 != 2), queries, k=5)
+    )
+    empty = deleted.limit(0)
+    assert rows(
+        S.ivf_query(stored, params, queries, k=5, n_probe=8, exclude=empty)
+    ) == rows(S.ivf_query(stored, params, queries, k=5, n_probe=8))
+
+    # LSH: per-vector bucket ids depend only on the seeded hyperplanes,
+    # so masking the stored index must equal an index REBUILT on the
+    # corpus-minus-deleted with the same planes.
+    lidx, lparams = S.lsh_build(emb, n_planes=3, n_tables=6)
+    lp = str(tmp_path / "lsh_idx_tomb")
+    lidx.write.parquet(lp)
+    lstored = spark.read.parquet(lp)
+    got_lsh = rows(S.lsh_query(lstored, lparams, queries, k=5, exclude=deleted))
+    assert not {n for (_, _, n) in got_lsh} & dead
+    assert got_lsh == rows(
+        S.ann_lsh_topk(
+            emb.filter(F.col("vec_id") % 5 != 2), queries, k=5,
+            n_planes=3, n_tables=6,
+        )
+    )
+
+    # IVFADC: the mask must gate BOTH index reads (ADC scan + exact
+    # rerank) — pinned against filtering the index frame by hand.
+    pidx, pparams = S.ivfpq_build(emb, n_cells=16, n_probe=16, m=8, n_codes=16)
+    pp = str(tmp_path / "ivfpq_idx_tomb")
+    pidx.write.parquet(pp)
+    pstored = spark.read.parquet(pp)
+    got_pq = rows(
+        S.ivfpq_query(pstored, pparams, queries, k=5, cand_mult=40,
+                      exclude=deleted)
+    )
+    assert not {n for (_, _, n) in got_pq} & dead
+    dead_lit = sorted(dead)
+    assert got_pq == rows(
+        S.ivfpq_query(
+            pstored.filter(~F.col("neighbor_id").isin(dead_lit)),
+            pparams, queries, k=5, cand_mult=40,
+        )
+    )

