@@ -1114,17 +1114,22 @@ def ivfpq_query(
     # 1000-query batch at 2 M vectors (n_probe ~ n_cells/8 = 176) is
     # ~2.8 GB, which a broadcast must collect to the driver (measured:
     # killed by spark.driver.maxResultSize at the r10 batch rung).
-    # Broadcast only under a budget; past it, hash-join on the cell
-    # key with the LUT side as the executor-built side — the encoded
-    # corpus (the big side) streams, the LUT frame shuffles
-    # distributed instead of collecting.
+    # Broadcast only under a budget; past it, SORT-MERGE join on the
+    # cell key — the LUT frame shuffles distributed instead of
+    # collecting, and SMJ's external sort SPILLS under memory
+    # pressure where a shuffle-hash build cannot (measured at the
+    # r10 batch rung: 32 concurrent ~90 MB LongToUnsafeRowMap builds
+    # exhausted an 8 GB heap's execution pool — "Can't acquire
+    # 134217728 bytes memory to build hash relation"). Per-cell match
+    # groups stay small (corpus/cells rows x LUT rows), so the SMJ
+    # right-side buffer is bounded.
     lut_bytes = (
         queries.count() * n_probe * C.shape[0] * C.shape[1] * 8
     )
     q_side = (
         F.broadcast(q)
         if lut_bytes <= LUT_BROADCAST_BUDGET_BYTES
-        else q.hint("shuffle_hash")
+        else q.hint("merge")
     )
     scored = (
         index.join(q_side, "cell")

@@ -1540,8 +1540,10 @@ def test_xm04_audio_stats_runs(spark):
 
 def test_ivfpq_lut_shuffle_branch_matches_broadcast(spark, monkeypatch):
     """ivfpq_query degrades the LUT-frame broadcast to a cell-key
-    shuffle-hash join past LUT_BROADCAST_BUDGET_BYTES (a 1000-query
-    batch at 2 M vectors weighs ~2.8 GB — over driver maxResultSize).
+    sort-merge join past LUT_BROADCAST_BUDGET_BYTES (a 1000-query
+    batch at 2 M vectors weighs ~2.8 GB — over driver maxResultSize;
+    SMJ rather than shuffle-hash because the hash-relation build has
+    no spill path and exhausted an 8 GB heap at the r10 batch rung).
     The two branches must return identical rows: same candidates, same
     ADC ranks, same exact rerank."""
     from etl_notifier_pipeline_spark.catalog import load_table

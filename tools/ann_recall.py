@@ -93,7 +93,24 @@ def main() -> None:
         i = args.index("--batch")
         n_batch = int(args[i + 1])
         del args[i : i + 2]
+    # --merge: reuse the exact-baseline STAMPS and the untouched
+    # families' cells from an existing artifact, rerunning only
+    # --family (comma list). Ground-truth neighbor pairs are not
+    # stored in the artifact, so the exact searches still run once —
+    # unstamped — to recompute them (a family rerun must not
+    # re-measure a baseline it isn't changing).
+    merge_from = None
+    if "--merge" in args:
+        i = args.index("--merge")
+        merge_from = args[i + 1]
+        del args[i : i + 2]
+    fam_filter = None
+    if "--family" in args:
+        i = args.index("--family")
+        fam_filter = set(args[i + 1].split(","))
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/repo/.scale/sf100"
+    prev = json.load(open(merge_from)) if merge_from else None
 
     spark = get_spark(
         "ann-recall",
@@ -131,14 +148,33 @@ def main() -> None:
         sink.update(got)
         return wall
 
-    exact_small = stamped_runs(
-        lambda: exact_run(q_small, truth_small), n_runs=2
-    )
-    print(f"exact small ({nq_small} q): {exact_small['sec']}s", flush=True)
-    exact_batch = stamped_runs(
-        lambda: exact_run(q_batch, truth_batch), n_runs=1
-    )
-    print(f"exact batch ({nq_batch} q): {exact_batch['sec']}s", flush=True)
+    if prev is not None:
+        exact_run(q_small, truth_small)
+        exact_run(q_batch, truth_batch)
+        exact_small = {
+            k: v for k, v in prev["exact_small"].items() if k != "n_queries"
+        }
+        exact_batch = {
+            k: v for k, v in prev["exact_batch"].items() if k != "n_queries"
+        }
+        print(
+            f"exact baselines reused from {merge_from} "
+            f"(ground truth recomputed unstamped)",
+            flush=True,
+        )
+    else:
+        exact_small = stamped_runs(
+            lambda: exact_run(q_small, truth_small), n_runs=2
+        )
+        print(
+            f"exact small ({nq_small} q): {exact_small['sec']}s", flush=True
+        )
+        exact_batch = stamped_runs(
+            lambda: exact_run(q_batch, truth_batch), n_runs=1
+        )
+        print(
+            f"exact batch ({nq_batch} q): {exact_batch['sec']}s", flush=True
+        )
 
     n_cells = max(8, int(math.sqrt(n)))  # the r6 sqrt-n cell policy
     root = tempfile.mkdtemp(prefix="ann_idx_")
@@ -198,6 +234,12 @@ def main() -> None:
             json.dump(doc, f, indent=1, sort_keys=True)
 
     for name, fam in families.items():
+        if fam_filter is not None and name not in fam_filter:
+            carried = (prev or {}).get("families", {}).get(name)
+            if carried is not None:
+                out[name] = carried
+                print(f"{name}: carried from {merge_from}", flush=True)
+            continue
         path = os.path.join(root, name)
         params_box: dict = {}
 
@@ -282,7 +324,19 @@ def main() -> None:
     # near-random unit vectors whole-vector quantization error exceeds
     # the true-vs-bulk cosine gap, so ADC ranking degenerates at ANY
     # code count — the finding this harness exists to catch, and why
-    # s14 (IVFADC) exists.
+    # s14 (IVFADC) exists. Reruns with the PQ family; carried on a
+    # non-PQ --family rerun.
+    if fam_filter is not None and "pq_ivfadc" not in fam_filter:
+        carried = (prev or {}).get("families", {}).get("pq_flat_diagnostic")
+        if carried is None:
+            carried = (prev or {}).get("pq_flat_diagnostic")
+        if carried is not None:
+            out["pq_flat_diagnostic"] = carried
+        flush(out)
+        if json_out:
+            print(f"wrote {json_out}")
+        shutil.rmtree(root, ignore_errors=True)
+        return
     diag: dict = {}
 
     def flat_pq():
