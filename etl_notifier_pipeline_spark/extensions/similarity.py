@@ -418,16 +418,29 @@ def ivf_build(
     a plain DataFrame (neighbor_id, c_vec, c_norm, cell) to persist
     once and serve many query batches; ``params["centroids"]`` is the
     KB-sized driver-side table the query side probes with."""
-    import numpy as np
-    import pandas as pd
-
     cents = ivf_centroids(
         corpus, n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
-    # Corpus-side assignment is the hot pass (every vector x every
-    # centroid): one Arrow-batched numpy argmin, not |cells| interpreted
-    # HOF folds per row (ivf_assign stays the Column form for plan-side
-    # uses like the query probes in ivf_query, where rows are few).
+    index = _ivf_assign_pass(corpus, cents, id_col=id_col, vec_col=vec_col)
+    return index, {"centroids": cents}
+
+
+def _ivf_assign_pass(
+    vectors: DataFrame,
+    cents: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The corpus-side cell assignment: the hot pass (every vector x
+    every centroid) as one Arrow-batched numpy argmin, not |cells|
+    interpreted HOF folds per row (ivf_assign stays the Column form
+    for plan-side uses like the query probes in ivf_query, where rows
+    are few). Shared by ``ivf_build`` (full corpus) and ``ivf_append``
+    (the increment only)."""
+    import numpy as np
+    import pandas as pd
+
     C = np.array(cents, dtype=np.float64)
 
     c_sq = (C * C).sum(axis=1)
@@ -451,11 +464,33 @@ def ivf_build(
                 }
             )
 
-    index = corpus.select(id_col, vec_col).mapInPandas(
+    return vectors.select(id_col, vec_col).mapInPandas(
         assign,
         "neighbor_id long, c_vec array<float>, c_norm double, cell int",
     )
-    return index, {"centroids": cents}
+
+
+def ivf_append(
+    params: dict,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF index maintenance: assign ONLY the new vectors
+    to the existing centroids and return their index rows — the
+    caller appends them to the stored index (one parquet append; the
+    existing index is never read or rewritten). Cost is O(increment),
+    the same contract as a merge-on-read delta commit. Appended rows
+    are served identically to built rows because the index schema and
+    the assign arithmetic are byte-identical to ``ivf_build``'s
+    (pinned at full probe by the s18 oracle). Centroids are NOT
+    retrained — cell balance degrades as the corpus drifts from the
+    training distribution, which is when the rebuild policy (the
+    tombstone-mask sizing contract in ``ivf_query``) says rebuild."""
+    return _ivf_assign_pass(
+        new_vectors, params["centroids"], id_col=id_col, vec_col=vec_col
+    )
 
 
 def ivf_query(

@@ -654,3 +654,41 @@ def s17_vector_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tombs = feed.filter(F.col("change") == "delete").select("vec_id")
     queries = emb.filter(F.col("vec_id") < 8)
     return S.ivf_query(index, params, queries, k=5, n_probe=4, exclude=tombs)
+
+
+@register(
+    "s18_ivf_incremental_append",
+    category="similarity",
+    oracle=f"""
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+) WHERE rank <= 5
+""",
+)
+def s18_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance, the other half of the lifecycle
+    s16/s17 cover for deletes: the IVF index is BUILT on the first
+    2/3 of the corpus (``vec_id % 3 != 0``), then the remaining third
+    arrives later and is folded in via ``ivf_append`` — an
+    O(increment) assign pass against the frozen centroids, unioned
+    onto the stored index without reading or rewriting it. At full
+    probe the serve is exact, so the result must hash-equal brute
+    force over the WHOLE corpus: built and appended rows are
+    indistinguishable to the serve path, byte for byte. At 100 TB
+    this is how a vector store ingests between rebuilds: each batch
+    costs one assign pass + one parquet append, exactly a
+    merge-on-read delta's write contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    initial = emb.filter(F.col("vec_id") % 3 != 0)
+    late = emb.filter(F.col("vec_id") % 3 == 0)
+    index, params = S.ivf_build(initial, n_cells=4)
+    full_index = index.unionByName(S.ivf_append(params, late))
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.ivf_query(full_index, params, queries, k=5, n_probe=4)

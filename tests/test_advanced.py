@@ -571,3 +571,33 @@ def test_ivf_query_tombstone_mask(spark, tmp_path):
             pparams, queries, k=5, cand_mult=40,
         )
     )
+
+
+def test_ivf_append_parquet_lifecycle(spark, tmp_path):
+    """ivf_append grows a STORED index with one parquet append (the
+    existing files are never read or rewritten): build on 2/3 of the
+    corpus, append the rest, reload — at full probe the grown index
+    must serve exactly brute force over the whole corpus, and the
+    appended rows must be byte-compatible with built rows (same
+    schema, same assign arithmetic)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    initial = emb.filter(F.col("vec_id") % 3 != 0)
+    late = emb.filter(F.col("vec_id") % 3 == 0)
+    queries = emb.filter(F.col("vec_id") < 6)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in df.collect()
+        )
+
+    idx, params = S.ivf_build(initial, n_cells=8)
+    p = str(tmp_path / "ivf_grow")
+    idx.write.parquet(p)
+    n_initial = spark.read.parquet(p).count()
+    S.ivf_append(params, late).write.mode("append").parquet(p)
+    stored = spark.read.parquet(p)
+    assert stored.count() == emb.count() > n_initial
+    assert rows(S.ivf_query(stored, params, queries, k=5, n_probe=8)) == (
+        rows(S.topk_cosine(emb, queries, k=5))
+    )
