@@ -271,17 +271,62 @@ def _seg(marker: int, payload: bytes) -> bytes:
 
 
 def encode_gray(
-    pixels: list[int], width: int, height: int, restart_interval: int = 0
+    pixels: list[int],
+    width: int,
+    height: int,
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """8-bit grayscale pixels (row-major, len == width*height) ->
     baseline JFIF bytes. ``restart_interval`` > 0 emits a DRI segment
     and an RSTn marker (byte-aligned, DC predictor reset) every that
-    many MCUs — the error-resilience framing real encoders use."""
+    many MCUs — the error-resilience framing real encoders use.
+    ``progressive=True`` emits an SOF2 stream instead: a
+    successive-approximation scan script (DC first at Al=1 -> AC first
+    at Al=1 -> DC refine -> AC refine) over the standard tables; the
+    quantized coefficients are identical to the baseline path, so the
+    decode is pixel-identical to the baseline encode."""
     if len(pixels) != width * height:
         raise ValueError("pixel count != width*height")
+    if progressive and restart_interval:
+        raise ValueError(
+            "progressive + restart_interval not supported together"
+        )
     img = np.asarray(pixels, dtype=np.float64).reshape(height, width)
     padded = _pad_to_blocks(img)
     ph, pw = padded.shape
+    if progressive:
+        zz = _quantized_blocks(padded, QUANT)
+        out = bytearray()
+        out += b"\xff\xd8"
+        out += _seg(
+            0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        )
+        out += _seg(
+            0xFFDB, bytes([0]) + bytes(QUANT.flatten()[ZIGZAG].tolist())
+        )
+        out += _seg(
+            0xFFC2,
+            struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+        )
+        out += _seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+        out += _seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+        for sos, emit in (
+            (bytes([1, 1, 0x00, 0, 0, 0x01]),
+             lambda w: _enc_dc_first(w, [zz], [_DC_CODES], 1)),
+            (bytes([1, 1, 0x00, 1, 63, 0x01]),
+             lambda w: _enc_ac_first(w, zz, _AC_CODES, 1, 63, 1)),
+            (bytes([1, 1, 0x00, 0, 0, 0x10]),
+             lambda w: _enc_dc_refine(w, [zz], 0)),
+            (bytes([1, 1, 0x00, 1, 63, 0x10]),
+             lambda w: _enc_ac_refine(w, zz, _AC_CODES, 1, 63, 0)),
+        ):
+            out += _seg(0xFFDA, sos)
+            w = _BitWriter()
+            emit(w)
+            out += w.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
 
     w = _BitWriter()
     prev_dc = 0
@@ -316,6 +361,142 @@ def encode_gray(
     return bytes(out)
 
 
+def _quantized_blocks(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """Level-shifted padded plane -> (bh, bw, 64) zigzag-order
+    quantized DCT coefficients (the shared front half of every encode
+    path; progressive scans re-walk these arrays per scan)."""
+    ph, pw = plane.shape
+    bh, bw = ph // 8, pw // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            q = np.round((_DCT @ blk @ _DCT.T) / quant).astype(np.int64)
+            out[by, bx] = q.flatten()[ZIGZAG]
+    return out
+
+
+def _ac_point_transform(v: int, al: int) -> int:
+    """AC successive-approximation point transform: magnitude shift
+    toward zero (T.81 G.1.2.1) — NOT an arithmetic shift."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _enc_dc_first(
+    w: "_BitWriter", arrs: list[np.ndarray], codes: list[dict], al: int
+) -> None:
+    """Interleaved (uniform-grid) progressive DC first scan: diffs of
+    the point-transformed DC (arithmetic shift for DC per G.1.2.1)."""
+    bh, bw, _ = arrs[0].shape
+    prev = [0] * len(arrs)
+    for by in range(bh):
+        for bx in range(bw):
+            for i, zz in enumerate(arrs):
+                t = int(zz[by, bx, 0]) >> al
+                diff = t - prev[i]
+                prev[i] = t
+                size = _category(diff)
+                code, length = codes[i][size]
+                w.write(code, length)
+                if size:
+                    w.write(_amplitude(diff, size), size)
+
+
+def _enc_dc_refine(
+    w: "_BitWriter", arrs: list[np.ndarray], al: int
+) -> None:
+    """DC refinement scan: one raw magnitude bit per block (no
+    Huffman), two's-complement arithmetic shift extracts the bit."""
+    bh, bw, _ = arrs[0].shape
+    for by in range(bh):
+        for bx in range(bw):
+            for zz in arrs:
+                w.write((int(zz[by, bx, 0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(
+    w: "_BitWriter", arr: np.ndarray, codes: dict, ss: int, se: int, al: int
+) -> None:
+    """AC first scan for one component over band Ss..Se at point
+    transform Al. EOB runs are deliberately capped at one block
+    (EOB0), so the standard Annex-K tables — which carry no EOBn
+    symbols for n>0 — stay sufficient; the decoder still handles
+    general EOBn from foreign streams."""
+    bh, bw, _ = arr.shape
+    for by in range(bh):
+        for bx in range(bw):
+            zz = arr[by, bx]
+            vals = [
+                _ac_point_transform(int(zz[k]), al)
+                for k in range(ss, se + 1)
+            ]
+            nz = [i for i, v in enumerate(vals) if v]
+            prev = -1
+            for i in nz:
+                v = vals[i]
+                run = i - prev - 1
+                while run > 15:
+                    code, length = codes[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                size = _category(v)
+                code, length = codes[(run << 4) | size]
+                w.write(code, length)
+                w.write(_amplitude(v, size), size)
+                prev = i
+            if not nz or nz[-1] < se - ss:
+                code, length = codes[0x00]  # EOB0
+                w.write(code, length)
+
+
+def _enc_ac_refine(
+    w: "_BitWriter", arr: np.ndarray, codes: dict, ss: int, se: int, al: int
+) -> None:
+    """AC refinement scan (T.81 G.1.2.3 encoder, the jcphuff
+    structure): newly-significant coefficients (|point transform|
+    == 1) emit (run<<4)|1 + sign; already-significant ones buffer one
+    correction bit, flushed after each symbol; trailing state folds
+    into EOB0."""
+    bh, bw, _ = arr.shape
+    for by in range(bh):
+        for bx in range(bw):
+            zz = arr[by, bx]
+            a = [
+                abs(_ac_point_transform(int(zz[k]), al))
+                for k in range(ss, se + 1)
+            ]
+            signs = [1 if zz[k] > 0 else 0 for k in range(ss, se + 1)]
+            eob_i = max((i for i, v in enumerate(a) if v == 1), default=-1)
+            run = 0
+            br: list[int] = []
+            for i, v in enumerate(a):
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eob_i:
+                    code, length = codes[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                    for b in br:
+                        w.write(b, 1)
+                    br = []
+                if v > 1:
+                    br.append(v & 1)
+                    continue
+                code, length = codes[(run << 4) | 1]
+                w.write(code, length)
+                w.write(signs[i], 1)
+                for b in br:
+                    w.write(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                code, length = codes[0x00]  # EOB0
+                w.write(code, length)
+                for b in br:
+                    w.write(b, 1)
+
+
 def _rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """JFIF full-range YCbCr (ITU-R BT.601 coefficients)."""
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -338,6 +519,7 @@ def encode_rgb(
     height: int,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """8-bit interleaved RGB pixels (row-major, len == 3*width*height)
     -> baseline color JFIF bytes (3 components, Annex-K luma/chroma
@@ -357,8 +539,72 @@ def encode_rgb(
         raise ValueError("pixel count != 3*width*height")
     if subsampling not in ("444", "420", "422"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if progressive and (subsampling != "444" or restart_interval):
+        raise ValueError(
+            "progressive encode supports 4:4:4 only, without restarts"
+        )
     rgb = np.asarray(pixels, dtype=np.float64).reshape(height, width, 3)
     y, cb, cr = _rgb_to_ycbcr(rgb)
+    if progressive:
+        zzs = [
+            _quantized_blocks(_pad_to_blocks(p), q)
+            for p, q in ((y, QUANT), (cb, QUANT_C), (cr, QUANT_C))
+        ]
+        acs = [_AC_CODES, _AC_CODES_C, _AC_CODES_C]
+        out = bytearray()
+        out += b"\xff\xd8"
+        out += _seg(
+            0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        )
+        out += _seg(
+            0xFFDB, bytes([0]) + bytes(QUANT.flatten()[ZIGZAG].tolist())
+        )
+        out += _seg(
+            0xFFDB, bytes([1]) + bytes(QUANT_C.flatten()[ZIGZAG].tolist())
+        )
+        out += _seg(
+            0xFFC2,
+            struct.pack(">BHHB", 8, height, width, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        out += _seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+        out += _seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+        out += _seg(
+            0xFFC4, bytes([0x01]) + bytes(DC_BITS_C) + bytes(DC_VALS_C)
+        )
+        out += _seg(
+            0xFFC4, bytes([0x11]) + bytes(AC_BITS_C) + bytes(AC_VALS_C)
+        )
+        scans: list[tuple[bytes, object]] = [
+            # interleaved DC first (Al=1), then per-component AC
+            # first scans, then the refinement passes (Ah=1 -> Al=0)
+            (bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01]),
+             lambda w: _enc_dc_first(
+                 w, zzs, [_DC_CODES, _DC_CODES_C, _DC_CODES_C], 1)),
+        ]
+        for cid, zz, ac in zip((1, 2, 3), zzs, acs):
+            tbl = 0x00 if cid == 1 else 0x11
+            scans.append(
+                (bytes([1, cid, tbl, 1, 63, 0x01]),
+                 lambda w, zz=zz, ac=ac: _enc_ac_first(w, zz, ac, 1, 63, 1))
+            )
+        scans.append(
+            (bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10]),
+             lambda w: _enc_dc_refine(w, zzs, 0))
+        )
+        for cid, zz, ac in zip((1, 2, 3), zzs, acs):
+            tbl = 0x00 if cid == 1 else 0x11
+            scans.append(
+                (bytes([1, cid, tbl, 1, 63, 0x10]),
+                 lambda w, zz=zz, ac=ac: _enc_ac_refine(w, zz, ac, 1, 63, 0))
+            )
+        for sos, emit in scans:
+            out += _seg(0xFFDA, sos)
+            w = _BitWriter()
+            emit(w)
+            out += w.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
     tables = [
         (QUANT, _DC_CODES, _AC_CODES),        # Y
         (QUANT_C, _DC_CODES_C, _AC_CODES_C),  # Cb
@@ -478,6 +724,68 @@ def _segments(blob: bytes):
         i = i + 2 + ln
 
 
+def _segments_full(blob: bytes):
+    """Yield (marker, payload, entropy) for the WHOLE stream — unlike
+    ``_segments`` it continues past SOS, attaching each scan's entropy
+    bytes (stuffed 0xFF00 and RSTn markers included; the scan decoder
+    consumes those) so multi-scan streams (progressive) can walk every
+    scan with the table state current at its SOS."""
+    i = 2
+    n = len(blob)
+    while i + 2 <= n:
+        if blob[i] != 0xFF:
+            raise ValueError(f"bad marker alignment at {i}")
+        marker = (blob[i] << 8) | blob[i + 1]
+        if marker == 0xFFD9:
+            return
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            i += 2  # bare markers: no length field
+            continue
+        ln = (blob[i + 2] << 8) | blob[i + 3]
+        payload = blob[i + 4 : i + 2 + ln]
+        j = i + 2 + ln
+        entropy = None
+        if marker == 0xFFDA:
+            e0 = j
+            while j + 1 < n:
+                if (
+                    blob[j] == 0xFF
+                    and blob[j + 1] != 0x00
+                    and not (0xD0 <= blob[j + 1] <= 0xD7)
+                ):
+                    break
+                j += 1
+            entropy = blob[e0:j]
+        yield marker, payload, entropy
+        i = j
+
+
+def _parse_dqt(payload: bytes, quant: dict) -> None:
+    j = 0
+    while j < len(payload):
+        pq, tq = payload[j] >> 4, payload[j] & 0xF
+        if pq != 0:
+            raise NotImplementedError(
+                "16-bit quantization tables not supported by the "
+                "stdlib JPEG codec"
+            )
+        tbl = np.zeros(64, dtype=np.int32)
+        tbl[ZIGZAG] = np.frombuffer(payload[j + 1 : j + 65], dtype=np.uint8)
+        quant[tq] = tbl.reshape(8, 8)
+        j += 65
+
+
+def _parse_dht(payload: bytes, huff: dict) -> None:
+    j = 0
+    while j < len(payload):
+        tc, th = payload[j] >> 4, payload[j] & 0xF
+        bits = list(payload[j + 1 : j + 17])
+        nv = sum(bits)
+        vals = list(payload[j + 17 : j + 17 + nv])
+        huff[(tc, th)] = _decode_table(bits, vals)
+        j += 17 + nv
+
+
 def dimensions(blob: bytes) -> tuple[int, int, int]:
     """(width, height, n_components) from any SOFn marker — metadata
     extraction without a full decode (the catalog path)."""
@@ -593,20 +901,7 @@ def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
             # (r9 advice #5).
             adobe_transform = payload[11] if len(payload) > 11 else None
         elif marker == 0xFFDB:
-            j = 0
-            while j < len(payload):
-                pq, tq = payload[j] >> 4, payload[j] & 0xF
-                if pq != 0:
-                    raise NotImplementedError(
-                        "16-bit quantization tables not supported by the "
-                        "stdlib JPEG codec"
-                    )
-                tbl = np.zeros(64, dtype=np.int32)
-                tbl[ZIGZAG] = np.frombuffer(
-                    payload[j + 1 : j + 65], dtype=np.uint8
-                )
-                quant[tq] = tbl.reshape(8, 8)
-                j += 65
+            _parse_dqt(payload, quant)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(
@@ -635,14 +930,7 @@ def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
                     )
                 comps.append({"cid": cid, "tq": tq, "h": h, "v": v})
         elif marker == 0xFFC4:
-            j = 0
-            while j < len(payload):
-                tc, th = payload[j] >> 4, payload[j] & 0xF
-                bits = list(payload[j + 1 : j + 17])
-                nv = sum(bits)
-                vals = list(payload[j + 17 : j + 17 + nv])
-                huff[(tc, th)] = _decode_table(bits, vals)
-                j += 17 + nv
+            _parse_dht(payload, huff)
         elif marker == 0xFFDD:
             # DRI: every `restart_interval` MCUs the entropy stream is
             # byte-aligned and segmented by an RSTn marker, with DC
@@ -771,14 +1059,367 @@ def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
     return width, height, out
 
 
+def _decode_progressive(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Progressive (SOF2, Huffman) decoder per ITU T.81 Annex G.2:
+    every scan accumulates into per-component coefficient arrays —
+    spectral selection (band Ss..Se per scan), successive
+    approximation (first scan at point transform Al, refinement scans
+    appending one bit of precision), EOB runs across blocks in AC
+    scans, correction bits in AC refinement scans, restart markers
+    resetting DC predictors and the EOB run — then one vectorized
+    dequantize + IDCT reconstructs the planes. Returns the same
+    (width, height, planes) contract as ``_decode_baseline``."""
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
+    width = height = 0
+    comps: list[dict] = []
+    adobe_transform: int | None = None
+    coefs: list[np.ndarray] = []
+    mcux = mcuy = hmax = vmax = 0
+    qt_of: list[int] = []
+    saw_scan = False
+
+    for marker, payload, entropy in _segments_full(blob):
+        if marker == 0xFFEE and payload[:5] == b"Adobe":
+            adobe_transform = payload[11] if len(payload) > 11 else None
+        elif marker == 0xFFDB:
+            _parse_dqt(payload, quant)
+        elif marker == 0xFFC4:
+            _parse_dht(payload, huff)
+        elif marker == 0xFFDD:
+            restart_interval = struct.unpack(">H", payload[:2])[0]
+        elif marker == 0xFFC2:
+            prec, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG not supported by the stdlib "
+                    "codec (grayscale and 3-component color only)"
+                )
+            for ci in range(ncomp):
+                cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                h, v = (hv >> 4, hv & 0xF) if ncomp > 1 else (1, 1)
+                if h not in (1, 2) or v not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factor {h}x{v} not supported by the "
+                        "stdlib codec (factors 1 and 2 only) — needs Pillow"
+                    )
+                comps.append({"cid": cid, "tq": tq, "h": h, "v": v})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            # coefficient arrays on the MCU-padded grid (interleaved
+            # DC scans cover padding blocks; AC scans fill the
+            # component's own ceil grid inside it)
+            coefs = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+                for c in comps
+            ]
+            qt_of = [c["tq"] for c in comps]
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise NotImplementedError(
+                "mixed/non-SOF2 frame in progressive decode path"
+            )
+        elif marker == 0xFFDA:
+            if not comps:
+                raise ValueError("SOS before SOF2")
+            saw_scan = True
+            _progressive_scan(
+                payload, entropy or b"", comps, coefs, huff,
+                mcux, mcuy, hmax, vmax, width, height, restart_interval,
+            )
+    if not saw_scan or not width:
+        raise ValueError("truncated JPEG: no SOS/SOF")
+    if len(comps) == 3:
+        cids = [c["cid"] for c in comps]
+        if adobe_transform == 0 or (
+            adobe_transform is None and cids != [1, 2, 3]
+        ):
+            raise NotImplementedError(
+                "3-component JPEG without a YCbCr color space "
+                f"(Adobe transform={adobe_transform}, component "
+                f"ids={cids}) not supported by the stdlib codec — "
+                "needs Pillow"
+            )
+    out: list[np.ndarray] = []
+    for c, zz, tq in zip(comps, coefs, qt_of):
+        if tq not in quant:
+            raise ValueError(
+                f"JPEG references undeclared quant table {tq}"
+            )
+        by, bx, _ = zz.shape
+        nat = np.zeros_like(zz, dtype=np.float64)
+        nat[..., ZIGZAG] = zz
+        blocks = nat.reshape(by, bx, 8, 8) * quant[tq][None, None]
+        # batched IDCT: DCT.T @ B @ DCT per block
+        recon = np.einsum("ij,abjk,kl->abil", _DCT.T, blocks, _DCT) + 128.0
+        plane = recon.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out.append(plane[:height, :width])
+    return width, height, out
+
+
+def _progressive_scan(
+    payload: bytes,
+    entropy: bytes,
+    comps: list[dict],
+    coefs: list[np.ndarray],
+    huff: dict,
+    mcux: int,
+    mcuy: int,
+    hmax: int,
+    vmax: int,
+    width: int,
+    height: int,
+    restart_interval: int,
+) -> None:
+    """Decode ONE progressive scan into the coefficient arrays."""
+    ns = payload[0]
+    scan: list[tuple[int, int, int]] = []  # (comp index, dc id, ac id)
+    cid_to_ix = {c["cid"]: i for i, c in enumerate(comps)}
+    for si in range(ns):
+        cs, tbl = payload[1 + 2 * si : 3 + 2 * si]
+        if cs not in cid_to_ix:
+            raise ValueError(f"scan references unknown component {cs}")
+        scan.append((cid_to_ix[cs], tbl >> 4, tbl & 0xF))
+    ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan with Se != 0")
+    if ss > 0 and ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+
+    r = _BitReader(entropy)
+    eobrun = [0]
+    prev_dc = [0] * ns
+    rst_expect = 0
+    unit_i = 0
+
+    def _tbl(tc: int, th: int) -> dict:
+        try:
+            return huff[(tc, th)]
+        except KeyError as e:
+            raise ValueError(
+                f"JPEG references undeclared Huffman table {e}"
+            ) from e
+
+    def _restart_if_due() -> None:
+        nonlocal rst_expect
+        if restart_interval and unit_i and unit_i % restart_interval == 0:
+            got = r.restart_marker()
+            if got != rst_expect:
+                raise EOFError(
+                    f"restart marker out of sequence: expected "
+                    f"RST{rst_expect}, found RST{got}"
+                )
+            rst_expect = (rst_expect + 1) & 7
+            prev_dc[:] = [0] * ns
+            eobrun[0] = 0
+
+    try:
+        if ss == 0:
+            # DC scan: interleaved when ns > 1, the component's own
+            # grid when ns == 1 (non-interleaved by spec)
+            if ns > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        _restart_if_due()
+                        for i, (ci, dc_id, _) in enumerate(scan):
+                            c = comps[ci]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    _dc_block(
+                                        r, coefs[ci],
+                                        my * c["v"] + by, mx * c["h"] + bx,
+                                        _tbl(0, dc_id) if ah == 0 else None,
+                                        prev_dc, i, ah, al,
+                                    )
+                        unit_i += 1
+            else:
+                ci, dc_id, _ = scan[0]
+                bh, bw = _comp_blocks(
+                    comps[ci], width, height, hmax, vmax
+                )
+                for byy in range(bh):
+                    for bxx in range(bw):
+                        _restart_if_due()
+                        _dc_block(
+                            r, coefs[ci], byy, bxx,
+                            _tbl(0, dc_id) if ah == 0 else None,
+                            prev_dc, 0, ah, al,
+                        )
+                        unit_i += 1
+        else:
+            ci, _, ac_id = scan[0]
+            ac_tbl = _tbl(1, ac_id)
+            bh, bw = _comp_blocks(comps[ci], width, height, hmax, vmax)
+            for byy in range(bh):
+                for bxx in range(bw):
+                    _restart_if_due()
+                    zz = coefs[ci][byy, bxx]
+                    if ah == 0:
+                        _ac_first(r, zz, ss, se, al, ac_tbl, eobrun)
+                    else:
+                        _ac_refine(r, zz, ss, se, al, ac_tbl, eobrun)
+                    unit_i += 1
+    except (EOFError, KeyError, IndexError) as e:
+        raise ValueError(f"malformed JPEG entropy stream: {e}") from e
+
+
+def _comp_blocks(
+    c: dict, width: int, height: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """Non-interleaved block grid: ceil over the component's OWN
+    sampled dimensions (T.81 A.2.2), not the MCU-padded grid."""
+    cw = (width * c["h"] + hmax - 1) // hmax
+    ch = (height * c["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _dc_block(
+    r: "_BitReader",
+    coef: np.ndarray,
+    by: int,
+    bx: int,
+    dc_tbl: dict | None,
+    prev_dc: list,
+    i: int,
+    ah: int,
+    al: int,
+) -> None:
+    if ah == 0:
+        size = _read_symbol(r, dc_tbl)
+        diff = _extend(r.bits(size), size) if size else 0
+        prev_dc[i] += diff
+        coef[by, bx, 0] = prev_dc[i] << al
+    elif r.bit():
+        # refinement: append one magnitude bit (two's complement |=
+        # is exact for negatives too)
+        coef[by, bx, 0] |= 1 << al
+
+
+def _ac_first(
+    r: "_BitReader",
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    ac_tbl: dict,
+    eobrun: list,
+) -> None:
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = _read_symbol(r, ac_tbl)
+        rr, s = sym >> 4, sym & 0xF
+        if s:
+            k += rr
+            if k > se:
+                raise EOFError("AC coefficient index past Se")
+            zz[k] = _extend(r.bits(s), s) << al
+            k += 1
+        elif rr == 15:
+            k += 16  # ZRL
+        else:
+            eobrun[0] = (1 << rr) - 1
+            if rr:
+                eobrun[0] += r.bits(rr)
+            return
+
+
+def _ac_refine(
+    r: "_BitReader",
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    ac_tbl: dict,
+    eobrun: list,
+) -> None:
+    """AC successive-approximation refinement (T.81 G.1.2.3): newly
+    significant coefficients arrive as +/-1<<Al; every NONZERO-history
+    coefficient passed on the way carries one correction bit."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+
+    def _correct(k: int) -> None:
+        if r.bit() and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] > 0 else m1
+
+    if eobrun[0] == 0:
+        while k <= se:
+            sym = _read_symbol(r, ac_tbl)
+            rr, s = sym >> 4, sym & 0xF
+            val = 0
+            if s:
+                if s != 1:
+                    raise EOFError("AC refinement magnitude must be 1")
+                val = p1 if r.bit() else m1
+            elif rr != 15:
+                eobrun[0] = 1 << rr
+                if rr:
+                    eobrun[0] += r.bits(rr)
+                break
+            # advance over rr zero-history positions, correcting
+            # nonzero-history coefficients along the way
+            while k <= se:
+                if zz[k] != 0:
+                    _correct(k)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            if zz[k] != 0:
+                _correct(k)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _decode_any(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Route on the frame type: SOF0 -> baseline, SOF2 (Huffman
+    progressive) -> progressive; every other SOFn keeps its explicit
+    capability gate."""
+    if not is_jpeg(blob):
+        raise ValueError("not a JPEG stream")
+    for marker, _payload, _ in _segments(blob):
+        if marker == 0xFFC0:
+            return _decode_baseline(blob)
+        if marker == 0xFFC2:
+            return _decode_progressive(blob)
+        if marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                      0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise NotImplementedError(
+                "only baseline (SOF0) and Huffman progressive (SOF2) "
+                "JPEG are supported by the stdlib codec — "
+                "extended/arithmetic/lossless streams need Pillow"
+            )
+    raise ValueError("truncated JPEG: no SOS/SOF")
+
+
 def decode_gray(blob: bytes) -> tuple[int, int, list[int]]:
     """Baseline grayscale JPEG -> (width, height, row-major pixels).
 
-    Raises ``NotImplementedError`` for progressive/arithmetic/
-    subsampled streams — and for COLOR streams, which this strict-
-    grayscale entry point rejects by contract (``decode_image``
-    handles them) — and ``ValueError`` for malformed bytes."""
-    width, height, planes = _decode_baseline(blob)
+    Raises ``NotImplementedError`` for arithmetic/extended streams —
+    and for COLOR streams, which this strict-grayscale entry point
+    rejects by contract (``decode_image`` handles them) — and
+    ``ValueError`` for malformed bytes. Baseline (SOF0) and Huffman
+    progressive (SOF2) both decode."""
+    width, height, planes = _decode_any(blob)
     if len(planes) != 1:
         raise NotImplementedError(
             "decode_gray is single-component by contract — use "
@@ -789,11 +1430,12 @@ def decode_gray(blob: bytes) -> tuple[int, int, list[int]]:
 
 
 def decode_image(blob: bytes) -> tuple[int, int, int, list[int]]:
-    """Baseline JPEG (grayscale or 4:4:4 color) -> (width, height,
+    """Baseline (SOF0) or Huffman-progressive (SOF2) JPEG (grayscale
+    or color at any 1/2-factor sampling) -> (width, height,
     n_components, row-major pixels — interleaved RGB for color).
     YCbCr -> RGB uses the JFIF/BT.601 inverse, matching every
     standard JPEG reader."""
-    width, height, planes = _decode_baseline(blob)
+    width, height, planes = _decode_any(blob)
     if len(planes) == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return width, height, 1, out.flatten().tolist()

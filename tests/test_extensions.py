@@ -166,8 +166,9 @@ class TestMultimodal:
         media = M.media_from_dir(spark, M.MEDIA_FIXTURE_DIR)
         rows = media.select("media_id", "content").collect()
         # 8 PNG + 4 gray JPEG + 2 color 4:4:4 JPEG + 2 color 4:2:0 JPEG
-        # + 5 PCM WAV (snd_* sorts after img_*, so image ids are stable)
-        assert len(rows) == 21
+        # + 2 progressive JPEG + 5 PCM WAV (snd_* sorts after img_*,
+        # so image ids are stable)
+        assert len(rows) == 23
         feats = {
             r["media_id"]: r["features"]
             for r in M.extract_features(media, codec="real").collect()
@@ -194,6 +195,11 @@ class TestMultimodal:
         # blocks + replicated chroma
         assert feats[1_000_014] == feats[1_000_015]
         assert 0.0 < sum(feats[1_000_014]) < M.FEATURE_DIM
+        # progressive (SOF2) color pair (img_016 / img_017,
+        # byte-identical): multi-scan successive-approximation decode
+        # runs for REAL in-sandbox — no gate, no fake
+        assert feats[1_000_016] == feats[1_000_017]
+        assert 0.0 < sum(feats[1_000_016]) < M.FEATURE_DIM
 
     def test_codec_auto_mixes_real_and_fake(self, spark):
         """codec='auto': PNG bytes decode for real (bit-equal to the
@@ -280,12 +286,18 @@ class TestMultimodal:
             if n.endswith(".jpg")
         ]
         # 4 grayscale + 2 color 4:4:4 (32x32) + 2 color 4:2:0 (36x20,
-        # deliberately non-MCU-multiple)
-        assert len(jpgs) == 8
+        # deliberately non-MCU-multiple) + 2 progressive SOF2 (40x28)
+        assert len(jpgs) == 10
         for name in jpgs:
             blob = open(os.path.join(M.MEDIA_FIXTURE_DIR, name), "rb").read()
             fw, fh, ncomp = jpegio.dimensions(blob)
-            assert (fw, fh) == ((36, 20) if "420" in name or "015" in name else (32, 32))
+            if "420" in name or "015" in name:
+                assert (fw, fh) == (36, 20)
+            elif "016" in name or "017" in name:
+                assert (fw, fh) == (40, 28)
+                assert b"\xff\xc2" in blob  # genuinely SOF2 multi-scan
+            else:
+                assert (fw, fh) == (32, 32)
             if ncomp == 1:
                 gw, gh, px = jpegio.decode_gray(blob)
             else:
@@ -298,7 +310,7 @@ class TestMultimodal:
             if jpegio.dimensions(
                 open(os.path.join(M.MEDIA_FIXTURE_DIR, n), "rb").read()
             )[2] == 3
-        ) == 4
+        ) == 6
         # non-8-multiple dimensions: edge padding round-trips the
         # declared size, not the padded one
         ww, hh, _ = jpegio.decode_gray(
@@ -308,12 +320,15 @@ class TestMultimodal:
 
     def test_jpeg_routing_real_fake_and_gate(self, monkeypatch):
         """codec routing for lossy bytes (r6 verdict ask #6), pinned
-        in a test that RUNS in this sandbox: baseline grayscale JPEG
-        decodes for REAL through the stdlib codec; progressive (SOF2)
-        JPEG — which the stdlib codec cannot express — falls back to
-        the deterministic fake under codec='auto' and raises the PIL
-        gate under codec='real'. Pillow is forced absent so the
-        assertion is environment-independent."""
+        in a test that RUNS in this sandbox: baseline AND progressive
+        (SOF2) grayscale JPEG decode for REAL through the stdlib
+        codec; arithmetic-coded streams (SOF9) — which the stdlib
+        codec cannot express — fall back to the deterministic fake
+        under codec='auto' and raise the PIL gate under codec='real';
+        a baseline-shaped stream merely RELABELED SOF2 is bad DATA
+        (its single scan declares Ss=0,Se=63, illegal progressive).
+        Pillow is forced absent so the assertion is
+        environment-independent."""
         import pytest as _pytest
 
         from etl_notifier_pipeline_spark.extensions import jpegio
@@ -324,13 +339,27 @@ class TestMultimodal:
         real = MM._decode_impl(baseline, "image", "real")
         assert real == MM._decode_impl(baseline, "image", "auto")
         assert real != MM._fake_features(baseline)
-        # craft a progressive stream: flip SOF0 (FFC0) to SOF2 (FFC2)
-        progressive = baseline.replace(b"\xff\xc0", b"\xff\xc2", 1)
-        assert MM._decode_impl(progressive, "image", "auto") == (
-            MM._fake_features(progressive)
+        # a GENUINE progressive stream decodes real, identically to
+        # its baseline twin (same quantized coefficients)
+        prog = jpegio.encode_gray(
+            [10 * i for i in range(8)] * 8, 8, 8, progressive=True
         )
-        with _pytest.raises(NotImplementedError, match="baseline .SOF0."):
-            MM._decode_impl(progressive, "image", "real")
+        assert MM._decode_impl(prog, "image", "real") == real
+        # arithmetic coding (SOF9): the remaining capability gate
+        arith = baseline.replace(b"\xff\xc0", b"\xff\xc9", 1)
+        assert MM._decode_impl(arith, "image", "auto") == (
+            MM._fake_features(arith)
+        )
+        with _pytest.raises(NotImplementedError, match="arithmetic"):
+            MM._decode_impl(arith, "image", "real")
+        # SOF0 relabeled SOF2: structurally progressive, semantically
+        # baseline — its scan header is illegal for SOF2 -> bad data
+        franken = baseline.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        assert MM._decode_impl(franken, "image", "auto") == (
+            MM._fake_features(franken)
+        )
+        with _pytest.raises(ValueError, match="Se != 0"):
+            MM._decode_impl(franken, "image", "real")
 
     def test_jpeg_restart_intervals_and_malformed_stream(
         self, monkeypatch
@@ -420,6 +449,48 @@ class TestMultimodal:
             assert b"\xff\xdd" in rst_blob
             assert jpegio.decode_image(rst_blob) == plain, sub
 
+    def test_jpeg_progressive_roundtrip(self):
+        """Progressive (SOF2) encode+decode: the successive-
+        approximation script (DC first Al=1 -> per-component AC first
+        Al=1 -> DC refine -> AC refine) must decode PIXEL-IDENTICAL
+        to the baseline encode of the same image — the two paths share
+        the quantized coefficients, so any drift in the scan framing,
+        EOB runs, refinement correction bits, or point transforms
+        shows up as a pixel diff. Non-8-multiple dims exercise the
+        padding grid; color exercises interleaved DC + per-component
+        AC scans over both table families."""
+        from etl_notifier_pipeline_spark.extensions import jpegio
+
+        pix = [
+            (7 * x * x + 5 * y + (x * y) % 11) % 256
+            for y in range(37)
+            for x in range(33)
+        ]
+        base = jpegio.encode_gray(pix, 33, 37)
+        prog = jpegio.encode_gray(pix, 33, 37, progressive=True)
+        assert b"\xff\xc2" in prog and prog.count(b"\xff\xda") == 4
+        assert jpegio.decode_gray(prog) == jpegio.decode_gray(base)
+        assert jpegio.dimensions(prog) == (33, 37, 1)
+
+        rgb = [
+            v
+            for y in range(24)
+            for x in range(24)
+            for v in (min(255, 10 * x), min(255, 10 * y), (x * y) % 256)
+        ]
+        basec = jpegio.encode_rgb(rgb, 24, 24)
+        progc = jpegio.encode_rgb(rgb, 24, 24, progressive=True)
+        assert progc.count(b"\xff\xda") == 8  # DC, 3xAC, DC ref, 3xAC ref
+        assert jpegio.decode_image(progc) == jpegio.decode_image(basec)
+        # invalid combinations stay loud
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="progressive"):
+            jpegio.encode_gray(pix, 33, 37, restart_interval=2,
+                               progressive=True)
+        with _pytest.raises(ValueError, match="4:4:4 only"):
+            jpegio.encode_rgb(rgb, 24, 24, "420", progressive=True)
+
     @pytest.mark.skipif(
         M._pil_module() is None, reason="Pillow not installed"
     )
@@ -457,6 +528,8 @@ class TestMultimodal:
             assert (img.width, img.height) == (w, h), name
             pil_px = [v for t in img.getdata() for v in t]
             sof = blob.find(b"\xff\xc0")
+            if sof < 0:
+                sof = blob.find(b"\xff\xc2")  # progressive fixtures
             y_hv = blob[sof + 2 + 2 + 6 + 1]
             if y_hv == 0x11:  # 4:4:4 — no upsampling in either decoder
                 assert max(
@@ -1496,8 +1569,8 @@ def test_audio_fixture_real_branch(spark):
         r["media_id"]: r["features"]
         for r in M.extract_features(media, codec="real").collect()
     }
-    # lexicographic rank continues after the 16 image files
-    sine, dup, near = feats[1_000_016], feats[1_000_017], feats[1_000_020]
+    # lexicographic rank continues after the 18 image files
+    sine, dup, near = feats[1_000_018], feats[1_000_019], feats[1_000_022]
     assert sine == dup
     assert sine != near
     assert max(abs(a - b) for a, b in zip(sine, near)) < 0.02
@@ -1508,7 +1581,7 @@ def test_audio_fixture_real_branch(spark):
     for mid, r in meta.items():
         assert r["sample_rate"] == 8000 and r["duration_ms"] == 500
         assert r["n_frames"] == 4000 and r["bits_per_sample"] == 16
-        assert r["channels"] == (2 if mid == 1_000_019 else 1)
+        assert r["channels"] == (2 if mid == 1_000_021 else 1)
 
 
 def test_audio_meta_total_on_undecodable(spark):
