@@ -941,3 +941,99 @@ def st16_streaming_cdc_replication(
     )
     q.awaitTermination()
     return replica.read("r").select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "st17_streaming_vector_serve",
+    category="streaming",
+    oracle="""
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         (list_reduce(list_transform(range(1, 65),
+            i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE),
+            (x, y) -> x + y)
+          / (sqrt(list_reduce(list_transform(range(1, 65),
+               i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE),
+               (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, 65),
+               i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE),
+               (x, y) -> x + y)))) AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY (list_reduce(list_transform(range(1, 65),
+               i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE),
+               (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE),
+                  (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE),
+                  (x, y) -> x + y)))) DESC,
+             c.vec_id) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+    AND (c.vec_id % 7) NOT IN (1, 2, 3)
+) WHERE rank <= 5
+""",
+)
+def st17_streaming_vector_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vector-store freshness under a LIVE delete stream: the IVF
+    index is built once; delete-key micro-batches then arrive through
+    a REAL foreachBatch stream (file source, maxFilesPerTrigger=1,
+    AvailableNow) and each fold lands its keys as a tombstone parquet
+    — an O(batch) write, idempotent under at-least-once replay
+    because each batch OVERWRITES its own batch-id path. Serving
+    reads the union of tombstone files as the ``ivf_query`` exclude
+    mask, so every drained delete is reflected without an index
+    rebuild. At full probe the serve is exact, which makes a
+    STREAMING pipeline value-hash checkable: the result must equal
+    brute force over corpus-minus-streamed-deletes (and because the
+    mask is a union, the answer is independent of batch arrival
+    order — the property that makes the oracle well-defined). At
+    100 TB this is the serving tier's delete path: stream in, one
+    small parquet per batch, broadcast anti-join at query time,
+    compaction policy decides when to rebuild."""
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from etl_notifier_pipeline_spark.extensions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index, params = S.ivf_build(emb, n_cells=4)
+    tmp = tempfile.mkdtemp(prefix="st17_")
+    src = f"{tmp}/src"
+    _os.makedirs(src)
+    now = int(_time.time())
+    for k in (1, 2, 3):
+        path = f"{src}/b{k}.parquet"
+        emb.filter(F.col("vec_id") % 7 == k).select("vec_id").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+        for root, _dirs, files in _os.walk(path):
+            for fn in files:
+                _os.utime(_os.path.join(root, fn), (now + k, now + k))
+        _os.utime(path, (now + k, now + k))
+    schema = spark.read.parquet(f"{src}/b1.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*.parquet")
+    )
+    tomb_dir = f"{tmp}/tombs"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{tomb_dir}/b{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    tombs = spark.read.parquet(f"{tomb_dir}/b*")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.ivf_query(index, params, queries, k=5, n_probe=4, exclude=tombs)
