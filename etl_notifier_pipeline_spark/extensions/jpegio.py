@@ -20,14 +20,16 @@ this encoder and decode in any JPEG reader (PIL, libjpeg, browsers):
 baseline JPEG's validity depends only on the declared tables being
 internally consistent, which the encode->decode roundtrip test pins
 (pixel error bounded by the quantization table, exactly the lossy
-contract). Scope gates are explicit: progressive (SOF2), arithmetic
-coding, sampling factors above 2, and 3-component streams that
+contract). Scope gates are explicit: arithmetic coding, extended/lossless
+frames, sampling factors above 2, and 3-component streams that
 aren't YCbCr (Adobe APP14 transform=0 / exotic component ids) raise
 ``NotImplementedError`` with the gate message the multimodal layer
-surfaces (PIL handles those when installed). Restart intervals
-(DRI/RSTn) decode AND encode natively: DC predictors reset and the
-stream re-aligns at each marker, out-of-sequence markers are bad
-data (``ValueError``).
+surfaces (PIL handles those when installed). Progressive (SOF2)
+decodes AND encodes natively (T.81 G.2: spectral selection,
+successive approximation, EOB runs, refinement correction bits), as
+do restart intervals (DRI/RSTn): DC predictors reset and the stream
+re-aligns at each marker, out-of-sequence markers are bad data
+(``ValueError``).
 
 Reference parity note: the reference repo has no media path at all —
 this extends the engine's training-data-pipeline surface (brief §X4).
@@ -297,21 +299,17 @@ def encode_gray(
     ph, pw = padded.shape
     if progressive:
         zz = _quantized_blocks(padded, QUANT)
-        out = bytearray()
-        out += b"\xff\xd8"
-        out += _seg(
-            0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-        )
-        out += _seg(
-            0xFFDB, bytes([0]) + bytes(QUANT.flatten()[ZIGZAG].tolist())
-        )
-        out += _seg(
-            0xFFC2,
-            struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
-        )
-        out += _seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
-        out += _seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
-        for sos, emit in (
+        headers = [
+            _seg(0xFFDB, bytes([0]) + bytes(QUANT.flatten()[ZIGZAG].tolist())),
+            _seg(
+                0xFFC2,
+                struct.pack(">BHHB", 8, height, width, 1)
+                + bytes([1, 0x11, 0]),
+            ),
+            _seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)),
+            _seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)),
+        ]
+        return _progressive_stream(headers, (
             (bytes([1, 1, 0x00, 0, 0, 0x01]),
              lambda w: _enc_dc_first(w, [zz], [_DC_CODES], 1)),
             (bytes([1, 1, 0x00, 1, 63, 0x01]),
@@ -320,13 +318,7 @@ def encode_gray(
              lambda w: _enc_dc_refine(w, [zz], 0)),
             (bytes([1, 1, 0x00, 1, 63, 0x10]),
              lambda w: _enc_ac_refine(w, zz, _AC_CODES, 1, 63, 0)),
-        ):
-            out += _seg(0xFFDA, sos)
-            w = _BitWriter()
-            emit(w)
-            out += w.flush()
-        out += b"\xff\xd9"
-        return bytes(out)
+        ))
 
     w = _BitWriter()
     prev_dc = 0
@@ -362,7 +354,8 @@ def encode_gray(
 
 
 def _quantized_blocks(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
-    """Level-shifted padded plane -> (bh, bw, 64) zigzag-order
+    """Padded plane in PIXEL range (0..255, NOT yet level-shifted —
+    the -128 shift happens here) -> (bh, bw, 64) zigzag-order
     quantized DCT coefficients (the shared front half of every encode
     path; progressive scans re-walk these arrays per scan)."""
     ph, pw = plane.shape
@@ -374,6 +367,24 @@ def _quantized_blocks(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
             q = np.round((_DCT @ blk @ _DCT.T) / quant).astype(np.int64)
             out[by, bx] = q.flatten()[ZIGZAG]
     return out
+
+
+def _progressive_stream(headers: list[bytes], scans) -> bytes:
+    """Assemble an SOF2 stream: SOI + JFIF APP0 + the caller's table/
+    frame segments, then one (SOS payload, emit(writer)) entropy
+    segment per scan — the shared back half of both progressive
+    encoders, so a scan-script fix cannot diverge gray from color."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for seg in headers:
+        out += seg
+    for sos, emit in scans:
+        out += _seg(0xFFDA, sos)
+        w = _BitWriter()
+        emit(w)
+        out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _ac_point_transform(v: int, al: int) -> int:
@@ -551,30 +562,21 @@ def encode_rgb(
             for p, q in ((y, QUANT), (cb, QUANT_C), (cr, QUANT_C))
         ]
         acs = [_AC_CODES, _AC_CODES_C, _AC_CODES_C]
-        out = bytearray()
-        out += b"\xff\xd8"
-        out += _seg(
-            0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-        )
-        out += _seg(
-            0xFFDB, bytes([0]) + bytes(QUANT.flatten()[ZIGZAG].tolist())
-        )
-        out += _seg(
-            0xFFDB, bytes([1]) + bytes(QUANT_C.flatten()[ZIGZAG].tolist())
-        )
-        out += _seg(
-            0xFFC2,
-            struct.pack(">BHHB", 8, height, width, 3)
-            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
-        )
-        out += _seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
-        out += _seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
-        out += _seg(
-            0xFFC4, bytes([0x01]) + bytes(DC_BITS_C) + bytes(DC_VALS_C)
-        )
-        out += _seg(
-            0xFFC4, bytes([0x11]) + bytes(AC_BITS_C) + bytes(AC_VALS_C)
-        )
+        headers = [
+            _seg(0xFFDB, bytes([0]) + bytes(QUANT.flatten()[ZIGZAG].tolist())),
+            _seg(
+                0xFFDB, bytes([1]) + bytes(QUANT_C.flatten()[ZIGZAG].tolist())
+            ),
+            _seg(
+                0xFFC2,
+                struct.pack(">BHHB", 8, height, width, 3)
+                + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+            ),
+            _seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)),
+            _seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)),
+            _seg(0xFFC4, bytes([0x01]) + bytes(DC_BITS_C) + bytes(DC_VALS_C)),
+            _seg(0xFFC4, bytes([0x11]) + bytes(AC_BITS_C) + bytes(AC_VALS_C)),
+        ]
         scans: list[tuple[bytes, object]] = [
             # interleaved DC first (Al=1), then per-component AC
             # first scans, then the refinement passes (Ah=1 -> Al=0)
@@ -598,13 +600,7 @@ def encode_rgb(
                 (bytes([1, cid, tbl, 1, 63, 0x10]),
                  lambda w, zz=zz, ac=ac: _enc_ac_refine(w, zz, ac, 1, 63, 0))
             )
-        for sos, emit in scans:
-            out += _seg(0xFFDA, sos)
-            w = _BitWriter()
-            emit(w)
-            out += w.flush()
-        out += b"\xff\xd9"
-        return bytes(out)
+        return _progressive_stream(headers, scans)
     tables = [
         (QUANT, _DC_CODES, _AC_CODES),        # Y
         (QUANT_C, _DC_CODES_C, _AC_CODES_C),  # Cb
@@ -786,6 +782,57 @@ def _parse_dht(payload: bytes, huff: dict) -> None:
         j += 17 + nv
 
 
+def _parse_sof(payload: bytes) -> tuple[int, int, list[dict]]:
+    """Shared SOF0/SOF2 frame-header parse with the codec's capability
+    gates (8-bit precision, 1 or 3 components, sampling factors in
+    {1, 2}). Returns (width, height, comps) where each comp is
+    {"cid", "tq", "h", "v"} in SOF order."""
+    prec, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
+    if prec != 8:
+        raise NotImplementedError("only 8-bit precision supported")
+    if ncomp not in (1, 3):
+        raise NotImplementedError(
+            f"{ncomp}-component JPEG not supported by the stdlib "
+            "codec (grayscale and 3-component color only)"
+        )
+    comps: list[dict] = []
+    for ci in range(ncomp):
+        cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+        # single-component scans are non-interleaved by spec: the MCU
+        # is one block, sampling factors don't apply
+        h, v = (hv >> 4, hv & 0xF) if ncomp > 1 else (1, 1)
+        if h not in (1, 2) or v not in (1, 2):
+            raise NotImplementedError(
+                f"sampling factor {h}x{v} not supported by the "
+                "stdlib codec (factors 1 and 2 only: 4:4:4, "
+                "4:2:0, 4:2:2) — needs Pillow"
+            )
+        comps.append({"cid": cid, "tq": tq, "h": h, "v": v})
+    return width, height, comps
+
+
+def _gate_non_ycbcr(comps: list[dict], adobe_transform: int | None) -> None:
+    """Both decoders apply the JFIF/BT.601 YCbCr->RGB transform to
+    every 3-component stream. That is only correct when the components
+    ARE YCbCr: Adobe APP14 transform=0 declares raw RGB components,
+    and non-JFIF streams with exotic component ids (JFIF mandates
+    1/2/3) signal the same. Both decode without error but with garbled
+    colors — gate them so the multimodal codec="auto" path falls back
+    instead of emitting wrong features (r9 advice #5)."""
+    if len(comps) != 3:
+        return
+    cids = [c["cid"] for c in comps]
+    if adobe_transform == 0 or (
+        adobe_transform is None and cids != [1, 2, 3]
+    ):
+        raise NotImplementedError(
+            "3-component JPEG without a YCbCr color space "
+            f"(Adobe transform={adobe_transform}, component "
+            f"ids={cids}) not supported by the stdlib codec — "
+            "needs Pillow"
+        )
+
+
 def dimensions(blob: bytes) -> tuple[int, int, int]:
     """(width, height, n_components) from any SOFn marker — metadata
     extraction without a full decode (the catalog path)."""
@@ -909,26 +956,7 @@ def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
                 "codec — progressive/extended streams need Pillow"
             )
         elif marker == 0xFFC0:
-            prec, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
-            if prec != 8:
-                raise NotImplementedError("only 8-bit precision supported")
-            if ncomp not in (1, 3):
-                raise NotImplementedError(
-                    f"{ncomp}-component JPEG not supported by the stdlib "
-                    "codec (grayscale and 3-component color only)"
-                )
-            for ci in range(ncomp):
-                cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                # single-component scans are non-interleaved by spec:
-                # the MCU is one block, sampling factors don't apply
-                h, v = (hv >> 4, hv & 0xF) if ncomp > 1 else (1, 1)
-                if h not in (1, 2) or v not in (1, 2):
-                    raise NotImplementedError(
-                        f"sampling factor {h}x{v} not supported by the "
-                        "stdlib codec (factors 1 and 2 only: 4:4:4, "
-                        "4:2:0, 4:2:2) — needs Pillow"
-                    )
-                comps.append({"cid": cid, "tq": tq, "h": h, "v": v})
+            width, height, comps = _parse_sof(payload)
         elif marker == 0xFFC4:
             _parse_dht(payload, huff)
         elif marker == 0xFFDD:
@@ -953,25 +981,7 @@ def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
             sos_at = end
     if sos_at is None or not width or not comps:
         raise ValueError("truncated JPEG: no SOS/SOF")
-    if len(comps) == 3:
-        # This decoder applies the JFIF/BT.601 YCbCr->RGB transform to
-        # every 3-component stream. That is only correct when the
-        # components ARE YCbCr: Adobe APP14 transform=0 declares raw
-        # RGB components, and non-JFIF streams with exotic component
-        # ids (JFIF mandates 1/2/3) signal the same. Both decode
-        # without error but with garbled colors — gate them so the
-        # multimodal codec="auto" path falls back instead of emitting
-        # wrong features (r9 advice #5).
-        cids = [c["cid"] for c in comps]
-        if adobe_transform == 0 or (
-            adobe_transform is None and cids != [1, 2, 3]
-        ):
-            raise NotImplementedError(
-                "3-component JPEG without a YCbCr color space "
-                f"(Adobe transform={adobe_transform}, component "
-                f"ids={cids}) not supported by the stdlib codec — "
-                "needs Pillow"
-            )
+    _gate_non_ycbcr(comps, adobe_transform)
     try:
         ctabs = [
             (huff[(0, scan[c["cid"]][0])], huff[(1, scan[c["cid"]][1])],
@@ -1090,23 +1100,7 @@ def _decode_progressive(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
         elif marker == 0xFFDD:
             restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xFFC2:
-            prec, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
-            if prec != 8:
-                raise NotImplementedError("only 8-bit precision supported")
-            if ncomp not in (1, 3):
-                raise NotImplementedError(
-                    f"{ncomp}-component JPEG not supported by the stdlib "
-                    "codec (grayscale and 3-component color only)"
-                )
-            for ci in range(ncomp):
-                cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                h, v = (hv >> 4, hv & 0xF) if ncomp > 1 else (1, 1)
-                if h not in (1, 2) or v not in (1, 2):
-                    raise NotImplementedError(
-                        f"sampling factor {h}x{v} not supported by the "
-                        "stdlib codec (factors 1 and 2 only) — needs Pillow"
-                    )
-                comps.append({"cid": cid, "tq": tq, "h": h, "v": v})
+            width, height, comps = _parse_sof(payload)
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             mcux = (width + 8 * hmax - 1) // (8 * hmax)
@@ -1134,17 +1128,7 @@ def _decode_progressive(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
             )
     if not saw_scan or not width:
         raise ValueError("truncated JPEG: no SOS/SOF")
-    if len(comps) == 3:
-        cids = [c["cid"] for c in comps]
-        if adobe_transform == 0 or (
-            adobe_transform is None and cids != [1, 2, 3]
-        ):
-            raise NotImplementedError(
-                "3-component JPEG without a YCbCr color space "
-                f"(Adobe transform={adobe_transform}, component "
-                f"ids={cids}) not supported by the stdlib codec — "
-                "needs Pillow"
-            )
+    _gate_non_ycbcr(comps, adobe_transform)
     out: list[np.ndarray] = []
     for c, zz, tq in zip(comps, coefs, qt_of):
         if tq not in quant:

@@ -136,11 +136,11 @@ def _decode_impl(blob: bytes, modality: str, codec: str) -> list[float]:
             width, height, px = pngio.gray_pixels(blob)
             return _block_mean_pool(px, width, height)
         if jpegio.is_jpeg(blob):
-            # lossy route: stdlib baseline codec (grayscale + color at
-            # any 1/2-factor sampling, restart intervals honored);
-            # streams it can't express (progressive, arithmetic,
-            # factor>2, non-YCbCr) gate clearly — PIL's territory
-            # when installed
+            # lossy route: stdlib codec (baseline AND progressive,
+            # grayscale + color at any 1/2-factor sampling, restart
+            # intervals honored); streams it can't express
+            # (arithmetic, factor>2, non-YCbCr) gate clearly — PIL's
+            # territory when installed
             try:
                 width, height, ncomp, px = jpegio.decode_image(blob)
             except (NotImplementedError, ValueError):

@@ -1063,6 +1063,7 @@ def ivfpq_query(
     n_probe: int | None = None,
     cand_mult: int = 40,
     exclude: DataFrame | None = None,
+    nq: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1074,7 +1075,13 @@ def ivfpq_query(
     ``exclude``: tombstone mask of ``id_col`` values deleted since the
     index was built — broadcast-anti-joined out of the stored index
     (before both the ADC scan and the rerank read; see ``ivf_query``
-    for the sizing contract)."""
+    for the sizing contract).
+
+    ``nq``: query-batch size hint. The broadcast-vs-distributed LUT
+    decision needs the batch size at PLAN time; without the hint this
+    function runs ``queries.count()`` eagerly (one extra job per
+    serve call over the queries lineage) — pass ``nq`` on hot serve
+    paths where the batch size is already known."""
     import numpy as np
     import pandas as pd
 
@@ -1159,7 +1166,8 @@ def ivfpq_query(
     # groups stay small (corpus/cells rows x LUT rows), so the SMJ
     # right-side buffer is bounded.
     lut_bytes = (
-        queries.count() * n_probe * C.shape[0] * C.shape[1] * 8
+        (queries.count() if nq is None else nq)
+        * n_probe * C.shape[0] * C.shape[1] * 8
     )
     q_side = (
         F.broadcast(q)

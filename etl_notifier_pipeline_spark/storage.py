@@ -1437,10 +1437,16 @@ class BucketedTableStore:
         # DECLARED bucket keys; a delta written under different key
         # columns would be reconciled wrongly and append()'s shadow
         # check would probe the wrong columns (r9 advice #3).
-        if list(keys) != list(self.keys[table]):
+        # Compare as SETS — joins are order-insensitive, so a caller
+        # passing the same columns in a different order was always
+        # valid — and use .get so an undeclared table raises the
+        # intended diagnostic, not a bare KeyError.
+        declared = self.keys.get(table)
+        if declared is None or set(keys) != set(declared):
             raise ValueError(
-                f"merge_on_read mutation keys {list(keys)} must equal the "
-                f"declared bucket keys {list(self.keys[table])} for "
+                f"merge_on_read mutation keys {sorted(keys)} must equal the "
+                f"declared bucket keys "
+                f"{sorted(declared) if declared else None} for "
                 f"{table!r} — reconciliation shadows by the declared keys"
             )
         # delta rows carry the BASE table's full column set (a delete

@@ -1288,3 +1288,33 @@ class TestR9AdviceFixes:
                 "t", self._mk(spark, [(1, "A")]), ["v"], ["__file_order"],
                 "update", strategy="merge_on_read",
             )
+
+    def test_mor_key_guard_is_order_insensitive(self, spark, tmp_path):
+        """Joins are order-insensitive, so the guard compares key SETS:
+        the same columns in a different order were always valid and
+        must stay accepted; a multi-key mismatch still raises."""
+        store = BucketedTableStore(
+            spark, str(tmp_path / "oi"), keys={"t": ["a", "b"]}, n_buckets=4
+        )
+        store.overwrite(
+            "t", spark.createDataFrame([(1, 2, "x")], ["a", "b", "v"])
+        )
+        store.apply_keyed_mutation(
+            "t",
+            spark.createDataFrame([(1, 2, "y")], ["a", "b", "v"]),
+            ["b", "a"],  # reversed order: same key set
+            ["v"],
+            "update",
+            strategy="merge_on_read",
+        )
+        got = {(r["a"], r["b"], r["v"]) for r in store.read("t").collect()}
+        assert got == {(1, 2, "y")}
+        with pytest.raises(ValueError, match="declared bucket keys"):
+            store.apply_keyed_mutation(
+                "t",
+                spark.createDataFrame([(1, 2, "z")], ["a", "b", "v"]),
+                ["a"],
+                ["v"],
+                "update",
+                strategy="merge_on_read",
+            )

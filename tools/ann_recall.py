@@ -149,6 +149,18 @@ def main() -> None:
         return wall
 
     if prev is not None:
+        # the carried stamps are only valid at the SAME rung sizes —
+        # exact_per_q below divides the carried seconds by the current
+        # nq; a --batch/--queries mismatch would corrupt every
+        # speedup/break-even stamp by the ratio
+        for key, nq_now in (("exact_small", nq_small), ("exact_batch", nq_batch)):
+            nq_prev = prev[key].get("n_queries")
+            if nq_prev != nq_now:
+                raise SystemExit(
+                    f"--merge rung mismatch: {key} was measured at "
+                    f"{nq_prev} queries, this run uses {nq_now} — "
+                    f"rerun without --merge (or match --queries/--batch)"
+                )
         exact_run(q_small, truth_small)
         exact_run(q_batch, truth_batch)
         exact_small = {
