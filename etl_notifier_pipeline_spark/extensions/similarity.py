@@ -1013,6 +1013,30 @@ def ivfpq_build(
         vec_col="resid",
         normalize=False,
     )
+    enc = _ivfpq_encode_pass(asg, cents, books, id_col=id_col, vec_col=vec_col)
+    return enc, {
+        "centroids": cents,
+        "codebooks": books,
+        "n_probe": n_probe,
+    }
+
+
+def _ivfpq_encode_pass(
+    asg: DataFrame,
+    cents: list,
+    books: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual-PQ encode of a cell-assigned frame into IVFADC index
+    rows — one Arrow pass. Shared by ``ivfpq_build`` (full corpus) and
+    ``ivfpq_append`` (the increment), so appended rows are
+    byte-compatible with built rows by construction."""
+    import numpy as np
+    import pandas as pd
+
+    Cc = np.array(cents, dtype=np.float64)
     C = np.array(books, dtype=np.float64)  # (m, n_codes, d_sub)
     m_, _, d_sub = C.shape
 
@@ -1025,26 +1049,52 @@ def ivfpq_build(
                 Rs = R[:, s * d_sub : (s + 1) * d_sub]
                 d2 = ((Rs[:, None, :] - C[s][None, :, :]) ** 2).sum(-1)
                 codes[:, s] = d2.argmin(axis=1)
+            # cumsum = the same sequential left-fold the JVM norm()
+            # runs, so the exact rerank's cosines are bit-identical
+            # to the brute-force path (what lets s19 sit under the
+            # value-hash gate; np.linalg.norm differs in the last ulp)
+            nrm = np.sqrt((X * X).cumsum(axis=1)[:, -1])
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf[id_col],
                     "c_vec": pdf[vec_col],
-                    "c_norm": np.linalg.norm(X, axis=1),
+                    "c_norm": nrm,
                     "cell": pdf["cell"],
                     "codes": list(codes.tolist()),
                 }
             )
 
-    enc = asg.mapInPandas(
+    return asg.mapInPandas(
         encode,
         "neighbor_id long, c_vec array<float>, c_norm double, "
         "cell int, codes array<int>",
     )
-    return enc, {
-        "centroids": cents,
-        "codebooks": books,
-        "n_probe": n_probe,
-    }
+
+
+def ivfpq_append(
+    params: dict,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVFADC index maintenance, the compressed-index twin
+    of ``ivf_append``: assign ONLY the new vectors to the frozen
+    coarse centroids and residual-encode them against the frozen
+    codebooks — O(increment), one parquet append, the stored index
+    never read or rewritten. Centroids and codebooks are NOT
+    retrained, so quantization error grows as the corpus drifts from
+    the training distribution; the rebuild policy bounds that drift
+    the same way it bounds the tombstone mask."""
+    asg = ivf_assign_frame(
+        new_vectors.select(id_col, vec_col),
+        params["centroids"],
+        vec_col=vec_col,
+    )
+    return _ivfpq_encode_pass(
+        asg, params["centroids"], params["codebooks"],
+        id_col=id_col, vec_col=vec_col,
+    )
 
 
 # ivfpq_query broadcasts the per-(query, probed-cell) ADC lookup tables

@@ -692,3 +692,49 @@ def s18_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     full_index = index.unionByName(S.ivf_append(params, late))
     queries = emb.filter(F.col("vec_id") < 8)
     return S.ivf_query(full_index, params, queries, k=5, n_probe=4)
+
+
+@register(
+    "s19_ivfpq_incremental_append",
+    category="similarity",
+    oracle=f"""
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+) WHERE rank <= 5
+""",
+)
+def s19_ivfpq_incremental_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """s18's compressed-index twin: the IVFADC index is BUILT on 2/3
+    of the corpus, the remaining third arrives later via
+    ``ivfpq_append`` (assign + residual-encode against the FROZEN
+    centroids and codebooks, one parquet-append-shaped union). Served
+    at full probe with the rerank width opened to the whole corpus,
+    the exact rerank inspects every candidate — so the result must
+    hash-equal brute force over the full corpus even though the
+    appended rows were quantized by codebooks that never saw them
+    (quantization error affects only the ADC ORDERING, which the
+    exhaustive rerank makes immaterial at this operating point; the
+    recall tests cover the approximate points). The rerank width
+    scales with the corpus so the pin holds at any sf."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    initial = emb.filter(F.col("vec_id") % 3 != 0)
+    late = emb.filter(F.col("vec_id") % 3 == 0)
+    index, params = S.ivfpq_build(
+        initial, n_cells=4, n_probe=4, m=8, n_codes=16
+    )
+    full_index = index.unionByName(S.ivfpq_append(params, late))
+    queries = emb.filter(F.col("vec_id") < 8)
+    n = emb.count()
+    return S.ivfpq_query(
+        full_index, params, queries, k=5, n_probe=4,
+        cand_mult=max(40, -(-n // 5)), nq=8,
+    )

@@ -601,3 +601,19 @@ def test_ivf_append_parquet_lifecycle(spark, tmp_path):
     assert rows(S.ivf_query(stored, params, queries, k=5, n_probe=8)) == (
         rows(S.topk_cosine(emb, queries, k=5))
     )
+
+    # IVFADC twin: frozen centroids AND codebooks encode the
+    # increment; at full probe + exhaustive rerank the grown index
+    # serves exactly brute force over everything
+    pidx, pparams = S.ivfpq_build(initial, n_cells=8, n_probe=8, m=8,
+                                  n_codes=16)
+    pp = str(tmp_path / "ivfpq_grow")
+    pidx.write.parquet(pp)
+    S.ivfpq_append(pparams, late).write.mode("append").parquet(pp)
+    pstored = spark.read.parquet(pp)
+    assert pstored.count() == emb.count()
+    n = emb.count()
+    assert rows(
+        S.ivfpq_query(pstored, pparams, queries, k=5, n_probe=8,
+                      cand_mult=max(40, -(-n // 5)), nq=6)
+    ) == rows(S.topk_cosine(emb, queries, k=5))

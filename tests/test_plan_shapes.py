@@ -300,6 +300,7 @@ def test_no_row_python_in_any_registered_query(spark):
         "s17_vector_store_serve",  # ditto, mask fed by the CDC feed
         "s18_ivf_incremental_append",  # ditto, assign pass on the increment
         "st17_streaming_vector_serve",  # ditto, ivf_build assign pass
+        "s19_ivfpq_incremental_append",  # ditto, assign + encode passes
         # s09 shares s04's IVF cell assignment and scores intra-cell
         # candidate pairs with an Arrow-batched numpy dot (the r4 perf fix
         # that made it sub-quadratic); the blocking join stays JVM-side.
