@@ -160,6 +160,31 @@ def lsh_build(
     return index, {"n_planes": n_planes, "n_tables": n_tables, "dim": dim}
 
 
+def lsh_append(
+    params: dict,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental LSH index maintenance: a vector's bucket ids depend
+    only on the seed-deterministic hyperplanes ``params`` regenerates,
+    never on other corpus vectors — so the increment's index rows are
+    exactly ``lsh_build`` run on the increment alone, O(increment),
+    one parquet append. Unlike IVF/IVFADC there is no trained state to
+    go stale: an LSH index never NEEDS a rebuild for appends, only for
+    recall retuning (plane/table counts)."""
+    index, _ = lsh_build(
+        new_vectors,
+        n_planes=params["n_planes"],
+        n_tables=params["n_tables"],
+        dim=params["dim"],
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return index
+
+
 def lsh_query(
     index: DataFrame,
     params: dict,

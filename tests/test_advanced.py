@@ -602,6 +602,19 @@ def test_ivf_append_parquet_lifecycle(spark, tmp_path):
         rows(S.topk_cosine(emb, queries, k=5))
     )
 
+    # LSH twin: bucket ids are per-vector functions of the seeded
+    # planes, so append == build-on-increment; the grown stored index
+    # must serve identically to a from-scratch build on everything
+    lidx, lparams = S.lsh_build(initial, n_planes=3, n_tables=6)
+    lp = str(tmp_path / "lsh_grow")
+    lidx.write.parquet(lp)
+    S.lsh_append(lparams, late).write.mode("append").parquet(lp)
+    lstored = spark.read.parquet(lp)
+    full_idx, _ = S.lsh_build(emb, n_planes=3, n_tables=6)
+    assert rows(S.lsh_query(lstored, lparams, queries, k=5)) == rows(
+        S.lsh_query(full_idx, lparams, queries, k=5)
+    )
+
     # IVFADC twin: frozen centroids AND codebooks encode the
     # increment; at full probe + exhaustive rerank the grown index
     # serves exactly brute force over everything
