@@ -76,6 +76,113 @@ def _recall(truth: dict[int, set[int]], approx: dict[int, set[int]]) -> float:
     return round(hits / denom, 4) if denom else None
 
 
+def _measure_maintenance(sf_dir: str, prev: dict, json_out: str) -> None:
+    """Measure the index MAINTENANCE economics the s16-s19 lifecycle
+    queries pin for correctness (r10): what a 1% ingest batch costs
+    via ``ivf_append`` vs a full rebuild, and what a 1% tombstone mask
+    costs at serve time vs the unmasked serve — merged into the
+    artifact as a ``maintenance`` section. All rungs are stamped
+    (``canary-per-measurement-v1``); correctness of both paths is
+    oracle-pinned by s18/s16, so this section is pure economics."""
+    spark = get_spark(
+        "ann-maintenance",
+        extra_conf={"spark.sql.broadcastTimeout": "3600"},
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_cells = max(8, int(math.sqrt(n)))
+    n_probe = max(2, n_cells // 20)
+    # the "late ingest batch": 1% of the corpus re-keyed as new ids
+    inc = caching.tracked_persist(
+        emb.filter(F.col("vec_id") % 100 == 37).select(
+            (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+            "embedding",
+        )
+    )
+    n_inc = inc.count()
+    root = tempfile.mkdtemp(prefix="ann_maint_")
+    box: dict = {}
+
+    def build_base():
+        t0 = time.perf_counter()
+        idx, params = S.ivf_build(emb, n_cells=n_cells)
+        idx.write.mode("overwrite").parquet(f"{root}/base")
+        box["params"] = params
+        return time.perf_counter() - t0
+
+    build_stamp = stamped_runs(build_base, n_runs=1)
+    print(f"build base ({n:,}): {build_stamp['sec']}s", flush=True)
+
+    def append_inc():
+        t0 = time.perf_counter()
+        S.ivf_append(box["params"], inc).write.mode("append").parquet(
+            f"{root}/base"
+        )
+        return time.perf_counter() - t0
+
+    append_stamp = stamped_runs(append_inc, n_runs=1)
+    print(f"append ({n_inc:,}): {append_stamp['sec']}s", flush=True)
+
+    def rebuild_all():
+        t0 = time.perf_counter()
+        idx2, _ = S.ivf_build(
+            emb.select("vec_id", "embedding").unionByName(inc),
+            n_cells=n_cells,
+        )
+        idx2.write.mode("overwrite").parquet(f"{root}/rebuilt")
+        return time.perf_counter() - t0
+
+    rebuild_stamp = stamped_runs(rebuild_all, n_runs=1)
+    print(f"rebuild ({n + n_inc:,}): {rebuild_stamp['sec']}s", flush=True)
+
+    stored = spark.read.parquet(f"{root}/base")
+    step = max(1, n // 1000)
+    q_batch = caching.tracked_persist(
+        emb.filter(F.col("vec_id") % step == 0).limit(1000)
+    )
+    nq = q_batch.count()
+    tombs = emb.filter(F.col("vec_id") % 100 == 11).select("vec_id")
+    n_tombs = tombs.count()
+
+    def serve(exclude):
+        t0 = time.perf_counter()
+        S.ivf_query(
+            stored, box["params"], q_batch, k=K,
+            n_probe=n_probe, exclude=exclude,
+        ).collect()
+        return time.perf_counter() - t0
+
+    unmasked = stamped_runs(lambda: serve(None), n_runs=1)
+    print(f"serve unmasked ({nq} q): {unmasked['sec']}s", flush=True)
+    masked = stamped_runs(lambda: serve(tombs), n_runs=1)
+    print(f"serve masked ({n_tombs:,} tombs): {masked['sec']}s", flush=True)
+
+    prev["maintenance"] = {
+        "corpus_rows": n,
+        "increment_rows": n_inc,
+        "ivf_build": build_stamp,
+        "ivf_append": append_stamp,
+        "rebuild_with_increment": rebuild_stamp,
+        "append_vs_rebuild_speedup": round(
+            rebuild_stamp["sec"] / append_stamp["sec"], 2
+        ),
+        "n_queries": nq,
+        "tombstone_rows": n_tombs,
+        "serve_unmasked": unmasked,
+        "serve_masked": masked,
+        "mask_overhead_pct": round(
+            (masked["sec"] - unmasked["sec"]) / unmasked["sec"] * 100, 1
+        ),
+        "protocol": protocol_header(
+            1, canary=PROTOCOL_VERSION, single_run_rungs=True
+        ),
+    }
+    with open(json_out, "w") as f:
+        json.dump(prev, f, indent=1, sort_keys=True)
+    print(f"wrote {json_out} (maintenance section)", flush=True)
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     json_out = None
@@ -109,8 +216,15 @@ def main() -> None:
         i = args.index("--family")
         fam_filter = set(args[i + 1].split(","))
         del args[i : i + 2]
+    maintenance = "--maintenance" in args
+    if maintenance:
+        args.remove("--maintenance")
     sf_dir = args[0] if args else "/root/repo/.scale/sf100"
     prev = json.load(open(merge_from)) if merge_from else None
+    if maintenance:
+        if prev is None or not json_out:
+            raise SystemExit("--maintenance requires --merge and --json")
+        return _measure_maintenance(sf_dir, prev, json_out)
 
     spark = get_spark(
         "ann-recall",
