@@ -889,7 +889,13 @@ class _BitReader:
 
 
 def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
+    """(length, code) -> symbol. A DHT whose 16 length counts don't
+    match its value list is bad DATA (truncated/corrupted segment),
+    not a crash."""
+    if len(bits) < 16 or sum(bits) != len(vals):
+        raise ValueError(
+            "malformed DHT segment: length counts do not match values"
+        )
     out: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
@@ -913,6 +919,17 @@ def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _dc_size_symbol(r: "_BitReader", dc_tbl: dict) -> int:
+    """DC category symbol with the T.81 bound enforced: a corrupted
+    DHT can map codes to arbitrary value bytes, and an unbounded
+    'size' would read a multi-hundred-bit amplitude (unbounded int ->
+    OverflowError in the int64 coefficient store). >15 is bad data."""
+    size = _read_symbol(r, dc_tbl)
+    if size > 15:
+        raise EOFError(f"invalid DC size category {size}")
+    return size
 
 
 def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
@@ -1006,7 +1023,7 @@ def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
 
     def _one_block(dc_tbl, ac_tbl, q, ci: int) -> np.ndarray:
         zz = np.zeros(64, dtype=np.int64)
-        size = _read_symbol(r, dc_tbl)
+        size = _dc_size_symbol(r, dc_tbl)
         diff = _extend(r.bits(size), size) if size else 0
         prev_dc[ci] += diff
         zz[0] = prev_dc[ci]
@@ -1053,7 +1070,7 @@ def _decode_baseline(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
                                 _one_block(dc_tbl, ac_tbl, q, ci)
                             )
                 mcu_i += 1
-    except (EOFError, KeyError, IndexError) as e:
+    except (EOFError, KeyError, IndexError, OverflowError) as e:
         # A malformed/truncated entropy stream is bad DATA, not a
         # missing capability — surface it as ValueError so callers
         # (and multimodal's per-row error column) classify it as a
@@ -1252,7 +1269,7 @@ def _progressive_scan(
                     else:
                         _ac_refine(r, zz, ss, se, al, ac_tbl, eobrun)
                     unit_i += 1
-    except (EOFError, KeyError, IndexError) as e:
+    except (EOFError, KeyError, IndexError, OverflowError) as e:
         raise ValueError(f"malformed JPEG entropy stream: {e}") from e
 
 
@@ -1278,7 +1295,7 @@ def _dc_block(
     al: int,
 ) -> None:
     if ah == 0:
-        size = _read_symbol(r, dc_tbl)
+        size = _dc_size_symbol(r, dc_tbl)
         diff = _extend(r.bits(size), size) if size else 0
         prev_dc[i] += diff
         coef[by, bx, 0] = prev_dc[i] << al
@@ -1377,21 +1394,29 @@ def _ac_refine(
 def _decode_any(blob: bytes) -> tuple[int, int, list[np.ndarray]]:
     """Route on the frame type: SOF0 -> baseline, SOF2 (Huffman
     progressive) -> progressive; every other SOFn keeps its explicit
-    capability gate."""
+    capability gate. This is also the malformed-bytes boundary for
+    HEADER-level damage: any struct/index/EOF error raised while
+    parsing arbitrary bytes is bad DATA (ValueError), never a crash
+    escaping into the multimodal UDF — the entropy decoders convert
+    their own failures inner-loop with more specific messages."""
     if not is_jpeg(blob):
         raise ValueError("not a JPEG stream")
-    for marker, _payload, _ in _segments(blob):
-        if marker == 0xFFC0:
-            return _decode_baseline(blob)
-        if marker == 0xFFC2:
-            return _decode_progressive(blob)
-        if marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
-                      0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
-            raise NotImplementedError(
-                "only baseline (SOF0) and Huffman progressive (SOF2) "
-                "JPEG are supported by the stdlib codec — "
-                "extended/arithmetic/lossless streams need Pillow"
-            )
+    try:
+        for marker, _payload, _ in _segments(blob):
+            if marker == 0xFFC0:
+                return _decode_baseline(blob)
+            if marker == 0xFFC2:
+                return _decode_progressive(blob)
+            if marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                          0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+                raise NotImplementedError(
+                    "only baseline (SOF0) and Huffman progressive (SOF2) "
+                    "JPEG are supported by the stdlib codec — "
+                    "extended/arithmetic/lossless streams need Pillow"
+                )
+    except (struct.error, IndexError, KeyError, EOFError,
+            OverflowError) as e:
+        raise ValueError(f"malformed JPEG headers: {e}") from e
     raise ValueError("truncated JPEG: no SOS/SOF")
 
 

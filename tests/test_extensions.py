@@ -491,6 +491,44 @@ class TestMultimodal:
         with _pytest.raises(ValueError, match="4:4:4 only"):
             jpegio.encode_rgb(rgb, 24, 24, "420", progressive=True)
 
+    def test_jpeg_decode_never_crashes_on_corruption(self):
+        """Web-facing contract for the whole decode surface: a
+        single-byte corruption anywhere in a valid stream (baseline,
+        restart-framed, or progressive) may decode to different
+        pixels or raise ValueError/NotImplementedError — it must NEVER
+        raise anything else (EOFError/KeyError/IndexError escaping the
+        entropy decoder is how a malformed-input crash reaches the
+        multimodal UDF) and never hang. Deterministic positions, no
+        randomness."""
+        from etl_notifier_pipeline_spark.extensions import jpegio
+
+        pix = [(5 * x + 3 * y) % 256 for y in range(24) for x in range(24)]
+        rgb = [
+            v for y in range(16) for x in range(16)
+            for v in ((x * 16) % 256, (y * 16) % 256, (x ^ y) * 16 % 256)
+        ]
+        streams = [
+            jpegio.encode_gray(pix, 24, 24),
+            jpegio.encode_gray(pix, 24, 24, restart_interval=2),
+            jpegio.encode_gray(pix, 24, 24, progressive=True),
+            jpegio.encode_rgb(rgb, 16, 16, "420"),
+            jpegio.encode_rgb(rgb, 16, 16, progressive=True),
+        ]
+        for blob in streams:
+            # flip one byte at every 7th position, plus truncations
+            for pos in range(2, len(blob), 7):
+                bad = bytearray(blob)
+                bad[pos] ^= 0x5A
+                try:
+                    jpegio.decode_image(bytes(bad))
+                except (ValueError, NotImplementedError):
+                    pass
+            for cut in range(2, len(blob), max(1, len(blob) // 17)):
+                try:
+                    jpegio.decode_image(blob[:cut])
+                except (ValueError, NotImplementedError):
+                    pass
+
     @pytest.mark.skipif(
         M._pil_module() is None, reason="Pillow not installed"
     )
