@@ -108,7 +108,13 @@ def decode_png(blob: bytes) -> tuple[int, int, str, bytes]:
         raise ValueError("missing IHDR")
     channels = 1 if mode == "L" else 3
     stride = width * channels
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # corrupted/truncated IDAT is bad DATA, not a crash — the
+        # multimodal codec="auto" path classifies ValueError as
+        # "undecodable here" and falls back
+        raise ValueError(f"malformed PNG IDAT stream: {e}") from e
     if len(raw) != (stride + 1) * height:
         raise ValueError("IDAT size mismatch")
     out = bytearray(stride * height)

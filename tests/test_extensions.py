@@ -529,6 +529,34 @@ class TestMultimodal:
                 except (ValueError, NotImplementedError):
                     pass
 
+    def test_png_wav_decode_never_crashes_on_corruption(self):
+        """The same web-facing contract for the other two real codecs:
+        corrupted or truncated PNG/WAV bytes raise ValueError or
+        NotImplementedError only (the multimodal codec='auto' fallback
+        classes), never struct/zlib/index errors."""
+        from etl_notifier_pipeline_spark.extensions import pngio, wavio
+
+        png = pngio.encode_png(bytes(range(256)) * 2, 32, 16, "L")
+        wav = wavio.encode_wav(
+            [0.25 * ((i % 7) - 3) / 3 for i in range(400)], 8000
+        )
+        for blob, decode in (
+            (png, pngio.gray_pixels),
+            (wav, lambda b: (wavio.wav_info(b), wavio.mono_samples(b))),
+        ):
+            for pos in range(2, len(blob), 5):
+                bad = bytearray(blob)
+                bad[pos] ^= 0x5A
+                try:
+                    decode(bytes(bad))
+                except (ValueError, NotImplementedError):
+                    pass
+            for cut in range(0, len(blob), max(1, len(blob) // 17)):
+                try:
+                    decode(blob[:cut])
+                except (ValueError, NotImplementedError):
+                    pass
+
     @pytest.mark.skipif(
         M._pil_module() is None, reason="Pillow not installed"
     )
