@@ -157,6 +157,45 @@ def _measure_maintenance(sf_dir: str, prev: dict, json_out: str) -> None:
     masked = stamped_runs(lambda: serve(tombs), n_runs=1)
     print(f"serve masked ({n_tombs:,} tombs): {masked['sec']}s", flush=True)
 
+    # IVFADC: the costliest build (coarse train + residual codebooks +
+    # encode), so the append-vs-rebuild ratio is the one that decides
+    # whether a compressed index can keep up with an ingest stream.
+    pq_box: dict = {}
+
+    def pq_build_base():
+        t0 = time.perf_counter()
+        idx, params = S.ivfpq_build(emb)
+        idx.write.mode("overwrite").parquet(f"{root}/pq_base")
+        pq_box["params"] = params
+        return time.perf_counter() - t0
+
+    pq_build_stamp = stamped_runs(pq_build_base, n_runs=1)
+    print(f"ivfpq build ({n:,}): {pq_build_stamp['sec']}s", flush=True)
+
+    def pq_append_inc():
+        t0 = time.perf_counter()
+        S.ivfpq_append(pq_box["params"], inc).write.mode("append").parquet(
+            f"{root}/pq_base"
+        )
+        return time.perf_counter() - t0
+
+    pq_append_stamp = stamped_runs(pq_append_inc, n_runs=1)
+    print(f"ivfpq append ({n_inc:,}): {pq_append_stamp['sec']}s", flush=True)
+
+    def pq_rebuild_all():
+        t0 = time.perf_counter()
+        idx2, _ = S.ivfpq_build(
+            emb.select("vec_id", "embedding").unionByName(inc)
+        )
+        idx2.write.mode("overwrite").parquet(f"{root}/pq_rebuilt")
+        return time.perf_counter() - t0
+
+    pq_rebuild_stamp = stamped_runs(pq_rebuild_all, n_runs=1)
+    print(
+        f"ivfpq rebuild ({n + n_inc:,}): {pq_rebuild_stamp['sec']}s",
+        flush=True,
+    )
+
     prev["maintenance"] = {
         "corpus_rows": n,
         "increment_rows": n_inc,
@@ -165,6 +204,12 @@ def _measure_maintenance(sf_dir: str, prev: dict, json_out: str) -> None:
         "rebuild_with_increment": rebuild_stamp,
         "append_vs_rebuild_speedup": round(
             rebuild_stamp["sec"] / append_stamp["sec"], 2
+        ),
+        "ivfpq_build": pq_build_stamp,
+        "ivfpq_append": pq_append_stamp,
+        "ivfpq_rebuild_with_increment": pq_rebuild_stamp,
+        "ivfpq_append_vs_rebuild_speedup": round(
+            pq_rebuild_stamp["sec"] / pq_append_stamp["sec"], 2
         ),
         "n_queries": nq,
         "tombstone_rows": n_tombs,
