@@ -1604,3 +1604,64 @@ def m22_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_retained_version", F.lit(min(retained)).cast("long")
         )
     )
+
+
+@register(
+    "m23_zorder_skipping",
+    category="mutation",
+    oracle="""
+SELECT l_partkey % 16 AS part_bucket,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       MIN(l_orderkey) AS min_orderkey,
+       MAX(l_orderkey) AS max_orderkey
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 400
+  AND l_suppkey BETWEEN 5 AND 60
+GROUP BY 1
+""",
+)
+def m23_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data skipping (Delta's OPTIMIZE ZORDER BY):
+    the table is rewritten on a bit-interleaved Z-order key over
+    (l_partkey, l_suppkey) — ``optimize_layout(zorder=True)`` — so
+    EVERY listed column's per-file [min,max] stays narrow
+    simultaneously, and a 2-D box predicate prunes files through the
+    zone maps on BOTH dimensions (lexicographic clustering is
+    selective on the leading column only). ``read_where`` serves the
+    box from the pruned file set; oracle equality over the surviving
+    rows is the soundness claim of Z-order + min/max skipping, and
+    the skipping RATIO (zorder beats lexicographic on the trailing
+    dimension) is asserted in tests/test_bucketed_store.py. At 100 TB
+    this is the difference between "fast for one predicate column"
+    and "fast for any box over the clustered columns"."""
+    import tempfile
+
+    from etl_notifier_pipeline_spark.storage import TableStore
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    store = TableStore(spark, tempfile.mkdtemp(prefix="m23_"))
+    store.overwrite("li", li)
+    store.optimize_layout(
+        "li", ["l_partkey", "l_suppkey"], n_files=16, zorder=True
+    )
+    box = store.read_where(
+        "li",
+        [
+            ("l_partkey", "between", (100, 400)),
+            ("l_suppkey", "between", (5, 60)),
+        ],
+    )
+    return (
+        box.groupBy((F.col("l_partkey") % 16).alias("part_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+        )
+    )
