@@ -198,11 +198,41 @@ def _q56_deployment(spark, sf_dir: str):
     return q56_plan_bucketed(spark, sf_dir)
 
 
+def _q49_deployment(spark, sf_dir: str):
+    # The THIRD layout axis (r10 ask #7): partkey_star. q49 has no
+    # fact-fact join, yet the layout removes its only fact-sized
+    # exchange — the (l_partkey, l_suppkey) aggregate and min-per-part
+    # window both cluster on a superset of the bucket key. Decimal
+    # sums as in the registry entry (the min-equality tie semantics
+    # are only exact on decimals), so the twin differs from the
+    # registry only by storage layout and runs against its oracle.
+    from etl_notifier_pipeline_spark.operators.starjoin import (
+        q49_plan_bucketed,
+    )
+
+    return q49_plan_bucketed(spark, sf_dir)
+
+
+def _q84_deployment(spark, sf_dir: str):
+    # partkey_star's fact-fact shape: the TPC-H Q17 aggregate ->
+    # join-back SELF-join, storage-partitioned on both legs (zero
+    # exchange in the WHOLE plan — colocated brand-filter join,
+    # per-part avg, join-back, final aggregate all ride the bucket
+    # partitioning). Registry twin keeps the single-scan window form.
+    from etl_notifier_pipeline_spark.operators.starjoin import (
+        q84_plan_bucketed,
+    )
+
+    return q84_plan_bucketed(spark, sf_dir)
+
+
 DEPLOYMENT_SPARK = {
     "q01_pricing_summary": _q01_deployment,
     "q05_revenue_by_nation": _q05_deployment,
+    "q49_min_cost_supplier": _q49_deployment,
     "q50_product_profit": _q50_deployment,
     "q56_late_sole_suppliers": _q56_deployment,
+    "q84_brand_small_qty_revenue": _q84_deployment,
 }
 
 DEPLOYMENT_SQL = {

@@ -734,8 +734,13 @@ def _segments_full(blob: bytes):
         marker = (blob[i] << 8) | blob[i + 1]
         if marker == 0xFFD9:
             return
-        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
-            i += 2  # bare markers: no length field
+        if 0xFFD0 <= marker <= 0xFFD7:
+            # Keep bad-data classification consistent with the baseline
+            # walker: a restart marker is only legal inside a scan's
+            # entropy bytes (consumed there), never at header position.
+            raise ValueError("RSTn marker outside entropy stream")
+        if marker == 0xFF01:
+            i += 2  # TEM: bare marker, no length field
             continue
         ln = (blob[i + 2] << 8) | blob[i + 3]
         payload = blob[i + 4 : i + 2 + ln]

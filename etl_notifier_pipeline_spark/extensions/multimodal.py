@@ -284,6 +284,64 @@ def media_from_dir(
     )
 
 
+def image_decode_facts(media: DataFrame) -> DataFrame:
+    """FULL image decode -> deterministic decode facts, one Arrow pass
+    over image-modality rows: container (from the magic bytes), the
+    decoded width/height/n_components, and ``pixels_complete`` —
+    whether the decoder produced exactly width*height*n_components
+    samples. Unlike :func:`audio_meta` this runs the whole entropy
+    decode (the stdlib ``pngio``/``jpegio`` codecs, never PIL, so the
+    facts are environment-independent), which is what lets a DuckDB
+    oracle pin the codec itself via literal re-statement (the
+    q81/q82 contract-fact pattern — r10 verdict ask #4). Undecodable
+    rows keep NULL facts (total function, same contract as
+    ``audio_meta``)."""
+    from etl_notifier_pipeline_spark.extensions import jpegio, pngio
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("container", T.StringType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("n_components", T.IntegerType(), True),
+            T.StructField("pixels_complete", T.BooleanType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    if pngio.is_png(blob):
+                        w, h, mode, raw = pngio.decode_png(blob)
+                        nc = 1 if mode == "L" else 3
+                        rows.append(
+                            (mid, "png", w, h, nc, len(raw) == w * h * nc)
+                        )
+                    elif jpegio.is_jpeg(blob):
+                        w, h, nc, px = jpegio.decode_image(blob)
+                        rows.append(
+                            (mid, "jpeg", w, h, nc, len(px) == w * h * nc)
+                        )
+                    else:
+                        rows.append((mid, None, None, None, None, None))
+                except (NotImplementedError, ValueError):
+                    rows.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "width", "height",
+                    "n_components", "pixels_complete",
+                ],
+            )
+
+    return media.filter(F.col("modality") == "image").select(
+        "media_id", "content"
+    ).mapInPandas(batches, out_schema)
+
+
 def audio_meta(media: DataFrame) -> DataFrame:
     """Header-only audio metadata: one Arrow pass over audio-modality
     rows parsing the RIFF header (``extensions.wavio`` — no sample

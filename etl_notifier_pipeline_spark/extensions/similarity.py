@@ -1156,9 +1156,16 @@ def ivfpq_query(
     decision needs the batch size at PLAN time; without the hint this
     function runs ``queries.count()`` eagerly (one extra job per
     serve call over the queries lineage) — pass ``nq`` on hot serve
-    paths where the batch size is already known."""
+    paths where the batch size is already known. The hint is trusted:
+    an UNDERSTATED nq re-selects the broadcast branch for an oversized
+    LUT frame and re-creates the driver maxResultSize/heap failure the
+    sort-merge fallback exists to avoid — pass the real batch size or
+    nothing."""
     import numpy as np
     import pandas as pd
+
+    if nq is not None and nq <= 0:
+        raise ValueError(f"nq hint must be a positive batch size, got {nq}")
 
     if exclude is not None:
         index = index.join(

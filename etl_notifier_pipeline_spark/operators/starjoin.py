@@ -107,6 +107,34 @@ LAYOUTS: dict[str, dict[str, dict]] = {
             "buckets_mult": 4,
         },
     },
+    # The THIRD layout axis (r10 ask #7): lineitem bucketed by PART.
+    # This axis serves a different clustering family than the other
+    # two — per-part analytics (TPC-H Q2/Q17 shapes: q49's min-cost
+    # window, q84's avg-quantity self-join): every groupBy/window
+    # whose keys CONTAIN l_partkey runs exchange-free, the Q17
+    # aggregate -> join-back SELF-join is storage-partitioned on both
+    # legs (both derive the bucket partitioning from the same stored
+    # layout, equal partition counts, so EnsureRequirements inserts
+    # nothing), and part co-buckets at the SAME count (equal
+    # buckets_mult) so the part decoration/filter join is colocated —
+    # part is table-sized at 100 TB and must not broadcast. Covering
+    # projection = union of the axis's query needs (q49 + q84), the
+    # same per-join-geometry-capital argument as orderkey_star.
+    "partkey_star": {
+        "lineitem": {
+            "key": "l_partkey",
+            "columns": (
+                "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount",
+            ),
+            "buckets_mult": 4,
+        },
+        "part": {
+            "key": "p_partkey",
+            "columns": ("p_partkey", "p_brand"),
+            "buckets_mult": 4,
+        },
+    },
 }
 
 # backwards-compatible alias (pre-r9 single-layout name)
@@ -626,4 +654,122 @@ def q56_plan_bucketed(
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
+    )
+
+
+def q49_plan_bucketed(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 256
+) -> DataFrame:
+    """q49 (TPC-H Q2 shape: min-cost supplier per part) over the
+    ``partkey_star`` layout — the THIRD layout axis through the
+    registry (r10 ask #7), and the proof the axis generalizes past
+    joins: q49 has NO fact-fact join at all, yet the layout removes
+    its only fact-sized exchange, because the per-(part,supplier)
+    aggregate's keys CONTAIN the bucket key (HashPartitioning on
+    l_partkey clusters any superset) and the min-per-part window
+    partitions BY the bucket key. The 600 M-row fact is scanned once
+    from its covering projection and never moves; the only exchanges
+    left touch the ~|part x supp| aggregate output: the supplier
+    decoration joins shuffle_hash (supplier grows with the data —
+    broadcast dies at 100 TB), the 25-row nation map broadcasts —
+    with the colocated part filter in q84_plan_bucketed, all three
+    registry strategies measured on this axis."""
+    from pyspark.sql.window import Window
+
+    li = star_plan(
+        spark, sf_dir, layout="partkey_star", fact="lineitem", dims=[],
+        n_buckets=n_buckets,
+    )
+    vol = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(18,4)")
+    rev = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(vol).alias("supp_cost")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        rev.withColumn(
+            "__min_cost",
+            F.min("supp_cost").over(Window.partitionBy("l_partkey")),
+        )
+        .filter(F.col("supp_cost") == F.col("__min_cost"))
+        .join(
+            supp.hint("shuffle_hash"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "l_partkey", "s_name", "n_name",
+            F.col("supp_cost").cast("double").alias("supp_cost"),
+        )
+    )
+
+
+Q84_BRANDS = ("Brand#3", "Brand#7")
+
+
+def q84_plan_bucketed(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 256
+) -> DataFrame:
+    """q84 (TPC-H Q17 proper: small-quantity revenue for selected
+    brands) over ``partkey_star`` — the axis's fact-fact shape: the
+    per-part average and the rows it gates are BOTH lineitem-derived,
+    so the classic plan is a fact-sized self-join that can never
+    broadcast. Here every leg rides the bucket partitioning:
+
+    - the brand filter applies through the COLOCATED part join
+      (equal bucket counts, zero exchange either side — part is
+      table-sized at 100 TB, the broadcast in the registry twin is
+      small-scale convenience);
+    - the per-part avg aggregate groups BY the bucket key: no
+      exchange, no partial/final split;
+    - the avg -> lineitem join-back joins two subtrees that both
+      inherit HashPartitioning(l_partkey) at the same partition
+      count from the same stored layout: EnsureRequirements inserts
+      NOTHING — a storage-partitioned self-join (the hint picks the
+      executor hash build over sort-merge so nothing sorts);
+    - the final (brand, part) aggregate's keys contain the bucket
+      key: exchange-free again.
+
+    Registry twin (plans/tpch_extra2.py q84) keeps the
+    decorrelated-window single-scan form — best plan on an ARBITRARY
+    layout; this is the plan the layout capital buys."""
+    joined = star_plan(
+        spark, sf_dir, layout="partkey_star", fact="lineitem",
+        dims=[
+            {
+                "name": "part",
+                "on": ("l_partkey", "p_partkey"),
+                "strategy": "colocated",
+                "transform": lambda p: p.filter(
+                    F.col("p_brand").isin(*Q84_BRANDS)
+                ),
+            },
+        ],
+        n_buckets=n_buckets,
+    )
+    avg = joined.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        joined.join(
+            avg.hint("shuffle_hash"), F.col("l_partkey") == F.col("__pk")
+        )
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("small_revenue"),
+        )
     )

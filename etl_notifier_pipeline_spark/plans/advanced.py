@@ -471,41 +471,53 @@ def s03_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(emb, queries, k=5, n_planes=3, n_tables=6)
 
 
-@register("xm01_multimodal_features", category="multimodal", oracle=None)
+@register(
+    "xm01_multimodal_features",
+    category="multimodal",
+    oracle="""
+SELECT * FROM (VALUES
+  (1000000, 'png',  16, 16, 1, TRUE),
+  (1000001, 'png',  12, 20, 1, TRUE),
+  (1000002, 'png',  16, 16, 3, TRUE),
+  (1000003, 'png',  10, 10, 3, TRUE),
+  (1000004, 'png',  16, 16, 1, TRUE),
+  (1000005, 'png',  16, 16, 1, TRUE),
+  (1000006, 'png',  16, 16, 1, TRUE),
+  (1000007, 'png',  20, 12, 3, TRUE),
+  (1000008, 'jpeg', 32, 32, 1, TRUE),
+  (1000009, 'jpeg', 32, 32, 1, TRUE),
+  (1000010, 'jpeg', 32, 32, 1, TRUE),
+  (1000011, 'jpeg', 32, 32, 1, TRUE),
+  (1000012, 'jpeg', 32, 32, 3, TRUE),
+  (1000013, 'jpeg', 32, 32, 3, TRUE),
+  (1000014, 'jpeg', 36, 20, 3, TRUE),
+  (1000015, 'jpeg', 36, 20, 3, TRUE),
+  (1000016, 'jpeg', 40, 28, 3, TRUE),
+  (1000017, 'jpeg', 40, 28, 3, TRUE)
+) AS t(media_id, container, width, height, n_components, pixels_complete)
+""",
+)
 def xm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: documents.text re-encoded as
-    opaque binary stand-ins UNIONed with the committed GENUINE PNG
-    fixture (tests/fixtures/media, read through the real binaryFile
-    source) -> Arrow-batched feature extraction under codec="auto"
-    (PNG rows decode for REAL — PIL when installed, else the stdlib
-    codec; text-byte rows keep the deterministic fake) -> per-modality
-    feature stats. Rows-only check (binary + pandas UDF path has no
-    SQL twin)."""
-    import os as _os
+    """Image decode under the VALUE-HASH gate (r10 verdict ask #4, the
+    q81/q82 contract-fact pattern): the 18 committed genuine fixtures
+    (8 PNGs + 10 JPEGs — baseline gray/color, 4:2:0 subsampled,
+    progressive — tests/fixtures/media) ride the real ``binaryFile``
+    source into one Arrow-batched FULL decode
+    (``multimodal.image_decode_facts``, stdlib codecs only, never
+    PIL) emitting deterministic facts the oracle re-states as
+    literals: container, decoded width/height/n_components, and
+    pixels_complete (decoder produced exactly w*h*nc samples). The
+    driver's bit-exact compare fails iff a codec stops decoding a
+    fixture, changes its geometry, or returns a short pixel buffer —
+    the codec itself is on the hook, not just the plumbing. The
+    codec-DEPENDENT features (pooled pixel stats) stay rows-only in
+    xm03; the undecodable-input total-function contract is a unit
+    test (test_image_decode_facts_total_on_undecodable).
 
-    d = load_table(spark, sf_dir, "documents")
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("image")).otherwise(F.lit("audio")).alias(
-            "modality"
-        ),
-        F.encode("text", "utf-8").alias("content"),
-        F.struct(
-            F.lit("application/octet-stream").alias("mime"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.col("n_chars").cast("long").alias("duration_ms"),
-        ).alias("meta"),
-    )
-    if _os.path.isdir(MM.MEDIA_FIXTURE_DIR):
-        media = media.unionByName(
-            MM.media_from_dir(spark, MM.MEDIA_FIXTURE_DIR)
-        )
-    feats = MM.extract_features(media, codec="auto")
-    return feats.groupBy("modality").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.avg(F.element_at("features", 1)).alias("mean_f0"),
-    )
+    Scale shape: one Arrow pass over byte-budget partitions; only
+    (id, 5 scalars) rows leave the decode stage, never blobs."""
+    media = MM.media_from_dir(spark, MM.MEDIA_FIXTURE_DIR)
+    return MM.image_decode_facts(media).orderBy("media_id")
 
 
 @register(
@@ -845,53 +857,70 @@ def xm03_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("xm04_audio_stats", category="multimodal", oracle=None)
+@register(
+    "xm04_audio_stats",
+    category="multimodal",
+    oracle="""
+SELECT * FROM (VALUES
+  (1000018, 8000, 1, 16, 4000, 500, TRUE, 500),
+  (1000019, 8000, 1, 16, 4000, 500, TRUE, 500),
+  (1000020, 8000, 1, 16, 4000, 500, TRUE, 500),
+  (1000021, 8000, 2, 16, 4000, 500, TRUE, 500),
+  (1000022, 8000, 1, 16, 4000, 500, TRUE, 500)
+) AS t(media_id, sample_rate, channels, bits_per_sample, n_frames,
+       duration_ms, f0_in_envelope, n_undecodable)
+""",
+)
 def xm04_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode end-to-end: the committed PCM WAV fixtures
-    (tests/fixtures/media/snd_*.wav — mono/stereo sine, seeded noise,
-    an exact-duplicate pair) ride the binaryFile source with
-    documents.text audio stand-ins alongside; header metadata comes
-    from one Arrow pass over the RIFF chunks (``multimodal.
-    audio_meta`` — no sample decode) and features from the stdlib
-    ``wavio`` codec under ``codec="auto"`` (WAV rows decode for REAL
-    via segment-RMS pooling; text-byte rows keep the deterministic
-    fake). Output: per-(decodability, sample_rate) asset counts +
-    duration and first-segment-energy means. Rows-only: binary +
-    pandas UDF path has no SQL twin; the decoded values themselves
-    (RMS of a known sine, stdlib-``wave`` header parity, dup-pair
-    bit-identity) are pinned by unit tests in tests/test_extensions.py.
+    """REAL audio decode under the VALUE-HASH gate (r10 verdict ask
+    #4): the committed PCM WAV fixtures (tests/fixtures/media/snd_* —
+    mono/stereo sine, seeded noise, an exact-duplicate pair) ride the
+    binaryFile source with 500 documents.text audio stand-ins
+    alongside. Header facts come from one Arrow pass over the RIFF
+    chunks (``multimodal.audio_meta``); ``f0_in_envelope`` comes from
+    the stdlib ``wavio`` SAMPLE decode (codec="auto" segment-RMS
+    pooling): the 0.80/0.79-amplitude sine fixtures must land their
+    first-segment RMS inside [0.5, 0.62] — a real accuracy statement
+    about decoded samples (A/sqrt(2) = 0.566; a gain, offset, or
+    channel-mixdown bug leaves the envelope) — while noise/stereo pin
+    (0, 1). ``n_undecodable`` counts the text stand-ins whose header
+    walk returned NULLs: the total-function contract measured through
+    the same scan. The oracle re-states every fact as literals, so
+    the driver's bit-exact compare exercises the codec, not just the
+    plumbing.
 
     Scale shape: both passes are single Arrow scans over byte-budget
     partitions; the meta<->features join keys on media_id AFTER the
-    binary column is dropped — only (id, 6 scalars) rows shuffle,
-    never blobs."""
-    import os as _os
-
+    binary column is dropped — only (id, scalars) rows shuffle, never
+    blobs; the undecodable count rides a broadcast 1-row frame."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("audio").alias("modality"),
         F.encode("text", "utf-8").alias("content"),
+    ).unionByName(
+        MM.media_from_dir(spark, MM.MEDIA_FIXTURE_DIR)
+        .filter(F.col("modality") == "audio")
+        .select("media_id", "modality", "content")
     )
-    if _os.path.isdir(MM.MEDIA_FIXTURE_DIR):
-        media = media.unionByName(
-            MM.media_from_dir(spark, MM.MEDIA_FIXTURE_DIR)
-            .filter(F.col("modality") == "audio")
-            .select("media_id", "modality", "content")
-        )
     meta = MM.audio_meta(media)
     feats = MM.extract_features(media, codec="auto")
+    sine_ids = [1_000_018, 1_000_019, 1_000_022]
+    f0 = F.element_at("features", 1)
+    envelope = F.when(
+        F.col("media_id").isin(sine_ids),
+        (f0 >= 0.5) & (f0 <= 0.62),
+    ).otherwise((f0 > 0.0) & (f0 < 1.0))
+    undec = meta.filter(F.col("sample_rate").isNull()).agg(
+        F.count(F.lit(1)).cast("int").alias("n_undecodable")
+    )
     return (
-        feats.join(meta, "media_id")
-        .groupBy(
-            F.col("sample_rate").isNotNull().alias("decoded"),
-            "sample_rate",
+        meta.filter(F.col("sample_rate").isNotNull())
+        .join(feats.select("media_id", "features"), "media_id")
+        .select(
+            "media_id", "sample_rate", "channels", "bits_per_sample",
+            "n_frames", "duration_ms", envelope.alias("f0_in_envelope"),
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_assets"),
-            F.avg("duration_ms").alias("mean_duration_ms"),
-            F.avg(F.element_at("features", 1)).alias("mean_f0"),
-            F.sum("n_frames").alias("total_frames"),
-        )
-        .orderBy("decoded", "sample_rate")
+        .crossJoin(F.broadcast(undec))
+        .orderBy("media_id")
     )

@@ -1922,3 +1922,72 @@ def q81_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (err <= bound).alias("within_bound"),
     )
+
+
+@register(
+    "q84_brand_small_qty_revenue",
+    category="join",
+    oracle="""
+WITH flt AS (
+  SELECT l.l_partkey, p.p_brand, l.l_quantity, l.l_extendedprice
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand IN ('Brand#3', 'Brand#7')
+),
+part_avg AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           / COUNT(*) AS avg_qty
+  FROM flt GROUP BY l_partkey
+)
+SELECT f.p_brand, f.l_partkey,
+       COUNT(*) AS n_small,
+       CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS small_revenue
+FROM flt f
+JOIN part_avg a ON a.l_partkey = f.l_partkey
+WHERE f.l_quantity < 0.5 * a.avg_qty
+GROUP BY 1, 2
+""",
+)
+def q84_brand_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 proper (q43 is the unfiltered cousin): revenue from
+    small-quantity lineitems of selected BRANDS — the brand filter is
+    on part attributes, so it restricts which PARTS qualify and the
+    per-part average is unchanged by filtering first (every lineitem
+    of a qualifying part survives the join). Decorrelated into a
+    per-part WINDOW over the single brand-filtered scan; the filter
+    rides a broadcast of the ~8%-selective part projection.
+
+    This is the registered portable plan (best on an arbitrary
+    layout). The deployment twin — ``operators/starjoin.
+    q84_plan_bucketed`` — runs the classic aggregate -> join-back
+    SELF-join form over the ``partkey_star`` bucket layout, where
+    both legs inherit the storage partitioning and the whole plan is
+    exchange-free (the r10 ask-#7 third layout axis); value-pinned
+    equal to this entry in tests/test_bucketing.py."""
+    from pyspark.sql.window import Window
+
+    from etl_notifier_pipeline_spark.operators.starjoin import Q84_BRANDS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(*Q84_BRANDS)
+    ).select("p_partkey", "p_brand")
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast(MONEY)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast(MONEY))
+            .cast("double")
+            .alias("small_revenue"),
+        )
+    )

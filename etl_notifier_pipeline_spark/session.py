@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Decouple shuffle width from local core count: start every
+        # AQE-planned shuffle at 512 partitions and let coalescing fold
+        # small ones back down. With the pre-r11 32-partition coupling,
+        # corpus-sized shuffles overflowed the per-partition budget at
+        # sf100 (x29 spilled 83 GB, d07 22 GB — SCALE_BENCH_sf100.json,
+        # r10); 512 initial partitions cap per-partition shuffle input
+        # at ~1/16th while AQE keeps small-query task counts flat.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Let AQE convert a join to broadcast from RUNTIME-measured
         # sizes well past the static 10m threshold: a filtered dim

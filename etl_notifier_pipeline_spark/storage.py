@@ -1442,6 +1442,14 @@ class BucketedTableStore:
         # valid — and use .get so an undeclared table raises the
         # intended diagnostic, not a bare KeyError.
         declared = self.keys.get(table)
+        if len(set(keys)) != len(list(keys)):
+            # set() comparison alone would let ['a','a','b'] pass for
+            # declared ['a','b'] and flow duplicated columns into the
+            # reconciliation joins.
+            raise ValueError(
+                f"merge_on_read mutation keys {list(keys)} contain duplicate "
+                f"column names"
+            )
         if declared is None or set(keys) != set(declared):
             raise ValueError(
                 f"merge_on_read mutation keys {sorted(keys)} must equal the "

@@ -147,6 +147,14 @@ class ApprovalPipeline:
     # to opt out.
     store: TableStore | None = None
     store_root: str | None = None
+    # Driver-side staging iterates the micro-batch's approval events
+    # (human-in-the-loop click rates — tens, not millions). Nothing
+    # upstream enforces that assumption, so this cap does: a batch
+    # larger than this raises BEFORE materializing on the driver
+    # (the collect is bounded to cap+1 rows either way). A trip means
+    # something machine-scale is feeding the approval topic — that is
+    # a wiring bug to surface, not a load to absorb.
+    max_events_per_batch: int = 10_000
 
     def __post_init__(self) -> None:
         if self.store is None:
@@ -212,7 +220,19 @@ class ApprovalPipeline:
         # new run (each still applies exactly as sequential would).
         runs_by_table: dict[str, list] = {}  # table -> [(run key, items)]
         run_order: list[tuple[str, int]] = []  # (table, run index) in arrival order
-        for row in fresh.collect():
+        # Policy-bounded collect: never pull more than cap+1 rows to
+        # the driver, and refuse the batch past the cap (see
+        # ``max_events_per_batch``).
+        cap = self.max_events_per_batch
+        staged_rows = fresh.limit(cap + 1).collect()
+        if len(staged_rows) > cap:
+            raise ValueError(
+                f"approval micro-batch exceeds max_events_per_batch="
+                f"{cap}: approval events are a human-scale control "
+                f"plane; a machine-scale feed on this topic is a "
+                f"wiring bug (raise the cap explicitly to override)"
+            )
+        for row in staged_rows:
             ev = row.asDict()
             try:
                 staged = self._stage_event(ev)

@@ -1289,6 +1289,28 @@ class TestR9AdviceFixes:
                 "update", strategy="merge_on_read",
             )
 
+    def test_mor_key_guard_rejects_duplicate_key_columns(
+        self, spark, tmp_path
+    ):
+        """r10 advice: the set-based guard alone would let ['a','a','b']
+        pass for declared ['a','b'] and flow a duplicated column list
+        into the reconciliation joins — duplicates must raise."""
+        store = BucketedTableStore(
+            spark, str(tmp_path / "dup"), keys={"t": ["a", "b"]}, n_buckets=4
+        )
+        store.overwrite(
+            "t", spark.createDataFrame([(1, 2, "x")], ["a", "b", "v"])
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            store.apply_keyed_mutation(
+                "t",
+                spark.createDataFrame([(1, 2, "y")], ["a", "b", "v"]),
+                ["a", "a", "b"],
+                ["v"],
+                "update",
+                strategy="merge_on_read",
+            )
+
     def test_mor_key_guard_is_order_insensitive(self, spark, tmp_path):
         """Joins are order-insensitive, so the guard compares key SETS:
         the same columns in a different order were always valid and

@@ -408,3 +408,132 @@ class TestQ56StarRegistry:
             for r in q56_plan_bucketed(spark, SF_DIR, n_buckets=2).collect()
         ]
         assert got == want and len(got) > 0
+
+
+class TestPartkeyStarRegistry:
+    """r10 ask #7: a THIRD layout AXIS (partkey_star — lineitem
+    bucketed by l_partkey, part co-bucketed at the SAME count). The
+    other two layouts prove fact-dim and fact-fact joins; this axis
+    proves the taxonomy generalizes to per-part ANALYTICS: q49's
+    aggregate+window chain needs no join at all yet runs
+    exchange-free, and q84's classic Q17 aggregate -> join-back
+    SELF-join is storage-partitioned on both legs."""
+
+    @pytest.fixture(scope="class")
+    def no_broadcast(self, spark):
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        yield spark
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+    def test_q84_bucketed_plan_shape(self, no_broadcast):
+        from etl_notifier_pipeline_spark.operators.starjoin import (
+            LAYOUTS,
+            bucketed_table_name,
+            q84_plan_bucketed,
+        )
+
+        spark = no_broadcast
+        df = q84_plan_bucketed(spark, SF_DIR, n_buckets=2)
+        df.collect()  # finalize AQE so the executed plan is real
+        plan = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        li = bucketed_table_name(
+            SF_DIR, "lineitem", 2, LAYOUTS["partkey_star"]["lineitem"]
+        )
+        p = bucketed_table_name(
+            SF_DIR, "part", 2, LAYOUTS["partkey_star"]["part"]
+        )
+        assert li in plan and p in plan
+        # executor hash builds only, nothing sorts: the colocated part
+        # join appears on BOTH self-join legs (the avg leg re-derives
+        # the brand-filtered frame — two narrow colocated scans, still
+        # zero exchange) plus the avg join-back itself
+        assert plan.count("ShuffledHashJoin") == 3
+        assert "SortMergeJoin" not in plan
+        # the whole plan — colocated filter join, per-part aggregate,
+        # storage-partitioned self-join, final (brand, part) aggregate
+        # — rides the bucket partitioning: ZERO hash exchanges
+        assert "Exchange hashpartitioning" not in plan, plan
+        # the brand filter reached the bucketed part scan's leg
+        assert "p_brand" in plan
+
+    def test_q84_bucketed_matches_registry(self, no_broadcast):
+        from etl_notifier_pipeline_spark.operators.starjoin import (
+            q84_plan_bucketed,
+        )
+        from etl_notifier_pipeline_spark.plans import get
+
+        spark = no_broadcast
+        want = {
+            (r["p_brand"], r["l_partkey"]):
+                (r["n_small"], round(float(r["small_revenue"]), 2))
+            for r in get("q84_brand_small_qty_revenue")
+            .fn(spark, SF_DIR).collect()
+        }
+        got = {
+            (r["p_brand"], r["l_partkey"]):
+                (r["n_small"], round(float(r["small_revenue"]), 2))
+            for r in q84_plan_bucketed(spark, SF_DIR, n_buckets=2).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_q49_bucketed_plan_shape(self, no_broadcast):
+        from etl_notifier_pipeline_spark.operators.starjoin import (
+            LAYOUTS,
+            bucketed_table_name,
+            q49_plan_bucketed,
+        )
+
+        spark = no_broadcast
+        df = q49_plan_bucketed(spark, SF_DIR, n_buckets=2)
+        df.collect()
+        plan = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        li = bucketed_table_name(
+            SF_DIR, "lineitem", 2, LAYOUTS["partkey_star"]["lineitem"]
+        )
+        assert li in plan
+        # no join touches the fact: the (l_partkey, l_suppkey)
+        # aggregate (superset of the bucket key) and the min-per-part
+        # window both reuse the bucket partitioning — the only hash
+        # exchanges allowed are the two sides of the post-aggregate
+        # supplier join (on the ~|part x supp| frame, never the fact)
+        fact_leg = plan.split(li)[0]
+        agg_above_scan = fact_leg[fact_leg.rfind("HashAggregate"):]
+        assert "Exchange" not in agg_above_scan
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
+        assert plan.count("ShuffledHashJoin") == 1  # supplier
+        assert "SortMergeJoin" not in plan
+
+    def test_q49_bucketed_matches_registry(self, no_broadcast):
+        from etl_notifier_pipeline_spark.operators.starjoin import (
+            q49_plan_bucketed,
+        )
+        from etl_notifier_pipeline_spark.plans import get
+
+        spark = no_broadcast
+        want = sorted(
+            (r["l_partkey"], r["s_name"], r["n_name"],
+             round(float(r["supp_cost"]), 2))
+            for r in get("q49_min_cost_supplier").fn(spark, SF_DIR).collect()
+        )
+        got = sorted(
+            (r["l_partkey"], r["s_name"], r["n_name"],
+             round(float(r["supp_cost"]), 2))
+            for r in q49_plan_bucketed(spark, SF_DIR, n_buckets=2).collect()
+        )
+        assert got == want and len(got) > 0

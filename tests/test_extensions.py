@@ -4,6 +4,7 @@ dedup idempotence, similarity top-k vs brute force, multimodal plumbing."""
 from __future__ import annotations
 
 import os
+import sys
 
 import pytest
 
@@ -1664,17 +1665,60 @@ def test_audio_meta_total_on_undecodable(spark):
 
 
 def test_xm04_audio_stats_runs(spark):
-    """Registry smoke: xm04 mixes 5 really-decoded WAV assets with
-    text stand-ins; the decoded group must carry the exact fixture
-    facts (8 kHz, 500 ms, 4000 frames each)."""
+    """Registry smoke for the r11 oracle-paired shape: 5 really-decoded
+    WAV fixtures with exact header facts (8 kHz, 500 ms, 4000 frames),
+    the first-segment-RMS envelope TRUE on every row, and the text
+    stand-ins counted through n_undecodable."""
     from etl_notifier_pipeline_spark.plans import all_queries
 
     df = all_queries()["xm04_audio_stats"](spark, SF_DIR)
-    rows = {r["decoded"]: r for r in df.collect()}
-    assert rows[True]["n_assets"] == 5
-    assert rows[True]["mean_duration_ms"] == 500.0
-    assert rows[True]["total_frames"] == 5 * 4000
-    assert rows[False]["n_assets"] > 0
+    rows = {r["media_id"]: r for r in df.collect()}
+    assert len(rows) == 5
+    for mid, r in rows.items():
+        assert r["sample_rate"] == 8000 and r["duration_ms"] == 500
+        assert r["n_frames"] == 4000
+        assert r["channels"] == (2 if mid == 1_000_021 else 1)
+        assert r["f0_in_envelope"] is True
+        assert r["n_undecodable"] == 500
+
+
+def test_image_decode_facts_total_on_undecodable(spark):
+    """image_decode_facts is a total function of the image rows:
+    non-image bytes keep their id with NULL facts instead of dropping
+    (the contract xm01's fixture-only output relies on)."""
+    rows = [(1, "image", b"not an image"), (2, "audio", b"riff-ish")]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, content binary"
+    )
+    got = M.image_decode_facts(media).collect()
+    assert len(got) == 1  # audio row filtered, image row kept
+    assert got[0]["media_id"] == 1 and got[0]["container"] is None
+    assert got[0]["pixels_complete"] is None
+
+
+def test_ivfpq_query_rejects_nonpositive_nq_hint():
+    """r10 advice: the nq hint drives the broadcast-vs-SMJ LUT branch;
+    an nq <= 0 is always a caller bug (and an understated hint would
+    re-select the oversized broadcast) — fail fast before planning."""
+    with pytest.raises(ValueError, match="nq hint"):
+        S.ivfpq_query(None, {}, None, nq=0)
+    with pytest.raises(ValueError, match="nq hint"):
+        S.ivfpq_query(None, {}, None, nq=-5)
+
+
+def test_ann_recall_family_requires_merge():
+    """r10 advice: tools/ann_recall.py --family without --merge would
+    silently drop every unselected family from the artifact — the CLI
+    must refuse up front (before any Spark work)."""
+    import subprocess
+
+    p = subprocess.run(
+        [sys.executable, "tools/ann_recall.py", "/nonexistent",
+         "--family", "ivf"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert p.returncode != 0
+    assert "--family requires --merge" in (p.stderr + p.stdout)
 
 
 def test_ivfpq_lut_shuffle_branch_matches_broadcast(spark, monkeypatch):

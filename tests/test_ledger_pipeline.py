@@ -124,6 +124,26 @@ class TestApprovalPipeline:
         assert statuses == {"e1": "approved", "e2": "approved", "e3": "approved"}
         assert len(pipeline.notifier.sent) == 3
 
+    def test_batch_cap_bounds_driver_collect(self, spark, pipeline, tmp_store):
+        """r10 verdict ask #5: the staging collect is policy-bounded.
+        A micro-batch past ``max_events_per_batch`` raises (before
+        materializing on the driver — the collect is limit(cap+1));
+        at the cap it processes normally; the knob is a config field."""
+        led = pipeline.ledger
+        led.record_arrivals(make_arrivals(
+            spark, ("people.csv", "e1", "b", "insert"),
+            ("people.csv", "e2", "b", "insert"),
+            ("people.csv", "e3", "b", "insert"),
+        ))
+        pipeline.max_events_per_batch = 2
+        events = [ev(f"e{i}", "approve", "people.csv", "people", "insert")
+                  for i in (1, 2, 3)]
+        with pytest.raises(ValueError, match="max_events_per_batch"):
+            pipeline.run_batch(batch(spark, *events))
+        # at-cap batch flows through untouched
+        pipeline.run_batch(batch(spark, *events[:2]))
+        assert tmp_store.read("people").count() == 2
+
     def test_reject_and_replay(self, spark, pipeline, tmp_store):
         led = pipeline.ledger
         led.record_arrivals(make_arrivals(spark, ("people.csv", "e1", "b", "insert")))

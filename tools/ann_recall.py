@@ -261,6 +261,11 @@ def main() -> None:
         i = args.index("--family")
         fam_filter = set(args[i + 1].split(","))
         del args[i : i + 2]
+        if merge_from is None:
+            # Without a prior artifact to carry the unselected families
+            # from, a filtered run would silently DROP them (and the
+            # pq_flat diagnostic) from the written artifact.
+            raise SystemExit("--family requires --merge (carry the others)")
     maintenance = "--maintenance" in args
     if maintenance:
         args.remove("--maintenance")
