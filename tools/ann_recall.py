@@ -228,6 +228,163 @@ def _measure_maintenance(sf_dir: str, prev: dict, json_out: str) -> None:
     shutil.rmtree(root, ignore_errors=True)
 
 
+def _measure_frontier(
+    sf_dir: str, prev: dict, json_out: str, n_batch: int
+) -> None:
+    """Measure the recall/latency FRONTIER per family (r10 ask #3):
+    the main harness records ONE operating point per family, so a user
+    tuning recall-vs-cost has no curve. This rung sweeps the recall
+    dial of each family — IVF ``n_probe``, LSH ``n_tables``, IVFADC
+    ``cand_mult`` — at the same 1000-query batch rung and emits
+    (recall@5, s/query) pairs, merged into the artifact as a
+    ``frontier`` section.
+
+    One index build per family: IVF and IVFADC query-time dials need
+    no rebuild; LSH is built once at max(n_tables) — per-table
+    hyperplanes are seed-deterministic (seed=42+t), so a query at
+    fewer tables only emits buckets for tables 0..n-1 and the
+    (tbl, bkt) equi-join never touches the extra tables' rows. Recall
+    ground truth is recomputed unstamped (not stored in the artifact);
+    every swept point is a cold single-run stamp, symmetric with the
+    main harness's query_batch protocol."""
+    spark = get_spark(
+        "ann-frontier",
+        extra_conf={"spark.sql.broadcastTimeout": "3600"},
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    dim = len(emb.select("embedding").head()["embedding"])
+    step = max(1, n // n_batch)
+    q_batch = caching.tracked_persist(
+        emb.filter(F.col("vec_id") % step == 0).limit(n_batch)
+    )
+    nq = q_batch.count()
+    if prev.get("exact_batch", {}).get("n_queries") != nq:
+        raise SystemExit(
+            "--frontier rung mismatch: exact_batch was measured at "
+            f"{prev.get('exact_batch', {}).get('n_queries')} queries, "
+            f"this run uses {nq} — match --batch"
+        )
+    truth: dict[int, set[int]] = {}
+    t0 = time.perf_counter()
+    truth.update(_pairs(S.topk_cosine(emb, q_batch, k=K)))
+    print(
+        f"ground truth ({nq} q, unstamped): "
+        f"{time.perf_counter() - t0:.1f}s",
+        flush=True,
+    )
+    exact_per_q = prev["exact_batch"]["sec"] / nq
+
+    n_cells = max(8, int(math.sqrt(n)))
+    root = tempfile.mkdtemp(prefix="ann_frontier_")
+    frontier: dict[str, dict] = {}
+
+    def flush():
+        prev["frontier"] = {
+            **frontier,
+            "n_queries_batch": nq,
+            "exact_sec_per_query": round(exact_per_q, 4),
+            "protocol": protocol_header(
+                1,
+                canary=PROTOCOL_VERSION,
+                cold_single_run_points=True,
+                one_build_per_family=True,
+            ),
+        }
+        with open(json_out, "w") as f:
+            json.dump(prev, f, indent=1, sort_keys=True)
+
+    def sweep(name, build, points, query_of):
+        """points: list of (label, param_value); query_of(stored,
+        params, value) -> result DataFrame for the swept value."""
+        path = os.path.join(root, name)
+        t0 = time.perf_counter()
+        idx, params = build()
+        idx.write.mode("overwrite").parquet(path)
+        build_sec = round(time.perf_counter() - t0, 3)
+        stored = spark.read.parquet(path)
+        cells = []
+        for label, value in points:
+            got: dict[int, set[int]] = {}
+
+            def once(value=value):
+                t0 = time.perf_counter()
+                res = _pairs(query_of(stored, params, value))
+                wall = time.perf_counter() - t0
+                got.clear()
+                got.update(res)
+                return wall
+
+            try:
+                stamp = stamped_runs(once, n_runs=1)
+            except Exception as e:  # noqa: BLE001 — keep the sweep
+                cells.append(
+                    {"point": label, "error": f"{type(e).__name__}: {e}"[:300]}
+                )
+                frontier[name] = {"build_sec": build_sec, "points": cells}
+                flush()
+                print(f"{name} {label}: FAILED {e}", flush=True)
+                continue
+            rec = _recall(truth, got)
+            per_q = stamp["sec"] / nq
+            cells.append(
+                {
+                    "point": label,
+                    "recall_at_k": rec,
+                    "query_batch": stamp,
+                    "sec_per_query": round(per_q, 4),
+                    "speedup_vs_exact": round(exact_per_q / per_q, 2),
+                }
+            )
+            frontier[name] = {"build_sec": build_sec, "points": cells}
+            flush()
+            print(
+                f"{name} {label}: recall={rec} "
+                f"{stamp['sec']}s ({per_q * 1000:.0f} ms/q, "
+                f"{exact_per_q / per_q:.1f}x exact)",
+                flush=True,
+            )
+
+    probes = sorted(
+        {
+            max(2, n_cells // 40),
+            max(2, n_cells // 20),
+            max(2, n_cells // 10),
+            max(2, n_cells // 5),
+        }
+    )
+    sweep(
+        "ivf",
+        lambda: S.ivf_build(emb, n_cells=n_cells),
+        [(f"n_probe={p}", p) for p in probes],
+        lambda stored, params, p: S.ivf_query(
+            stored, params, q_batch, k=K, n_probe=p
+        ),
+    )
+    table_counts = [4, 8, 16]
+    sweep(
+        "lsh",
+        lambda: S.lsh_build(
+            emb, n_planes=6, n_tables=max(table_counts), dim=dim
+        ),
+        [(f"n_tables={t}", t) for t in table_counts],
+        lambda stored, params, t: S.lsh_query(
+            stored, {**params, "n_tables": t}, q_batch, k=K
+        ),
+    )
+    sweep(
+        "pq_ivfadc",
+        lambda: S.ivfpq_build(emb),
+        [(f"cand_mult={c}", c) for c in (50, 200, 800)],
+        lambda stored, params, c: S.ivfpq_query(
+            stored, params, q_batch, k=K, cand_mult=c
+        ),
+    )
+    flush()
+    print(f"wrote {json_out} (frontier section)", flush=True)
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     json_out = None
@@ -269,12 +426,19 @@ def main() -> None:
     maintenance = "--maintenance" in args
     if maintenance:
         args.remove("--maintenance")
+    frontier = "--frontier" in args
+    if frontier:
+        args.remove("--frontier")
     sf_dir = args[0] if args else "/root/repo/.scale/sf100"
     prev = json.load(open(merge_from)) if merge_from else None
     if maintenance:
         if prev is None or not json_out:
             raise SystemExit("--maintenance requires --merge and --json")
         return _measure_maintenance(sf_dir, prev, json_out)
+    if frontier:
+        if prev is None or not json_out:
+            raise SystemExit("--frontier requires --merge and --json")
+        return _measure_frontier(sf_dir, prev, json_out, n_batch)
 
     spark = get_spark(
         "ann-recall",
