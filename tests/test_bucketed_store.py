@@ -1340,3 +1340,98 @@ class TestR9AdviceFixes:
                 "update",
                 strategy="merge_on_read",
             )
+
+
+class TestConcurrentReaderDuringCompaction:
+    """A reader racing the policy-compaction commit (r10 ask #6): the
+    crash-injection tests above prove torn STATES are unreachable;
+    this proves a live reader never OBSERVES one. The commit protocol
+    (stage -> rename -> atomic pointer os.replace -> vacuum) plus a
+    retain_versions window sized past the race means every concurrent
+    full-scan must equal the snapshot of some committed version —
+    before the tripping mutation, after it, or after the compaction
+    that mutation triggers (content-identical to the mutation's own
+    snapshot). tools/lakehouse_bench.py --add-rung concurrent_reader
+    runs the same race at 60 M rows for the artifact."""
+
+    def test_reader_racing_autocompact_sees_only_committed_snapshots(
+        self, spark, tmp_path
+    ):
+        import threading
+        import time as _time
+
+        store = BucketedTableStore(
+            spark,
+            str(tmp_path / "race"),
+            keys={"t": ["k"]},
+            n_buckets=8,
+            retain_versions=12,
+            auto_compact_deltas=2,
+        )
+        n = 5_000
+        store.overwrite(
+            "t",
+            spark.range(n).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 97).cast("double").alias("v"),
+            ),
+        )
+
+        def upd(i):
+            return (
+                spark.range(n)
+                .filter(F.col("id") % 50 == i)
+                .select(
+                    F.col("id").alias("k"),
+                    (F.col("id") % 97 + 1000.0 * (i + 1)).alias("v"),
+                )
+            )
+
+        for i in range(2):
+            store.apply_keyed_mutation(
+                "t", upd(i), ["k"], ["v"], "update", strategy="merge_on_read"
+            )
+            assert store.last_auto_compact_version is None
+
+        observations: list[tuple[int, str]] = []
+        stop = threading.Event()
+
+        def reader_loop():
+            while not stop.is_set():
+                row = (
+                    store.read("t")
+                    .agg(
+                        F.count(F.lit(1)).alias("c"),
+                        F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+                    )
+                    .collect()[0]
+                )
+                observations.append((row["c"], str(row["s"])))
+
+        reader = threading.Thread(target=reader_loop, daemon=True)
+        reader.start()
+        try:
+            # the 3rd delta commit exceeds the cap and trips compact()
+            store.apply_keyed_mutation(
+                "t", upd(2), ["k"], ["v"], "update", strategy="merge_on_read"
+            )
+            assert store.last_auto_compact_version is not None
+            _time.sleep(0.3)  # let at least one post-compaction read land
+        finally:
+            stop.set()
+            reader.join(timeout=120)
+
+        legal = set()
+        for v in store.versions("t"):
+            row = (
+                store.read("t", version=v)
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+                )
+                .collect()[0]
+            )
+            legal.add((row["c"], str(row["s"])))
+        assert observations, "reader never completed a read"
+        torn = [o for o in observations if o not in legal]
+        assert torn == [], f"torn reads observed: {torn} not in {legal}"

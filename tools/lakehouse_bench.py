@@ -430,6 +430,177 @@ def autocompact_rung(spark, root: str, n_rows: int, n_commits: int):
     return doc
 
 
+def concurrent_reader_rung(spark, root: str, n_rows: int):
+    """A reader RACING the auto-compaction commit (r10 ask #6): the
+    autocompact rung measures apply and read sequentially, so the
+    atomic-swap path (stage → rename → pointer os.replace, then
+    vacuum) is only exercised under load by the crash-injection unit
+    tests. This rung stacks deltas to one commit below the policy
+    cap, then runs a full-scan (count, decimal-sum) reader loop in a
+    second thread while the tripping mutation commit — and the policy
+    compaction inside it — lands.
+
+    Consistency contract: every concurrent read must equal the
+    snapshot of SOME committed version (resolved post-hoc via time
+    travel over the retained versions — the mutation's own commit and
+    the compaction commit are both legal landing spots; compaction's
+    snapshot is content-identical to its predecessor by the m20
+    equivalence tests). ``torn_reads`` must be empty. retain_versions
+    is sized so vacuum cannot collect any version the race could have
+    observed."""
+    import threading
+
+    store = BucketedTableStore(
+        spark,
+        os.path.join(root, "concurrent_reader"),
+        keys={"t": ["k"]},
+        n_buckets=64,
+        # seed + 5 stacking commits + tripping commit + compaction = 8
+        # versions; keep them all so (a) no read's paths get vacuumed
+        # mid-scan, (b) post-hoc time travel can re-resolve every
+        # legal snapshot.
+        retain_versions=12,
+        auto_compact_deltas=5,
+    )
+    seed = stamped_runs(
+        lambda: _timed(lambda: store.overwrite("t", _base_frame(spark, n_rows))),
+        n_runs=1,
+    )
+    print(
+        f"[concurrent_reader] seeded {n_rows:,} rows in {seed['sec']}s",
+        flush=True,
+    )
+
+    def scattered_update(i: int):
+        return (
+            spark.range(n_rows)
+            .filter(F.col("id") % 100 == i)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % N_GROUPS).alias("grp"),
+                (F.col("id") % 997 + 10_000 * (i + 1))
+                .cast("double")
+                .alias("v"),
+            )
+        )
+
+    for i in range(5):
+        store.apply_keyed_mutation(
+            "t", scattered_update(i), ["k"], ["v"], "update",
+            strategy="merge_on_read",
+        )
+        assert store.last_auto_compact_version is None
+    m = store._manifest("t", store.current_version("t"))
+    max_stacked = max((len(d) for d in m.get("deltas", {}).values()), default=0)
+    print(
+        f"[concurrent_reader] stacked {max_stacked} deltas "
+        f"(policy cap 5) — next commit trips compaction",
+        flush=True,
+    )
+
+    observations: list[dict] = []
+    stop = threading.Event()
+
+    def reader_loop():
+        while not stop.is_set():
+            t0 = time.perf_counter()
+            v_seen = store.current_version("t")
+            row = (
+                store.read("t")
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+                )
+                .collect()[0]
+            )
+            observations.append(
+                {
+                    "v_at_resolve": v_seen,
+                    "count": row["c"],
+                    "sum": str(row["s"]),
+                    "t0": t0,
+                    "t1": time.perf_counter(),
+                }
+            )
+
+    reader = threading.Thread(target=reader_loop, daemon=True)
+    reader.start()
+    time.sleep(1.0)  # let at least one pre-commit read land
+
+    def tripping_commit():
+        t0 = time.perf_counter()
+        store.apply_keyed_mutation(
+            "t", scattered_update(5), ["k"], ["v"], "update",
+            strategy="merge_on_read",
+        )
+        return time.perf_counter() - t0
+
+    commit_t0 = time.perf_counter()
+    apply = stamped_runs(tripping_commit, n_runs=1)
+    commit_t1 = time.perf_counter()
+    compaction_v = store.last_auto_compact_version
+    time.sleep(0.5)  # let at least one post-commit read land
+    stop.set()
+    reader.join(timeout=600)
+
+    # post-hoc legality: (count, sum) per retained version
+    legal = {}
+    for v in store.versions("t"):
+        row = (
+            store.read("t", version=v)
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+            )
+            .collect()[0]
+        )
+        legal[v] = (row["c"], str(row["s"]))
+    torn = [
+        o
+        for o in observations
+        if (o["count"], o["sum"]) not in legal.values()
+    ]
+    during = [
+        o
+        for o in observations
+        if o["t1"] >= commit_t0 and o["t0"] <= commit_t1
+    ]
+    doc = {
+        "n_rows": n_rows,
+        "policy": {"auto_compact_deltas": 5},
+        "stacked_deltas_before_trip": max_stacked,
+        "apply_with_compaction": apply,
+        "compaction_version": compaction_v,
+        "n_reads": len(observations),
+        "n_reads_overlapping_commit": len(during),
+        "reader_read_sec": [
+            round(o["t1"] - o["t0"], 3) for o in observations
+        ],
+        "legal_snapshots": {str(v): list(p) for v, p in legal.items()},
+        "observed": [
+            {
+                "v_at_resolve": o["v_at_resolve"],
+                "count": o["count"],
+                "sum": o["sum"],
+                "overlaps_commit": o in during,
+            }
+            for o in observations
+        ],
+        "torn_reads": [
+            {"v_at_resolve": o["v_at_resolve"], "count": o["count"], "sum": o["sum"]}
+            for o in torn
+        ],
+        "all_reads_consistent": not torn,
+    }
+    print(
+        f"[concurrent_reader] {len(observations)} reads "
+        f"({len(during)} overlapping the tripping commit), "
+        f"compaction v{compaction_v}, torn={len(torn)}",
+        flush=True,
+    )
+    return doc
+
+
 def independence_rung(spark, root: str, sizes: list[int], batch: int):
     """The literal merge-on-read claim: apply_sec is independent of
     table size. Same scattered ``batch``-key update against tables of
@@ -585,7 +756,14 @@ def main() -> None:
             shutil.rmtree(root, ignore_errors=True)
         with open(json_out) as f:
             doc = json.load(f)
-        doc[key] = child.get("sizes", child)
+        if add_rung == "concurrent_reader":
+            # the race stamp belongs INSIDE the autocompact rung's doc
+            # (it exercises that rung's policy commit under load)
+            doc.setdefault("merge_on_read_autocompact", {})[
+                "read_during_compaction"
+            ] = child
+        else:
+            doc[key] = child.get("sizes", child)
         if isinstance(child, dict) and "caveat" in child:
             doc[f"{key}_caveat"] = child["caveat"]
         doc.setdefault("protocol", {})[f"{key}_added"] = protocol_header(
@@ -645,6 +823,8 @@ def main() -> None:
         doc["ivm_drift_rows"] = _view_drift(store, view)
     elif rung == "autocompact":
         doc = autocompact_rung(spark, root, n_rows, n_commits)
+    elif rung == "concurrent_reader":
+        doc = concurrent_reader_rung(spark, root, n_rows)
     elif rung == "independence":
         doc = independence_rung(
             spark, root,
