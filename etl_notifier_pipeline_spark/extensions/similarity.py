@@ -316,6 +316,22 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(_cell_structs(vec, centroids)).getField("cell")
 
 
+def _dense_pass(df: DataFrame) -> DataFrame:
+    """Pin the partition GEOMETRY of a whole-corpus Arrow/numpy pass
+    to the session's parallelism, independent of the global input
+    split conf. The r11 spill fix sized `maxPartitionBytes` for
+    text operators that amplify 10-20x in memory — but dense-vector
+    matmul passes are the opposite regime: fixed-width rows, no
+    amplification, and a per-TASK fixed cost (Python worker
+    handshake, Arrow stream setup, centroid-matrix rebuild) that
+    16 MB splits multiply ~7x (s09 at sf100 measured 35.7 -> 77.2 s
+    under the text-sized splits). `coalesce` (never `repartition`)
+    folds splits back to cores without a shuffle and is a no-op when
+    the scan is already at-or-under parallelism."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.coalesce(max(1, target))
+
+
 def ivf_assign_frame(
     df: DataFrame,
     centroids: list[list[float]],
@@ -352,7 +368,7 @@ def ivf_assign_frame(
             )
             yield pdf
 
-    return df.mapInPandas(assign, schema)
+    return _dense_pass(df).mapInPandas(assign, schema)
 
 
 def ivf_centroids(
@@ -411,7 +427,7 @@ def ivf_centroids(
                 yield pd.DataFrame(rows, columns=["cell", "pos", "qsum", "n"])
 
         means = (
-            corpus.select(vec_col)
+            _dense_pass(corpus.select(vec_col))
             .mapInPandas(partial_sums, "cell int, pos int, qsum long, n long")
             .groupBy("cell", "pos")
             .agg(F.sum("qsum").alias("qsum"), F.sum("n").alias("n"))
@@ -489,7 +505,7 @@ def _ivf_assign_pass(
                 }
             )
 
-    return vectors.select(id_col, vec_col).mapInPandas(
+    return _dense_pass(vectors.select(id_col, vec_col)).mapInPandas(
         assign,
         "neighbor_id long, c_vec array<float>, c_norm double, cell int",
     )
@@ -811,7 +827,7 @@ def pq_codebooks(
                 )
 
         agg = (
-            corpus.select(vec_col)
+            _dense_pass(corpus.select(vec_col))
             .mapInPandas(partial_sums, "sub int, cell int, pos int, qsum long, n long")
             .groupBy("sub", "cell", "pos")
             .agg(F.sum("qsum").alias("qsum"), F.sum("n").alias("n"))
@@ -863,7 +879,7 @@ def pq_encode(
                 }
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
+    return _dense_pass(corpus.select(id_col, vec_col)).mapInPandas(
         encode,
         "neighbor_id long, c_vec array<float>, c_norm double, codes array<int>",
     )

@@ -76,6 +76,28 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Per-task DATA budget, both sides of the shuffle — the r11
+        # spill diagnosis (docs/SCALE.md "The spill levers, measured"):
+        # initialPartitionNum alone halved x29's sf100 spill but left
+        # 41 GB, because the spilling stages are (a) the scan-stage
+        # partial aggregate (file-split-sized) and (b) AQE-COALESCED
+        # reduce stages (advisory-sized) — text/shingle operators
+        # amplify compressed input ~10-20x in the sorter/aggregator,
+        # so a 64-128m slice of compressed bytes overflows the
+        # per-task execution share (heap*0.6/slots ~ 250 MB here).
+        # Sizing both knobs to ~16x under the budget killed the spill
+        # AND the wall (x29 66.8 -> 44.5 s, d07 spill 17 GB -> 0) with
+        # zero movement at sf0.1 (A/B'd same-hour: 13.11 vs 13.23 s).
+        # On a real cluster scale these UP with per-task memory:
+        # split ~ exec_mem_per_task / amplification, not a constant.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

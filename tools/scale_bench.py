@@ -209,6 +209,10 @@ def main() -> None:
             "warm": not no_warm,
             "symmetric": True,  # DuckDB twins use the same warm+runs
             "numeric_profile": profile,
+            # the single local JVM's heap: per-task execution memory
+            # is heap/32 slots, the binding constraint for map-side
+            # partial-aggregation spill on amplifying plans (r11)
+            "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
             # one-time ingest-layout builds (bucketed star tables)
             # paid during this process, reported so the steady-state
             # per-query numbers never hide them
