@@ -528,8 +528,11 @@ def main() -> None:
         },
         "ivf": {
             "build": lambda: S.ivf_build(emb, n_cells=n_cells),
+            # n_cells/10, the r11 frontier's measured knee: recall@5
+            # 0.57 -> 0.73 for 1.26x the probe cost (the r10 n_cells/20
+            # point sat below the curve's useful region).
             "query": lambda idx, p, q: S.ivf_query(
-                idx, p, q, k=K, n_probe=max(2, n_cells // 20)
+                idx, p, q, k=K, n_probe=max(2, n_cells // 10)
             ),
         },
         # PQ's scale configuration: IVFADC (PQ on coarse-cell
