@@ -1393,28 +1393,45 @@ class TestConcurrentReaderDuringCompaction:
             )
             assert store.last_auto_compact_version is None
 
-        observations: list[tuple[int, str]] = []
+        # Each observation carries its (t0, t1) window so the test can
+        # PROVE at least one read overlapped the tripping commit — a
+        # race test that never races proves nothing. Reader-thread
+        # exceptions land as error sentinels instead of dying silently
+        # in the daemon thread: a FileNotFoundError from racing a file
+        # swap/vacuum is exactly the failure class this test pins, so
+        # it must fail the test, not vanish.
+        observations: list[tuple[int, str, float, float]] = []
+        reader_errors: list[str] = []
         stop = threading.Event()
 
         def reader_loop():
             while not stop.is_set():
-                row = (
-                    store.read("t")
-                    .agg(
-                        F.count(F.lit(1)).alias("c"),
-                        F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+                t0 = _time.perf_counter()
+                try:
+                    row = (
+                        store.read("t")
+                        .agg(
+                            F.count(F.lit(1)).alias("c"),
+                            F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+                        )
+                        .collect()[0]
                     )
-                    .collect()[0]
+                except Exception as exc:  # noqa: BLE001 — sentinel, re-raised below
+                    reader_errors.append(f"{type(exc).__name__}: {exc}")
+                    return
+                observations.append(
+                    (row["c"], str(row["s"]), t0, _time.perf_counter())
                 )
-                observations.append((row["c"], str(row["s"])))
 
         reader = threading.Thread(target=reader_loop, daemon=True)
         reader.start()
         try:
             # the 3rd delta commit exceeds the cap and trips compact()
+            commit_t0 = _time.perf_counter()
             store.apply_keyed_mutation(
                 "t", upd(2), ["k"], ["v"], "update", strategy="merge_on_read"
             )
+            commit_t1 = _time.perf_counter()
             assert store.last_auto_compact_version is not None
             _time.sleep(0.3)  # let at least one post-compaction read land
         finally:
@@ -1432,6 +1449,15 @@ class TestConcurrentReaderDuringCompaction:
                 .collect()[0]
             )
             legal.add((row["c"], str(row["s"])))
+        assert reader_errors == [], f"reader thread crashed: {reader_errors}"
         assert observations, "reader never completed a read"
-        torn = [o for o in observations if o not in legal]
+        overlapping = [
+            o for o in observations if o[3] >= commit_t0 and o[2] <= commit_t1
+        ]
+        assert overlapping, (
+            "no read overlapped the tripping commit — the race was never "
+            f"exercised (commit window {commit_t1 - commit_t0:.2f}s, "
+            f"{len(observations)} reads)"
+        )
+        torn = [o[:2] for o in observations if o[:2] not in legal]
         assert torn == [], f"torn reads observed: {torn} not in {legal}"

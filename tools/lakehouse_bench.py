@@ -499,20 +499,30 @@ def concurrent_reader_rung(spark, root: str, n_rows: int):
     )
 
     observations: list[dict] = []
+    reader_errors: list[str] = []
     stop = threading.Event()
 
     def reader_loop():
+        # A reader crash (e.g. FileNotFoundError racing a file swap /
+        # vacuum) is exactly the failure this rung exists to catch —
+        # it must surface in the artifact as reader_errors and flag
+        # the rung, never die silently in the daemon thread leaving a
+        # short observations list claiming torn_reads==0.
         while not stop.is_set():
             t0 = time.perf_counter()
-            v_seen = store.current_version("t")
-            row = (
-                store.read("t")
-                .agg(
-                    F.count(F.lit(1)).alias("c"),
-                    F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+            try:
+                v_seen = store.current_version("t")
+                row = (
+                    store.read("t")
+                    .agg(
+                        F.count(F.lit(1)).alias("c"),
+                        F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+                    )
+                    .collect()[0]
                 )
-                .collect()[0]
-            )
+            except Exception as exc:  # noqa: BLE001 — recorded, flags the rung
+                reader_errors.append(f"{type(exc).__name__}: {exc}")
+                return
             observations.append(
                 {
                     "v_at_resolve": v_seen,
@@ -590,14 +600,26 @@ def concurrent_reader_rung(spark, root: str, n_rows: int):
             {"v_at_resolve": o["v_at_resolve"], "count": o["count"], "sum": o["sum"]}
             for o in torn
         ],
-        "all_reads_consistent": not torn,
+        "reader_errors": reader_errors,
+        # consistent ONLY if no read tore AND no reader crashed AND the
+        # race was actually exercised — a crashed reader or a commit no
+        # read overlapped would otherwise understate the race while the
+        # artifact claims torn_reads==0.
+        "all_reads_consistent": not torn and not reader_errors and bool(during),
     }
     print(
         f"[concurrent_reader] {len(observations)} reads "
         f"({len(during)} overlapping the tripping commit), "
-        f"compaction v{compaction_v}, torn={len(torn)}",
+        f"compaction v{compaction_v}, torn={len(torn)}, "
+        f"reader_errors={len(reader_errors)}",
         flush=True,
     )
+    if reader_errors:
+        print(
+            f"[concurrent_reader] RUNG FLAGGED: reader thread crashed: "
+            f"{reader_errors}",
+            flush=True,
+        )
     return doc
 
 
