@@ -1721,6 +1721,40 @@ def test_ann_recall_family_requires_merge():
     assert "--family requires --merge" in (p.stderr + p.stdout)
 
 
+def test_ann_recall_main_run_carries_merged_sections(tmp_path):
+    """r11 advice: a plain full harness run rewrote --json wholesale
+    and silently dropped previously merged frontier/maintenance
+    sections (353 lines of measured data lost in r11). The carry
+    helper must pick them up from --merge's source when given, else
+    from the existing artifact at --json, and ignore garbage."""
+    import importlib.util as _ilu
+    import json
+
+    spec = _ilu.spec_from_file_location(
+        "ann_recall_mod", "/root/repo/tools/ann_recall.py"
+    )
+    mod = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    art = tmp_path / "ann.json"
+    art.write_text(json.dumps(
+        {"families": {}, "frontier": {"ivf": {"points": [1]}},
+         "maintenance": {"corpus_rows": 5}}
+    ))
+    # plain run pointing --json at the existing artifact: both carried
+    got = mod._carry_sections(None, str(art))
+    assert set(got) == {"frontier", "maintenance"}
+    assert got["frontier"] == {"ivf": {"points": [1]}}
+    # --merge source wins over the --json file
+    got = mod._carry_sections({"frontier": {"lsh": {}}}, str(art))
+    assert got == {"frontier": {"lsh": {}}}
+    # fresh artifact / unreadable file: nothing to carry, no crash
+    assert mod._carry_sections(None, str(tmp_path / "absent.json")) == {}
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert mod._carry_sections(None, str(bad)) == {}
+
+
 def test_ivfpq_lut_shuffle_branch_matches_broadcast(spark, monkeypatch):
     """ivfpq_query degrades the LUT-frame broadcast to a cell-key
     sort-merge join past LUT_BROADCAST_BUDGET_BYTES (a 1000-query

@@ -385,6 +385,26 @@ def _measure_frontier(
     shutil.rmtree(root, ignore_errors=True)
 
 
+def _carry_sections(prev: dict | None, json_out: str | None) -> dict:
+    """The --frontier / --maintenance rungs MERGE their sections into
+    an existing artifact; a plain (or --family) run used to rewrite the
+    JSON wholesale and silently drop them (it lost 353 lines of measured
+    frontier+maintenance data in r11). Collect any previously merged
+    sections to carry forward — from --merge's source if given, else
+    from whatever already sits at --json."""
+    source = prev
+    if source is None and json_out and os.path.exists(json_out):
+        try:
+            source = json.load(open(json_out))
+        except (OSError, json.JSONDecodeError):
+            source = None
+    return {
+        section: source[section]
+        for section in ("frontier", "maintenance")
+        if source and section in source
+    }
+
+
 def main() -> None:
     args = sys.argv[1:]
     json_out = None
@@ -431,6 +451,7 @@ def main() -> None:
         args.remove("--frontier")
     sf_dir = args[0] if args else "/root/repo/.scale/sf100"
     prev = json.load(open(merge_from)) if merge_from else None
+    carry_sections = _carry_sections(prev, json_out)
     if maintenance:
         if prev is None or not json_out:
             raise SystemExit("--maintenance requires --merge and --json")
@@ -572,7 +593,14 @@ def main() -> None:
             "exact_batch": {**exact_batch, "n_queries": nq_batch},
             "families": doc_families,
             "ivf_n_cells": n_cells,
+            **carry_sections,
         }
+        if carry_sections:
+            print(
+                f"carrying previously merged sections: "
+                f"{sorted(carry_sections)}",
+                flush=True,
+            )
         with open(json_out, "w") as f:
             json.dump(doc, f, indent=1, sort_keys=True)
 
