@@ -53,3 +53,59 @@ def test_single_run_stamp_has_null_dispersion():
     stamp = stamped_runs(lambda: 1.5, n_runs=1)
     assert stamp["dispersion_pct"] is None
     assert stamp["sec"] == 1.5 and stamp["runs_sec"] == [1.5]
+
+
+def _mk_doc(sf_dir, profile, canary, spark, duck, ratio=None):
+    return {
+        "sf_dir": sf_dir,
+        "protocol": {"numeric_profile": profile},
+        "host_canary_ms_pre": canary,
+        "host_canary_ms_post": canary,
+        "queries": {k: {"sec": v} for k, v in spark.items()},
+        "duckdb": {k: {"sec": v} for k, v in duck.items()},
+        **({"ratio_vs_duckdb": ratio} if ratio else {}),
+    }
+
+
+def test_artifact_vs_prev_decomposes_cpu_weather():
+    """r11 verdict gap #1: a raw delta that tracks the canary shift is
+    CPU weather and must vanish normalized; a delta the canary cannot
+    explain must survive, on the side that actually moved."""
+    from tools.benchproto import artifact_vs_prev
+
+    # host got 2x slower (canary 50 -> 100 ms); spark wall doubled with
+    # it (pure weather); the duck twin halved AGAINST the slower host
+    # (real movement, e.g. page cache)
+    prev = _mk_doc("/x/sf100", "deployment", 50.0,
+                   {"q1": 5.0}, {"q1": 4.0}, ratio=1.25)
+    this = _mk_doc("/x/sf100", "deployment", 100.0,
+                   {"q1": 10.0}, {"q1": 2.0}, ratio=5.0)
+    got = artifact_vs_prev(prev, this)
+    assert got["canary_scale"] == 0.5
+    assert got["spark"]["q1"]["raw_delta_pct"] == 100.0
+    assert got["spark"]["q1"]["norm_delta_pct"] == 0.0  # weather
+    assert got["duckdb"]["q1"]["raw_delta_pct"] == -50.0
+    assert got["duckdb"]["q1"]["norm_delta_pct"] == -75.0  # real
+    assert got["ratio_vs_duckdb"] == {"prev": 1.25, "this": 5.0}
+
+
+def test_artifact_vs_prev_refuses_mismatched_rungs():
+    from tools.benchproto import artifact_vs_prev
+
+    prev = _mk_doc("/x/sf10", "deployment", 50.0, {"q1": 1.0}, {})
+    this = _mk_doc("/x/sf100", "deployment", 50.0, {"q1": 1.0}, {})
+    got = artifact_vs_prev(prev, this)
+    assert set(got) == {"note"} and "not comparable" in got["note"]
+    assert artifact_vs_prev(None, this) is None
+
+
+def test_artifact_vs_prev_handles_bare_float_and_missing_canary():
+    from tools.benchproto import artifact_vs_prev
+
+    prev = _mk_doc("/x/sf100", "oracle", None, {}, {})
+    prev["queries"] = {"q1": 2.0}  # pre-stamp schema: bare float
+    this = _mk_doc("/x/sf100", "oracle", 80.0, {"q1": 3.0}, {})
+    got = artifact_vs_prev(prev, this)
+    assert got["spark"]["q1"]["raw_delta_pct"] == 50.0
+    assert "norm_delta_pct" not in got["spark"]["q1"]
+    assert "raw deltas only" in got["note"]

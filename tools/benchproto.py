@@ -94,3 +94,103 @@ def stamped_runs(run_once, n_runs: int = 3) -> dict:
 def protocol_header(n_runs: int, **kw) -> dict:
     """The artifact-level protocol block every JSON carries."""
     return {"runs": n_runs, "canary": PROTOCOL_VERSION, **kw}
+
+
+def _entry_sec(entry) -> float | None:
+    """A prev artifact's per-query entry: stamped dict or bare float."""
+    if entry is None:
+        return None
+    if isinstance(entry, dict):
+        return entry.get("sec")
+    return float(entry)
+
+
+def _canary_avg(doc: dict) -> float | None:
+    vals = [
+        v
+        for v in (
+            doc.get("host_canary_ms_pre"),
+            doc.get("host_canary_ms_post"),
+        )
+        if v
+    ]
+    return sum(vals) / len(vals) if vals else None
+
+
+def artifact_vs_prev(prev: dict | None, this_doc: dict) -> dict | None:
+    """Canary-normalized comparison of a scale artifact against the
+    version it is about to overwrite (r11 verdict gap #1: the deploy
+    rung's DuckDB twin moved 2.5x on host weather alone and the raw
+    stamps couldn't decompose the ratio swing mechanically).
+
+    Both engines' walls are rescaled to the PREVIOUS artifact's host
+    speed (sec * prev_canary / this_canary — canary ms is inversely
+    proportional to CPU speed), so each per-query ratio movement
+    decomposes into: (a) a norm delta surviving on the Spark side only
+    = engine/plan change; (b) on the twin side only = baseline change;
+    (c) raw deltas that VANISH under normalization = CPU weather. A
+    large residual on either side with flat canaries is the axis the
+    CPU canary cannot see (page cache / IO) — named in the note so a
+    reader doesn't misread it as an engine change. Refuses (with a
+    note) to compare across different sf_dir or numeric_profile."""
+    if prev is None:
+        return None
+    this_sf = this_doc.get("sf_dir")
+    this_profile = (this_doc.get("protocol") or {}).get("numeric_profile")
+    prev_profile = (prev.get("protocol") or {}).get("numeric_profile")
+    if prev.get("sf_dir") != this_sf or prev_profile != this_profile:
+        return {
+            "note": (
+                f"prev artifact not comparable: sf_dir {prev.get('sf_dir')!r}"
+                f" vs {this_sf!r}, profile {prev_profile!r} vs"
+                f" {this_profile!r}"
+            )
+        }
+    prev_canary = _canary_avg(prev)
+    this_canary = _canary_avg(this_doc)
+    scale = (
+        prev_canary / this_canary if prev_canary and this_canary else None
+    )
+
+    def side(this_q: dict, prev_q: dict) -> dict:
+        rows = {}
+        for name, entry in (this_q or {}).items():
+            sec = _entry_sec(entry)
+            psec = _entry_sec((prev_q or {}).get(name))
+            if sec is None or psec is None:
+                continue
+            row = {
+                "prev_sec": psec,
+                "sec": sec,
+                "raw_delta_pct": round(100 * (sec - psec) / psec, 1),
+            }
+            if scale:
+                row["norm_delta_pct"] = round(
+                    100 * (sec * scale - psec) / psec, 1
+                )
+            rows[name] = row
+        return rows
+
+    spark_rows = side(this_doc.get("queries"), prev.get("queries"))
+    duck_rows = side(this_doc.get("duckdb"), prev.get("duckdb"))
+    out = {
+        "prev_canary_ms": round(prev_canary, 2) if prev_canary else None,
+        "this_canary_ms": round(this_canary, 2) if this_canary else None,
+        "canary_scale": round(scale, 4) if scale else None,
+        "note": (
+            "norm_delta_pct rescales this artifact's walls to the prev "
+            "artifact's host CPU speed; a raw delta that vanishes "
+            "normalized is CPU weather, a residual with flat canaries "
+            "is IO/page-cache (invisible to the CPU canary), a "
+            "one-sided residual is that engine's real movement"
+            if scale
+            else "prev artifact predates the canary: raw deltas only"
+        ),
+        "spark": spark_rows,
+        "duckdb": duck_rows,
+    }
+    prev_ratio = prev.get("ratio_vs_duckdb")
+    this_ratio = this_doc.get("ratio_vs_duckdb")
+    if prev_ratio and this_ratio:
+        out["ratio_vs_duckdb"] = {"prev": prev_ratio, "this": this_ratio}
+    return out

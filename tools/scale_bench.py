@@ -29,7 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from etl_notifier_pipeline_spark import caching, plans  # noqa: E402
 from etl_notifier_pipeline_spark.session import get_spark  # noqa: E402
-from tools.benchproto import PROTOCOL_VERSION, stamped_runs  # noqa: E402
+from tools.benchproto import (  # noqa: E402
+    PROTOCOL_VERSION,
+    artifact_vs_prev,
+    stamped_runs,
+)
 
 METRIC_FIELDS = (
     "inputBytes",
@@ -234,6 +238,15 @@ def main() -> None:
         "host_canary_ms_pre": canary_pre,
         "host_canary_ms_post": bench.host_canary_ms(),
     }
+    # Canary-normalized comparison against the artifact this run is
+    # about to overwrite: ratio swings decompose into engine movement,
+    # twin movement, or host weather from the artifact itself.
+    if json_out and os.path.exists(json_out):
+        try:
+            with open(json_out) as f:
+                doc["vs_prev"] = artifact_vs_prev(json.load(f), doc)
+        except (OSError, json.JSONDecodeError):
+            pass
     print(json.dumps(doc))
     if json_out:
         with open(json_out, "w") as f:
