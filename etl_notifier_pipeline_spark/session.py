@@ -21,6 +21,39 @@ import os
 
 from pyspark.sql import SparkSession
 
+_MEM_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+# Text/shingle operators amplify compressed parquet input ~10-20x in
+# the sorter/aggregator (docs/SCALE.md "The spill levers, measured"),
+# so a file split must be ~16x under the per-task memory share for the
+# scan-stage partial aggregate to stay in memory on the worst plans.
+_AMPLIFICATION_HEADROOM = 16
+
+
+def _parse_mem_bytes(s: str) -> int:
+    s = s.strip().lower()
+    if s and s[-1] in _MEM_SUFFIX:
+        return int(float(s[:-1]) * _MEM_SUFFIX[s[-1]])
+    return int(s)
+
+
+def derived_split_bytes(driver_mem: str, slots: int) -> tuple[int, int]:
+    """Per-task split sizing from the configured memory and slot count
+    (r11 ADVICE: the winning 16m/8m conf was measured on THIS host's
+    8g/32-slot ~250 MB/task budget — hardcoding it would shrink every
+    bigger deployment's tasks by the same host-specific ratio and
+    multiply per-task fixed costs for nothing). The measured law, not
+    the constant: split ~ mem_per_task / amplification. Returns
+    (maxPartitionBytes, advisoryPartitionSizeInBytes); the advisory is
+    half the split so AQE-coalesced reduce stages land under the same
+    budget with the merge overhead of at most two map slices. Clamped
+    to [4m, 128m] — below 4m task overhead dominates any plan, above
+    128m (Spark's own default) bigger splits stop paying."""
+    per_task = _parse_mem_bytes(driver_mem) // max(1, slots)
+    split = per_task // _AMPLIFICATION_HEADROOM
+    split = max(4 << 20, min(split, 128 << 20))
+    return split, max(2 << 20, split // 2)
+
 
 def get_spark(
     app_name: str = "etl_notifier_pipeline_spark",
@@ -40,6 +73,10 @@ def get_spark(
     master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = cpus or (os.cpu_count() or 8)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    split_bytes, advisory_bytes = derived_split_bytes(
+        driver_mem, cpus or (os.cpu_count() or 8)
+    )
 
     builder = (
         SparkSession.builder.master(master)
@@ -75,28 +112,34 @@ def get_spark(
         # session tz pinned UTC the instant semantics are identical.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
         # Per-task DATA budget, both sides of the shuffle — the r11
         # spill diagnosis (docs/SCALE.md "The spill levers, measured"):
         # initialPartitionNum alone halved x29's sf100 spill but left
         # 41 GB, because the spilling stages are (a) the scan-stage
         # partial aggregate (file-split-sized) and (b) AQE-COALESCED
-        # reduce stages (advisory-sized) — text/shingle operators
-        # amplify compressed input ~10-20x in the sorter/aggregator,
-        # so a 64-128m slice of compressed bytes overflows the
-        # per-task execution share (heap*0.6/slots ~ 250 MB here).
-        # Sizing both knobs to ~16x under the budget killed the spill
-        # AND the wall (x29 66.8 -> 44.5 s, d07 spill 17 GB -> 0) with
-        # zero movement at sf0.1 (A/B'd same-hour: 13.11 vs 13.23 s).
-        # On a real cluster scale these UP with per-task memory:
-        # split ~ exec_mem_per_task / amplification, not a constant.
+        # reduce stages (advisory-sized) — amplifying operators
+        # overflow the per-task execution share unless the split sits
+        # ~amplification-factor under it. Sizing both knobs that way
+        # killed the spill AND the wall (x29 66.8 -> 44.5 s, d07 spill
+        # 17 GB -> 0) with zero movement at sf0.1 (A/B'd same-hour:
+        # 13.11 vs 13.23 s). The sizes DERIVE from the configured
+        # memory and slot count (derived_split_bytes — 16m/8m on this
+        # 8g/32-slot host, the measured winning point), so a bigger
+        # deployment's tasks scale up with its per-task memory instead
+        # of inheriting this host's constants and multiplying per-task
+        # fixed costs ~7x on dense whole-corpus passes.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+            os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", str(split_bytes)
+            ),
         )
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"),
+            os.environ.get(
+                "SPARK_GRAFT_ADVISORY_PARTITION", str(advisory_bytes)
+            ),
         )
     )
     for k, v in (extra_conf or {}).items():

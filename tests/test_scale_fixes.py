@@ -452,3 +452,35 @@ class TestPipelineWithBucketedStore:
         assert len(carried) >= 6
         status = pipe.ledger.processed_files().collect()[0]["status"]
         assert status == "approved"
+
+
+def test_derived_split_bytes_scales_with_memory_and_slots():
+    """r11 ADVICE: the 16m/8m spill-lever conf was measured on this
+    host's 8g/32-slot budget; hardcoded, it would shrink every bigger
+    deployment's tasks to host-specific constants. The derivation must
+    reproduce the measured winning point here and scale elsewhere."""
+    from etl_notifier_pipeline_spark.session import derived_split_bytes
+
+    # this host: 8g / 32 slots -> the measured 16m/8m point, exactly
+    assert derived_split_bytes("8g", 32) == (16 << 20, 8 << 20)
+    # a 64g/8-slot executor: 8g/task budget -> clamped at Spark's own
+    # 128m default (bigger splits stop paying)
+    assert derived_split_bytes("64g", 8) == (128 << 20, 64 << 20)
+    # a starved 2g/32-slot box: floors at 4m/2m, task overhead bound
+    assert derived_split_bytes("2g", 32) == (4 << 20, 2 << 20)
+    # suffix parsing: 8192m == 8g
+    assert derived_split_bytes("8192m", 32) == (16 << 20, 8 << 20)
+
+
+def test_session_split_conf_env_override_wins(monkeypatch):
+    """Explicit SPARK_GRAFT_* env overrides must beat the derivation
+    (the bench A/B harness depends on them)."""
+    import etl_notifier_pipeline_spark.session as sess
+
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PARTITION_BYTES", "64m")
+    got = os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 << 20)
+    )
+    assert got == "64m"
+    # and the derivation itself ignores env entirely (pure function)
+    assert sess.derived_split_bytes("8g", 32)[0] == 16 << 20
