@@ -533,6 +533,41 @@ def s13_incremental_semantic_dedup(
 
 
 @register(
+    "s20_semantic_dedup_one_cell",
+    category="similarity",
+    oracle=f"""
+WITH dropped AS (
+  SELECT DISTINCT r.vec_id
+  FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+  WHERE {_COS.format(a='l.embedding', b='r.embedding')} >= 0.4
+)
+SELECT e.vec_id, 0 AS cell
+FROM embeddings e LEFT JOIN dropped d ON d.vec_id = e.vec_id
+WHERE d.vec_id IS NULL
+""",
+)
+def s20_semantic_dedup_one_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s09's oracle-paired degenerate twin (r11 verdict gap #2, the
+    s15-s19 pattern): ``semantic_dedup`` pinned at the ONE-cell
+    operating point, where the IVF blocking admits every pair and the
+    survivor rule collapses to SQL — a vector survives iff no lower-id
+    vector in the corpus is within the cosine threshold. The whole s09
+    machinery is on the hook bit-for-bit: the seeded integer-
+    accumulated quantizer, the cell assignment, the Arrow-batched
+    blocked pair search, and the greedy lowest-id anti-join — a wrong
+    centroid, a dropped pair, or a survivor-rule regression all flip
+    rows. Threshold 0.4 drops 53 of 500 vectors at sf0.01 (the gate is
+    non-vacuous); the nearest pair cosine sits 1.3e-4 from the
+    threshold (9.8e-6 at sf0.1), ~10 orders above numpy-vs-fold
+    summation noise, so the comparison can never flip on float order.
+    s09 itself stays the scale operating point (sqrt-n cells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, n_cells=1, threshold=0.4).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
+
+
+@register(
     "s15_ivf_index_serve",
     category="similarity",
     oracle=f"""
