@@ -863,7 +863,10 @@ def pq_encode(
     def encode(batches):
         for pdf in batches:
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(X, axis=1)
+            # cumsum = the same sequential left-fold the JVM norm()
+            # runs, so c_norm is bit-identical to the brute-force
+            # path (the rerank's oracle gate sees a linalg.norm ulp)
+            norms = np.sqrt((X * X).cumsum(axis=1)[:, -1])
             U = X / norms[:, None]
             codes = np.empty((len(X), m), dtype=np.int32)
             for s in range(m):
@@ -939,15 +942,13 @@ def pq_topk(
                 {
                     "query_id": pdf[id_col],
                     "q_vec": pdf[vec_col],
-                    "q_norm": norms,
                     "luts": t,
                 }
             )
 
     q = queries.select(id_col, vec_col).mapInPandas(
         luts,
-        "query_id long, q_vec array<float>, q_norm double, "
-        "luts array<array<double>>",
+        "query_id long, q_vec array<float>, luts array<array<double>>",
     )
     enc = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
     adc = F.aggregate(
@@ -963,7 +964,7 @@ def pq_topk(
         enc.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            "query_id", "neighbor_id", "q_vec", "c_vec", "q_norm", "c_norm",
+            "query_id", "neighbor_id", "q_vec", "c_vec", "c_norm",
             adc.alias("adc"),
         )
     )
@@ -971,12 +972,16 @@ def pq_topk(
     cand = scored.withColumn("arank", F.row_number().over(wa)).filter(
         F.col("arank") <= cand_mult * k
     )
+    # q_norm via the same JVM sequential fold as every other serve
+    # path (the numpy norm the LUT pass computes sums in a different
+    # order — one ulp off the fold, which the bit-exact oracle gate
+    # of the exhaustive operating point would see)
     exact = cand.select(
         "query_id",
         "neighbor_id",
         (
             dot(F.col("q_vec"), F.col("c_vec"))
-            / (F.col("q_norm") * F.col("c_norm"))
+            / (norm(F.col("q_vec")) * F.col("c_norm"))
         ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(

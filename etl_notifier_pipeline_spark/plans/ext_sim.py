@@ -567,10 +567,11 @@ def s20_semantic_dedup_one_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "s15_ivf_index_serve",
-    category="similarity",
-    oracle=f"""
+# The exact brute-force top-5 for the first 8 query vectors — the
+# shared oracle of every ANN family's degenerate-exact operating point
+# (s15 IVF full probe; s21 LSH zero planes; s22 IVFADC full probe +
+# corpus-wide shortlist; s23 PQ exhaustive rerank).
+_EXACT_TOPK_SQL = f"""
 SELECT query_id, neighbor_id, cos_sim, rank FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim,
@@ -581,7 +582,76 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
   FROM embeddings q, embeddings c
   WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
 ) WHERE rank <= 5
-""",
+"""
+
+
+@register(
+    "s21_lsh_exhaustive_serve",
+    category="similarity",
+    oracle=_EXACT_TOPK_SQL,
+)
+def s21_lsh_exhaustive_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s03/LSH's oracle-paired degenerate twin (the s15 pattern): with
+    ZERO hyperplanes every vector's sign pattern is empty, so the one
+    table's single bucket admits the whole corpus and the serve path
+    degenerates to exact search — build, (tbl, bkt) candidate join,
+    cross-table OR-dedup, and the exact-cosine rank window must
+    hash-equal brute force bit-for-bit. The recall tests cover the
+    approximate plane/table operating points; THIS pins the LSH
+    build/serve machinery itself to the exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    index, params = S.lsh_build(emb, n_planes=0, n_tables=1, dim=64)
+    return S.lsh_query(index, params, queries, k=5)
+
+
+@register(
+    "s22_ivfpq_full_probe_serve",
+    category="similarity",
+    oracle=_EXACT_TOPK_SQL,
+)
+def s22_ivfpq_full_probe_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s14/IVFADC's oracle-paired degenerate twin: probing ALL coarse
+    cells and widening the rerank shortlist past the corpus size
+    (cand_mult*k >= n) makes the ADC stage a pass-through and the
+    exact rerank the answer — so the full serve path (residual LUT
+    geometry, the cell-key candidate join, ADC ranking's completeness,
+    the shortlist broadcast, the exact rerank folds) must hash-equal
+    brute force bit-for-bit. A dropped cell, a mis-shaped LUT, or a
+    shortlist off-by-one loses a neighbor and fails the gate; ADC's
+    APPROXIMATION quality stays the recall harness's job."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    index, params = S.ivfpq_build(emb, n_cells=4, n_codes=16)
+    return S.ivfpq_query(
+        index, params, queries, k=5, n_probe=4, cand_mult=100, nq=8
+    )
+
+
+@register(
+    "s23_pq_exhaustive_rerank",
+    category="similarity",
+    oracle=_EXACT_TOPK_SQL,
+)
+def s23_pq_exhaustive_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s08/flat-PQ's oracle-paired degenerate twin: with the ADC
+    shortlist widened past the corpus (cand_mult*k >= n) every
+    candidate survives to the exact rerank, so codebook training,
+    encoding, the LUT zip_with scan, and the rerank arithmetic are all
+    on the hook for a bit-exact brute-force match (pq_encode computes
+    norms with the same sequential fold as the JVM for exactly this
+    gate). Flat PQ's recall ceiling at scale is documented in
+    ANN_RECALL_sf100.json's pq_flat_diagnostic; this pins the
+    machinery, not the approximation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.pq_topk(emb, queries, k=5, cand_mult=100)
+
+
+@register(
+    "s15_ivf_index_serve",
+    category="similarity",
+    oracle=_EXACT_TOPK_SQL,
 )
 def s15_ivf_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The build-once/serve-many ANN path (r8 ask #4's API split)

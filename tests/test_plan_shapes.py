@@ -305,6 +305,9 @@ def test_no_row_python_in_any_registered_query(spark):
         # candidate pairs with an Arrow-batched numpy dot (the r4 perf fix
         # that made it sub-quadratic); the blocking join stays JVM-side.
         "s09_semantic_dedup",
+        "s20_semantic_dedup_one_cell",  # same s09 machinery, one cell
+        "s22_ivfpq_full_probe_serve",  # same Arrow passes as s14
+        "s23_pq_exhaustive_rerank",  # same Arrow encode/LUT passes as s08
     }
     offenders = {}
     for name, sp in specs().items():
