@@ -391,7 +391,31 @@ def _prev_round_artifact() -> tuple[int, dict] | None:
                 best = (n, doc.get("parsed") or doc)
             except (OSError, json.JSONDecodeError):
                 continue
-    return best
+    if best is None:
+        return None
+    n, doc = best
+    if "queries" not in doc:
+        # The driver records only a stdout TAIL; when the JSON line
+        # exceeds the tail window, "parsed" is null and the wrapper
+        # doc has no per-query data — which silently emptied every
+        # vs_prev table through r11. The per-round stamps artifact
+        # (written below, un-truncatable) carries the same numbers:
+        # reconstruct the prev doc from it.
+        sp = os.path.join(root, f"BENCH_STAMPS_r{n:02d}.json")
+        try:
+            with open(sp) as f:
+                stamps = json.load(f)
+            doc = {
+                "queries": {
+                    name: s["sec"]
+                    for name, s in stamps.get("query_stamps", {}).items()
+                },
+                "host_canary_ms_pre": stamps.get("host_canary_ms_pre"),
+                "host_canary_ms_post": stamps.get("host_canary_ms_post"),
+            }
+        except (OSError, json.JSONDecodeError, KeyError, TypeError):
+            return None
+    return n, doc
 
 
 def vs_prev_section(
