@@ -373,16 +373,36 @@ def q32_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("st06_approval_pipeline_sim", category="streaming", oracle=None)
+@register(
+    "st06_approval_pipeline_sim",
+    category="streaming",
+    # The lifecycle's outcome is ANALYTICALLY derivable from the
+    # scripted events, independent of sf_dir (c_custkey is unique, so
+    # only key COUNTS matter): insert 30 rows; approved upsert of keys
+    # 20-39 updates 10 + inserts 10 (-> 40); a rejected update changes
+    # nothing; an approved two-phase delete of keys 0-4 drains -> 35
+    # surviving. Ledger: 3 approved, 1 rejected. The literal pin (the
+    # xm01 contract pattern) puts the whole TableStore/Ledger/
+    # ApprovalPipeline side-effect chain under the hash gate — a
+    # dropped upsert leg, an undrained delete, or a status
+    # misrecording all flip a literal (verified stable across
+    # sf0.001/0.01/0.1).
+    oracle="""
+SELECT * FROM (VALUES
+  ('approved', CAST(3 AS BIGINT), CAST(35 AS BIGINT)),
+  ('rejected', CAST(1 AS BIGINT), CAST(35 AS BIGINT))
+) AS t(status, n, surviving_rows)
+""",
+)
 def st06_approval_pipeline_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full EP1->EP4 lifecycle (SURVEY §3) as one
     simulation: CSV files derived from the customer fixture arrive,
     get pending ledger rows, an approval stream (insert -> upsert ->
     reject -> two-phase delete) drives foreachBatch-style batches, the
     delete queue drains, and the final ledger + table state comes back
-    as (status, n) counts plus surviving-row count. Rows-only: the
-    output exercises TableStore/Ledger/ApprovalPipeline side effects
-    that SQL cannot model."""
+    as (status, n) counts plus surviving-row count — oracle-paired
+    since r12 against the analytically-derived literal outcome (see
+    the oracle comment)."""
     import tempfile
 
     from etl_notifier_pipeline_spark.streaming import ApprovalPipeline, LogNotifier
@@ -447,7 +467,9 @@ def st06_approval_pipeline_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     surviving = pipe.store.read("cust").count()
-    return statuses.withColumn("surviving_rows", F.lit(surviving))
+    return statuses.withColumn(
+        "surviving_rows", F.lit(surviving).cast("long")
+    )
 
 
 @register("q28_approx_distinct", category="aggregation", oracle=None)
@@ -852,6 +874,75 @@ def xm03_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = feats.filter(
         (F.col("media_id") < 8) | (F.col("media_id") >= 1_000_000)
     )
+    return S.topk_cosine(
+        feats, probes, k=3, id_col="media_id", vec_col="features"
+    )
+
+
+_XM05_FEAT = (
+    "list_transform(range(0, 16), i -> "
+    "(16*(position(substr(sha256(COALESCE({t}, '')), 2*i+1, 1) "
+    "IN '0123456789abcdef')-1) "
+    "+ (position(substr(sha256(COALESCE({t}, '')), 2*i+2, 1) "
+    "IN '0123456789abcdef')-1))::DOUBLE / 255.0)"
+)
+_XM05_DOT = (
+    "list_reduce(list_transform(range(1, 17), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+_XM05_NORM = (
+    "sqrt(list_reduce(list_transform(range(1, 17), "
+    "i -> {a}[i] * {a}[i]), (x, y) -> x + y))"
+)
+_XM05_COS = (
+    f"({_XM05_DOT} / "
+    f"({_XM05_NORM.format(a='{a}')} * {_XM05_NORM.format(a='{b}')}))"
+)
+
+
+@register(
+    "xm05_media_near_dup_contract",
+    category="multimodal",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id AS media_id, {_XM05_FEAT.format(t='text')} AS f
+  FROM documents WHERE doc_id < 200
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+         {_XM05_COS.format(a='q.f', b='c.f')} AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.media_id
+           ORDER BY {_XM05_COS.format(a='q.f', b='c.f')} DESC,
+                    c.media_id) AS rank
+  FROM feats q, feats c
+  WHERE q.media_id < 8 AND c.media_id <> q.media_id
+) WHERE rank <= 3
+""",
+)
+def xm05_media_near_dup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xm03's oracle-paired twin at the FAKE-codec operating point
+    (r12, the xm01 contract pattern applied to the near-dup
+    composition): the deterministic stand-in feature is sha256 bytes
+    / 255, which the DuckDB twin recomputes in SQL — so the whole
+    multimodal->similarity PLUMBING is under the bit-exact hash gate:
+    the Arrow mapInPandas batch shape, the (media_id, modality,
+    features) schema, null-content handling, the persisted
+    decode-once/two-leg reuse, and the s01-style broadcast top-k join
+    with its fold arithmetic and tie-break. A features row lost to a
+    batch boundary, a swapped id, or a rank drift all flip the hash.
+    xm03 stays the real-codec operating point (genuine PNG/WAV decode
+    facts are literal-pinned by xm01/xm04)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    feats = tracked_persist(MM.extract_features(media, codec="fake"))
+    probes = feats.filter(F.col("media_id") < 8)
     return S.topk_cosine(
         feats, probes, k=3, id_col="media_id", vec_col="features"
     )

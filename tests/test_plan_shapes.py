@@ -288,6 +288,7 @@ def test_no_row_python_in_any_registered_query(spark):
     PANDAS_OK = {
         "xm01_multimodal_features",
         "xm03_media_near_dup",  # same codec path as xm01 feeding s01's plan
+        "xm05_media_near_dup_contract",  # xm03's fake-codec oracle twin
         "xm04_audio_stats",  # WAV header walk + decode are Arrow passes
         # Arrow-batched by design: IVF cell assignment and PQ encode are
         # numpy matmuls over the embedding column (extensions/similarity.py);
