@@ -45,9 +45,18 @@ def main(sf_dir: str) -> None:
         bcasts = plan.count("BroadcastExchange")
         scans = plan.count("FileScan")
         python = len(re.findall(r"ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas|MapInPandas", plan))
+        # Column width from the FileScan OUTPUT list, one per scan
+        # line. (The old ReadSchema regex used [^>]*, which crosses
+        # newlines whenever Spark's toString truncates a long line
+        # before the closing '>' — it then swallowed the next scans
+        # whole and reported phantom 27-column reads on fully-pruned
+        # 6-column plans. The bracketed output list is never
+        # truncated mid-line for these plans and splits safely: the
+        # attribute names carry no commas, unlike decimal(p,s) types.)
         widths = [
             len(m.split(","))
-            for m in re.findall(r"ReadSchema: struct<([^>]*)", plan)
+            for line in plan.splitlines()
+            for m in re.findall(r"FileScan \w+ \[([^\]]*)\]", line)
         ]
         rescans = {
             t: n
