@@ -109,3 +109,23 @@ def test_artifact_vs_prev_handles_bare_float_and_missing_canary():
     assert got["spark"]["q1"]["raw_delta_pct"] == 50.0
     assert "norm_delta_pct" not in got["spark"]["q1"]
     assert "raw deltas only" in got["note"]
+
+
+def test_artifact_vs_prev_flags_differing_query_sets():
+    """The aggregate ratio comparison is only apples-to-apples when
+    both artifacts measured the same queries — a query-set change must
+    be disclosed next to the ratio pair."""
+    from tools.benchproto import artifact_vs_prev
+
+    prev = _mk_doc("/x/sf10", "deployment", 50.0,
+                   {"q1": 1.0}, {"q1": 1.0}, ratio=1.0)
+    this = _mk_doc("/x/sf10", "deployment", 50.0,
+                   {"q1": 1.0, "q2": 2.0}, {"q1": 1.0, "q2": 1.0},
+                   ratio=1.5)
+    got = artifact_vs_prev(prev, this)
+    assert "caveat" in got["ratio_vs_duckdb"]
+    assert "added ['q2']" in got["ratio_vs_duckdb"]["caveat"]
+    # identical sets: no caveat
+    same = artifact_vs_prev(prev, _mk_doc(
+        "/x/sf10", "deployment", 50.0, {"q1": 2.0}, {"q1": 1.0}, ratio=2.0))
+    assert "caveat" not in same["ratio_vs_duckdb"]

@@ -193,4 +193,14 @@ def artifact_vs_prev(prev: dict | None, this_doc: dict) -> dict | None:
     this_ratio = this_doc.get("ratio_vs_duckdb")
     if prev_ratio and this_ratio:
         out["ratio_vs_duckdb"] = {"prev": prev_ratio, "this": this_ratio}
+        prev_q = set((prev.get("queries") or {}))
+        this_q = set((this_doc.get("queries") or {}))
+        if prev_q != this_q:
+            # the aggregate ratios cover different query sets — only
+            # the per-query rows above are apples-to-apples
+            out["ratio_vs_duckdb"]["caveat"] = (
+                f"query sets differ: prev={len(prev_q)} this={len(this_q)}"
+                f" (added {sorted(this_q - prev_q)},"
+                f" removed {sorted(prev_q - this_q)})"
+            )
     return out
