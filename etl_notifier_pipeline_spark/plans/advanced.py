@@ -477,42 +477,10 @@ def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) per event_type — approximate by
     design, so no value oracle (rows-only; the <=2% error bound vs
     exact countDistinct is a property test in tests/test_advanced.py,
-    and q85 oracle-pairs the 3-sigma error contract)."""
+    and q83 oracle-pairs the 4-sigma error contract)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users")
-    )
-
-
-@register(
-    "q85_approx_distinct_error_bound",
-    category="aggregation",
-    oracle="""
-SELECT event_type,
-       COUNT(DISTINCT user_id) AS exact,
-       TRUE AS within_bound
-FROM events GROUP BY event_type
-""",
-)
-def q85_approx_distinct_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q28's error contract IN the result (the q81/q82 pattern, r12):
-    Spark's built-in approx_count_distinct (HLL++) is a DIFFERENT
-    estimator from q81's hll_sketch_agg, so it gets its own
-    oracle-paired contract — the DuckDB twin computes the exact
-    distinct counts and literal TRUE, and the value-hash compare fails
-    iff the estimate leaves |est - exact| <= max(5, 3 * rsd * exact)
-    (rsd=0.02, so the bound is 3 sigma — a pass is an accuracy
-    statement, not a tautology). The raw estimates stay visible in the
-    rows-only q28."""
-    ev = load_table(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx"),
-        F.countDistinct("user_id").alias("exact"),
-    )
-    err = F.abs(F.col("approx") - F.col("exact"))
-    bound = F.greatest(F.lit(5.0), F.lit(3 * 0.02) * F.col("exact"))
-    return agg.select(
-        "event_type", "exact", (err <= bound).alias("within_bound")
     )
 
 
