@@ -34,7 +34,11 @@ def _parse_mem_bytes(s: str) -> int:
     s = s.strip().lower()
     if s and s[-1] in _MEM_SUFFIX:
         return int(float(s[:-1]) * _MEM_SUFFIX[s[-1]])
-    return int(s)
+    # Spark's JVM-heap properties read a bare number as MiB
+    # (spark.driver.memory "8192" == "8192m") — match that, or a
+    # unitless value would derive byte-scale budgets and floor the
+    # splits to 4m on a 128 GiB box.
+    return int(float(s) * (1 << 20))
 
 
 def derived_split_bytes(driver_mem: str, slots: int) -> tuple[int, int]:

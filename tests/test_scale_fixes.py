@@ -468,8 +468,10 @@ def test_derived_split_bytes_scales_with_memory_and_slots():
     assert derived_split_bytes("64g", 8) == (128 << 20, 64 << 20)
     # a starved 2g/32-slot box: floors at 4m/2m, task overhead bound
     assert derived_split_bytes("2g", 32) == (4 << 20, 2 << 20)
-    # suffix parsing: 8192m == 8g
+    # suffix parsing: 8192m == 8g; bare numbers are MiB (Spark's
+    # spark.driver.memory semantics), not bytes
     assert derived_split_bytes("8192m", 32) == (16 << 20, 8 << 20)
+    assert derived_split_bytes("8192", 32) == (16 << 20, 8 << 20)
 
 
 def test_session_split_conf_env_override_wins(monkeypatch):
