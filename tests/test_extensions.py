@@ -1745,9 +1745,11 @@ def test_ann_recall_main_run_carries_merged_sections(tmp_path):
     got = mod._carry_sections(None, str(art))
     assert set(got) == {"frontier", "maintenance"}
     assert got["frontier"] == {"ivf": {"points": [1]}}
-    # --merge source wins over the --json file
+    # --merge source wins over the --json file per section; a section
+    # only the --json artifact carries is backstopped, not dropped
     got = mod._carry_sections({"frontier": {"lsh": {}}}, str(art))
-    assert got == {"frontier": {"lsh": {}}}
+    assert got == {"frontier": {"lsh": {}},
+                   "maintenance": {"corpus_rows": 5}}
     # fresh artifact / unreadable file: nothing to carry, no crash
     assert mod._carry_sections(None, str(tmp_path / "absent.json")) == {}
     bad = tmp_path / "bad.json"

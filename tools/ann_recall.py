@@ -392,17 +392,21 @@ def _carry_sections(prev: dict | None, json_out: str | None) -> dict:
     frontier+maintenance data in r11). Collect any previously merged
     sections to carry forward — from --merge's source if given, else
     from whatever already sits at --json."""
-    source = prev
-    if source is None and json_out and os.path.exists(json_out):
+    sources = [prev] if prev else []
+    if json_out and os.path.exists(json_out):
         try:
-            source = json.load(open(json_out))
+            sources.append(json.load(open(json_out)))
         except (OSError, json.JSONDecodeError):
-            source = None
-    return {
-        section: source[section]
-        for section in ("frontier", "maintenance")
-        if source and section in source
-    }
+            pass
+    out: dict = {}
+    for section in ("frontier", "maintenance"):
+        # --merge's source wins; the artifact at --json backstops a
+        # section the merge source never carried
+        for source in sources:
+            if section in source:
+                out[section] = source[section]
+                break
+    return out
 
 
 def main() -> None:
