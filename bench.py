@@ -369,14 +369,16 @@ def duckdb_twin_times(
     return out
 
 
-def _prev_round_artifact() -> tuple[int, dict] | None:
+def _prev_round_artifact(root: str | None = None) -> tuple[int, dict] | None:
     """Latest committed BENCH_r{N}.json in the repo root (the driver's
     per-round record) — the baseline for canary-normalized
-    round-over-round deltas."""
+    round-over-round deltas. ``root`` overrides the repo root for
+    tests."""
     import glob
     import re
 
-    root = os.path.dirname(os.path.abspath(__file__))
+    if root is None:
+        root = os.path.dirname(os.path.abspath(__file__))
     best: tuple[int, dict] | None = None
     for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
@@ -400,7 +402,13 @@ def _prev_round_artifact() -> tuple[int, dict] | None:
         # doc has no per-query data — which silently emptied every
         # vs_prev table through r11. The per-round stamps artifact
         # (written below, un-truncatable) carries the same numbers:
-        # reconstruct the prev doc from it.
+        # reconstruct the prev doc from it. A failed reconstruction
+        # must still return (n, {}) — returning None here would reset
+        # main()'s round counter to 1 and clobber round-1 stamps. The
+        # untagged stamps file is the ORACLE profile's by the naming
+        # contract below; carry the profile so vs_prev_section can
+        # refuse a cross-profile comparison instead of splicing
+        # oracle walls into a deployment run's table.
         sp = os.path.join(root, f"BENCH_STAMPS_r{n:02d}.json")
         try:
             with open(sp) as f:
@@ -412,14 +420,18 @@ def _prev_round_artifact() -> tuple[int, dict] | None:
                 },
                 "host_canary_ms_pre": stamps.get("host_canary_ms_pre"),
                 "host_canary_ms_post": stamps.get("host_canary_ms_post"),
+                "numeric_profile": stamps.get("numeric_profile", "oracle"),
             }
         except (OSError, json.JSONDecodeError, KeyError, TypeError):
-            return None
+            doc = {}
     return n, doc
 
 
 def vs_prev_section(
-    timings: dict[str, float], canary_pre: float, canary_post: float
+    timings: dict[str, float],
+    canary_pre: float,
+    canary_post: float,
+    profile: str = "oracle",
 ) -> dict | None:
     """Canary-normalized round-over-round table (r6 verdict ask #2):
     this round's seconds are rescaled to the PREVIOUS artifact's host
@@ -432,6 +444,18 @@ def vs_prev_section(
     if prev is None:
         return None
     n, pdoc = prev
+    prev_profile = pdoc.get("numeric_profile", "oracle")
+    if prev_profile != profile:
+        # oracle (decimal) and deployment (double) walls run different
+        # plans — comparing them reports phantom regressions
+        return {
+            "round": n,
+            "note": (
+                f"prev round's stamps are {prev_profile}-profile, this "
+                f"run is {profile}: not comparable, no deltas"
+            ),
+            "queries": {},
+        }
     pc = [
         v
         for v in (
@@ -550,7 +574,9 @@ def main() -> None:
                 "host_canary_ms_post": (post := host_canary_ms()),
                 # canary-normalized round-over-round table vs the
                 # latest committed BENCH_r{N}.json
-                "vs_prev": vs_prev_section(timings, canary, post),
+                "vs_prev": vs_prev_section(
+                    timings, canary, post, profile=profile
+                ),
             }
         )
     )

@@ -619,12 +619,18 @@ def s22_ivfpq_full_probe_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shortlist broadcast, the exact rerank folds) must hash-equal
     brute force bit-for-bit. A dropped cell, a mis-shaped LUT, or a
     shortlist off-by-one loses a neighbor and fails the gate; ADC's
-    APPROXIMATION quality stays the recall harness's job."""
+    APPROXIMATION quality stays the recall harness's job. cand_mult
+    derives from the ACTUAL corpus size — a fixed constant silently
+    turns degenerate-exact back into approximate at a bigger sf_dir
+    (cand_mult=100 covered sf0.01's 500 vectors but pruned true
+    neighbors out of sf0.1's 2000 and failed the gate, r12)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
+    k = 5
+    n = emb.count()
     index, params = S.ivfpq_build(emb, n_cells=4, n_codes=16)
     return S.ivfpq_query(
-        index, params, queries, k=5, n_probe=4, cand_mult=100, nq=8
+        index, params, queries, k=k, n_probe=4, cand_mult=-(-n // k), nq=8
     )
 
 
@@ -642,10 +648,14 @@ def s23_pq_exhaustive_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms with the same sequential fold as the JVM for exactly this
     gate). Flat PQ's recall ceiling at scale is documented in
     ANN_RECALL_sf100.json's pq_flat_diagnostic; this pins the
-    machinery, not the approximation."""
+    machinery, not the approximation. cand_mult derives from the
+    ACTUAL corpus size (see s22: the fixed constant failed the gate
+    at sf0.1)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return S.pq_topk(emb, queries, k=5, cand_mult=100)
+    k = 5
+    n = emb.count()
+    return S.pq_topk(emb, queries, k=k, cand_mult=-(-n // k))
 
 
 @register(

@@ -32,6 +32,15 @@ _AMPLIFICATION_HEADROOM = 16
 
 def _parse_mem_bytes(s: str) -> int:
     s = s.strip().lower()
+    # Spark's JavaUtils.byteStringAsBytes accepts both one- and
+    # two-letter suffixes ("8g" == "8gb") plus bare "b" for bytes —
+    # accept the same set, since the value is passed verbatim to
+    # spark.driver.memory and "8gb" was a working config before the
+    # derivation existed.
+    if s.endswith("b") and len(s) > 1 and s[-2] in _MEM_SUFFIX:
+        s = s[:-1]
+    if s.endswith("b"):
+        return int(float(s[:-1]))
     if s and s[-1] in _MEM_SUFFIX:
         return int(float(s[:-1]) * _MEM_SUFFIX[s[-1]])
     # Spark's JVM-heap properties read a bare number as MiB
@@ -59,6 +68,21 @@ def derived_split_bytes(driver_mem: str, slots: int) -> tuple[int, int]:
     return split, max(2 << 20, split // 2)
 
 
+def split_conf(driver_mem: str, slots: int) -> dict[str, str]:
+    """The two split-size session confs, derived from the memory/slot
+    budget with explicit ``SPARK_GRAFT_*`` env overrides winning (the
+    bench A/B harness depends on the overrides)."""
+    split_bytes, advisory_bytes = derived_split_bytes(driver_mem, slots)
+    return {
+        "spark.sql.files.maxPartitionBytes": os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", str(split_bytes)
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+            "SPARK_GRAFT_ADVISORY_PARTITION", str(advisory_bytes)
+        ),
+    }
+
+
 def get_spark(
     app_name: str = "etl_notifier_pipeline_spark",
     *,
@@ -78,9 +102,7 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus or (os.cpu_count() or 8)
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
-    split_bytes, advisory_bytes = derived_split_bytes(
-        driver_mem, cpus or (os.cpu_count() or 8)
-    )
+    split_confs = split_conf(driver_mem, cpus or (os.cpu_count() or 8))
 
     builder = (
         SparkSession.builder.master(master)
@@ -135,15 +157,11 @@ def get_spark(
         # fixed costs ~7x on dense whole-corpus passes.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get(
-                "SPARK_GRAFT_MAX_PARTITION_BYTES", str(split_bytes)
-            ),
+            split_confs["spark.sql.files.maxPartitionBytes"],
         )
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get(
-                "SPARK_GRAFT_ADVISORY_PARTITION", str(advisory_bytes)
-            ),
+            split_confs["spark.sql.adaptive.advisoryPartitionSizeInBytes"],
         )
     )
     for k, v in (extra_conf or {}).items():

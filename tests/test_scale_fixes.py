@@ -468,21 +468,36 @@ def test_derived_split_bytes_scales_with_memory_and_slots():
     assert derived_split_bytes("64g", 8) == (128 << 20, 64 << 20)
     # a starved 2g/32-slot box: floors at 4m/2m, task overhead bound
     assert derived_split_bytes("2g", 32) == (4 << 20, 2 << 20)
-    # suffix parsing: 8192m == 8g; bare numbers are MiB (Spark's
-    # spark.driver.memory semantics), not bytes
+    # suffix parsing: 8192m == 8g; Spark's two-letter forms ("8gb")
+    # are legal too; bare numbers are MiB (spark.driver.memory
+    # semantics), not bytes
     assert derived_split_bytes("8192m", 32) == (16 << 20, 8 << 20)
     assert derived_split_bytes("8192", 32) == (16 << 20, 8 << 20)
+    assert derived_split_bytes("8gb", 32) == (16 << 20, 8 << 20)
+    assert derived_split_bytes("8192mb", 32) == (16 << 20, 8 << 20)
 
 
 def test_session_split_conf_env_override_wins(monkeypatch):
     """Explicit SPARK_GRAFT_* env overrides must beat the derivation
-    (the bench A/B harness depends on them)."""
-    import etl_notifier_pipeline_spark.session as sess
+    (the bench A/B harness depends on them) — asserted against the
+    conf-resolution helper get_spark actually uses, not against
+    os.environ itself (the r12 review caught the original test
+    passing tautologically without touching the session code)."""
+    from etl_notifier_pipeline_spark.session import split_conf
 
-    monkeypatch.setenv("SPARK_GRAFT_MAX_PARTITION_BYTES", "64m")
-    got = os.environ.get(
-        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 << 20)
+    monkeypatch.delenv("SPARK_GRAFT_MAX_PARTITION_BYTES", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_ADVISORY_PARTITION", raising=False)
+    derived = split_conf("8g", 32)
+    assert derived["spark.sql.files.maxPartitionBytes"] == str(16 << 20)
+    assert (
+        derived["spark.sql.adaptive.advisoryPartitionSizeInBytes"]
+        == str(8 << 20)
     )
-    assert got == "64m"
-    # and the derivation itself ignores env entirely (pure function)
-    assert sess.derived_split_bytes("8g", 32)[0] == 16 << 20
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PARTITION_BYTES", "64m")
+    monkeypatch.setenv("SPARK_GRAFT_ADVISORY_PARTITION", "32m")
+    overridden = split_conf("8g", 32)
+    assert overridden["spark.sql.files.maxPartitionBytes"] == "64m"
+    assert (
+        overridden["spark.sql.adaptive.advisoryPartitionSizeInBytes"]
+        == "32m"
+    )
