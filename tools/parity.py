@@ -8,7 +8,7 @@ like DuckDB HUGEINT (int128 SUM results) -> float64, which raw
 ``fetchall()`` hides (r01 lesson: q17/x01 passed locally, failed the
 driver). A PASS here is a strong predictor of CORRECTNESS_r{N}.json.
 
-Usage:  python tools/parity.py [sf_dir] [query ...]
+Usage:  python tools/parity.py [sf_dir] [query ...] [--all-sf]
 """
 
 from __future__ import annotations
@@ -189,6 +189,24 @@ if __name__ == "__main__":
         i = args.index("--round")
         globals()['FLOAT_SIG_DIGITS'] = int(args[i + 1])
         del args[i : i + 2]
+    if "--all-sf" in args:
+        # The tri-scale gate (r12): two defects were invisible at the
+        # driver's sf0.01 — a shortlist constant that broke a
+        # degenerate-exact ANN twin only at sf0.1, and an HLL
+        # union-equality contract that only holds in the sparse
+        # regime. One command sweeps all three fixture scales; any
+        # mismatch anywhere fails.
+        args.remove("--all-sf")
+        only = [a for a in args if "/" not in a] or None
+        rc = 0
+        for sf in (
+            "/root/testdata/sf0.001",
+            "/root/testdata/sf0.01",
+            "/root/testdata/sf0.1",
+        ):
+            print(f"=== {sf} ===", flush=True)
+            rc |= run(sf, only, None)
+        sys.exit(rc)
     sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a] or None
     sys.exit(run(sf, only, json_out))
