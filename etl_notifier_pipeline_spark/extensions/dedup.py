@@ -268,7 +268,16 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     rate, which fixture amplification keeps linear (measured through
     5 M docs: pair counts exactly linear, SCALE_GROWTH.json). SimHash
     needed the multi-block rewrite because its band keys are SLICES of
-    a fixed 64-bit signature — a 2^16 space that saturates."""
+    a fixed 64-bit signature — a 2^16 space that saturates.
+
+    The band frame is deliberately NOT persisted, unlike d03's
+    shingle index and simhash_pairs' band frame: measured at sf0.1
+    (warm best-of-3) the persist made this SLOWER, 1.45 s → 1.89 s —
+    the upstream hashed-shingle frame is already cached
+    (minhash_lsh_dedup), so each leg's recomputation is only the
+    cheap map-side-combined 16-min aggregate over cached rows, while
+    the persist pays materialization and breaks the codegen pipeline
+    into the join."""
     b = lsh_bands(sig, n_bands)
     l, r = b.alias("l"), b.alias("r")
     return (
