@@ -946,10 +946,17 @@ def pq_topk(
                 }
             )
 
+    # q_norm via the same JVM sequential fold as every other serve path
+    # (the numpy norm the LUT pass computes sums in a different order —
+    # one ulp off the fold, which the bit-exact oracle gate of the
+    # exhaustive operating point would see). Evaluated HERE, once per
+    # query in the KB-sized broadcast frame — not per candidate pair in
+    # the rerank, where the interpreted 64-element fold would run
+    # cand_mult*k times per query (n times at the s23 exhaustive point).
     q = queries.select(id_col, vec_col).mapInPandas(
         luts,
         "query_id long, q_vec array<float>, luts array<array<double>>",
-    )
+    ).withColumn("q_norm", norm(F.col("q_vec")))
     enc = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
     adc = F.aggregate(
         F.zip_with(
@@ -964,24 +971,20 @@ def pq_topk(
         enc.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            "query_id", "neighbor_id", "q_vec", "c_vec", "c_norm",
-            adc.alias("adc"),
+            "query_id", "neighbor_id", "q_vec", "q_norm", "c_vec",
+            "c_norm", adc.alias("adc"),
         )
     )
     wa = W.partitionBy("query_id").orderBy(F.col("adc"), F.col("neighbor_id"))
     cand = scored.withColumn("arank", F.row_number().over(wa)).filter(
         F.col("arank") <= cand_mult * k
     )
-    # q_norm via the same JVM sequential fold as every other serve
-    # path (the numpy norm the LUT pass computes sums in a different
-    # order — one ulp off the fold, which the bit-exact oracle gate
-    # of the exhaustive operating point would see)
     exact = cand.select(
         "query_id",
         "neighbor_id",
         (
             dot(F.col("q_vec"), F.col("c_vec"))
-            / (norm(F.col("q_vec")) * F.col("c_norm"))
+            / (F.col("q_norm") * F.col("c_norm"))
         ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(

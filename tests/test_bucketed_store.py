@@ -1365,7 +1365,11 @@ class TestConcurrentReaderDuringCompaction:
             str(tmp_path / "race"),
             keys={"t": ["k"]},
             n_buckets=8,
-            retain_versions=12,
+            # sized past the WORST-case retry schedule (1 overwrite +
+            # 2 arm + 3 trips x 2 versions + 4 re-arm = 13 commits): a
+            # vacuumed version an early read legitimately observed
+            # would otherwise flag a phantom torn read
+            retain_versions=24,
             auto_compact_deltas=2,
         )
         n = 5_000
@@ -1425,15 +1429,39 @@ class TestConcurrentReaderDuringCompaction:
 
         reader = threading.Thread(target=reader_loop, daemon=True)
         reader.start()
+        # Bounded retries (r12 advice): the overlap proof depends on
+        # thread scheduling — a commit that lands entirely between two
+        # reader collects would fail a CORRECT store. Re-arm (two more
+        # non-tripping deltas) and re-trip up to 3 times; every
+        # attempt's observations still go through the torn-read check.
+        overlapping: list = []
         try:
-            # the 3rd delta commit exceeds the cap and trips compact()
-            commit_t0 = _time.perf_counter()
-            store.apply_keyed_mutation(
-                "t", upd(2), ["k"], ["v"], "update", strategy="merge_on_read"
-            )
-            commit_t1 = _time.perf_counter()
-            assert store.last_auto_compact_version is not None
-            _time.sleep(0.3)  # let at least one post-compaction read land
+            mut_i = 2
+            for _attempt in range(3):
+                # this delta commit exceeds the cap and trips compact()
+                commit_t0 = _time.perf_counter()
+                store.apply_keyed_mutation(
+                    "t", upd(mut_i), ["k"], ["v"], "update",
+                    strategy="merge_on_read",
+                )
+                commit_t1 = _time.perf_counter()
+                assert store.last_auto_compact_version is not None
+                mut_i += 1
+                _time.sleep(0.3)  # let in-flight reads land
+                overlapping = [
+                    o
+                    for o in observations
+                    if o[3] >= commit_t0 and o[2] <= commit_t1
+                ]
+                if overlapping or reader_errors:
+                    break
+                # re-arm the compaction policy below its trip point
+                for _ in range(2):
+                    store.apply_keyed_mutation(
+                        "t", upd(mut_i), ["k"], ["v"], "update",
+                        strategy="merge_on_read",
+                    )
+                    mut_i += 1
         finally:
             stop.set()
             reader.join(timeout=120)
@@ -1451,13 +1479,9 @@ class TestConcurrentReaderDuringCompaction:
             legal.add((row["c"], str(row["s"])))
         assert reader_errors == [], f"reader thread crashed: {reader_errors}"
         assert observations, "reader never completed a read"
-        overlapping = [
-            o for o in observations if o[3] >= commit_t0 and o[2] <= commit_t1
-        ]
         assert overlapping, (
-            "no read overlapped the tripping commit — the race was never "
-            f"exercised (commit window {commit_t1 - commit_t0:.2f}s, "
-            f"{len(observations)} reads)"
+            "no read overlapped any of 3 tripping commits — the race "
+            f"was never exercised ({len(observations)} reads)"
         )
         torn = [o[:2] for o in observations if o[:2] not in legal]
         assert torn == [], f"torn reads observed: {torn} not in {legal}"

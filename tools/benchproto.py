@@ -97,12 +97,21 @@ def protocol_header(n_runs: int, **kw) -> dict:
 
 
 def _entry_sec(entry) -> float | None:
-    """A prev artifact's per-query entry: stamped dict or bare float."""
+    """A prev artifact's per-query entry: stamped dict or bare float.
+    Malformed entries (non-numeric strings, wrong shapes) degrade to
+    None — one bad prev entry must not abort a whole vs_prev table
+    (nor, transitively, an artifact write after an expensive run)."""
     if entry is None:
         return None
     if isinstance(entry, dict):
-        return entry.get("sec")
-    return float(entry)
+        entry = entry.get("sec")
+        if entry is None:
+            return None
+    try:
+        sec = float(entry)
+    except (TypeError, ValueError):
+        return None
+    return sec if sec > 0 else None
 
 
 def _canary_avg(doc: dict) -> float | None:

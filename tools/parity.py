@@ -197,15 +197,33 @@ if __name__ == "__main__":
         # regime. One command sweeps all three fixture scales; any
         # mismatch anywhere fails.
         args.remove("--all-sf")
+        explicit_sf = [a for a in args if "/" in a]
+        if explicit_sf:
+            # an explicit sf_dir under --all-sf would be silently
+            # ignored (the sweep pins its own three scales) — refuse
+            raise SystemExit(
+                f"--all-sf sweeps fixed scales; drop {explicit_sf}"
+            )
         only = [a for a in args if "/" not in a] or None
         rc = 0
+        scale_docs: dict[str, str] = {}
         for sf in (
             "/root/testdata/sf0.001",
             "/root/testdata/sf0.01",
             "/root/testdata/sf0.1",
         ):
             print(f"=== {sf} ===", flush=True)
-            rc |= run(sf, only, None)
+            # per-scale json files (suffix the scale onto the stem) so
+            # --all-sf --json writes artifacts instead of silently
+            # dropping the flag
+            scale_out = None
+            if json_out:
+                stem, ext = os.path.splitext(json_out)
+                scale_out = f"{stem}_{os.path.basename(sf)}{ext}"
+                scale_docs[sf] = scale_out
+            rc |= run(sf, only, scale_out)
+        if json_out:
+            print(f"wrote per-scale artifacts: {sorted(scale_docs.values())}")
         sys.exit(rc)
     sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a] or None

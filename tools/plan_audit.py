@@ -29,6 +29,11 @@ def main(sf_dir: str) -> None:
     FACTS = ("lineitem", "orders", "events", "documents", "embeddings")
 
     spark = get_spark("plan_audit")
+    # Wide scans (> the default 25-field maxToStringFields) get their
+    # toString output list elided to "... N more fields", whose commas
+    # the width count below would miscount as columns. Diagnostic-only
+    # session: raise the cap so the bracketed list is always complete.
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
     print(f"{'query':34} {'shuffles':>8} {'bcasts':>6} {'scans':>5} "
           f"{'python':>6}  scan columns / rescans")
     for name, spec in plans.specs().items():
@@ -56,7 +61,10 @@ def main(sf_dir: str) -> None:
         widths = [
             len(m.split(","))
             for line in plan.splitlines()
-            for m in re.findall(r"FileScan \w+ \[([^\]]*)\]", line)
+            # bracket-free prefix: catalog-qualified scans print as
+            # "FileScan parquet db.t[...]" — dotted name, no space
+            # before the bracket — which the old "\w+ \[" missed
+            for m in re.findall(r"FileScan [^\[\]]*\[([^\]]*)\]", line)
         ]
         rescans = {
             t: n

@@ -245,8 +245,21 @@ def main() -> None:
         try:
             with open(json_out) as f:
                 doc["vs_prev"] = artifact_vs_prev(json.load(f), doc)
-        except (OSError, json.JSONDecodeError):
-            pass
+        except (
+            OSError,
+            json.JSONDecodeError,
+            # a malformed prev artifact (non-numeric entry -> ValueError
+            # in _entry_sec, zero prev_sec -> ZeroDivisionError, wrong
+            # shape -> TypeError/KeyError/AttributeError) must degrade
+            # to vs_prev-absent, not abort the write AFTER the full
+            # expensive benchmark completed and lose the new stamps
+            ValueError,
+            TypeError,
+            KeyError,
+            AttributeError,
+            ZeroDivisionError,
+        ):
+            doc["vs_prev"] = None
     print(json.dumps(doc))
     if json_out:
         with open(json_out, "w") as f:
