@@ -1354,7 +1354,20 @@ class BucketedTableStore:
                     len(dirs) > self.auto_compact_deltas
                     for dirs in m.get("deltas", {}).values()
                 ):
-                    self.last_auto_compact_version = self.compact(table)
+                    # Auto-compaction racing ANOTHER writer (r12 ask
+                    # #2): the fold stages outside the commit lock, so
+                    # a concurrent mutation can advance the pointer
+                    # first and the fold's CAS loses. That is the
+                    # CORRECT outcome — the mutation's data must win;
+                    # the fold is best-effort maintenance that re-trips
+                    # on the next commit (the delta stack is still over
+                    # policy). Propagating the loss would fail a
+                    # mutation that already committed, so the loser
+                    # degrades to "no compaction this commit".
+                    try:
+                        self.last_auto_compact_version = self.compact(table)
+                    except ConcurrentWriteError:
+                        self.last_auto_compact_version = None
             return v
         current = self._read_paths(table, affected)
         if op == "insert":

@@ -1485,3 +1485,192 @@ class TestConcurrentReaderDuringCompaction:
         )
         torn = [o[:2] for o in observations if o[:2] not in legal]
         assert torn == [], f"torn reads observed: {torn} not in {legal}"
+
+
+class TestWriterRacingAutoCompaction:
+    """The writer-vs-compaction CAS contract (r12 verdict ask #2; the
+    one concurrency shape the writer-writer and reader-compaction
+    tests did not pin). The auto-compaction fold stages its rewrite
+    OUTSIDE the commit lock, so a concurrent keyed mutation can
+    interleave anywhere in that window. Required outcome, both
+    directions: exactly one side wins the version CAS, the loser gets
+    a clean ConcurrentWriteError (degraded to a skipped fold when the
+    loser is the best-effort compaction), NO committed update is ever
+    lost, and every manifest stays readable.
+
+    Reference capability: ST2/O9 atomicity — the reference gets this
+    from Postgres transactions (process-pipeline.py:36-64,124-127);
+    the pointer-swap store must provide it from its own CAS.
+
+    Both tests inject the interleave DETERMINISTICALLY (a second store
+    instance commits from inside the first store's staging hook) —
+    no thread scheduling, no flake.
+    """
+
+    def _mk_store(self, spark, root, auto=None):
+        return BucketedTableStore(
+            spark, root, keys={"t": ["k"]}, n_buckets=4,
+            retain_versions=20, auto_compact_deltas=auto,
+        )
+
+    def _seed_with_pending_deltas(self, spark, store, n=200):
+        store.overwrite(
+            "t",
+            spark.range(n).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 7).cast("double").alias("v"),
+            ),
+        )
+        for i in range(2):
+            store.apply_keyed_mutation(
+                "t",
+                spark.range(n).filter(F.col("id") % 10 == i).select(
+                    F.col("id").alias("k"),
+                    F.lit(100.0 * (i + 1)).alias("v"),
+                ),
+                ["k"], ["v"], "update", strategy="merge_on_read",
+            )
+
+    def _expected(self, n, updates):
+        """Apply (filter_mod, value) updates in order over the seed."""
+        rows = {k: float(k % 7) for k in range(n)}
+        for mod, val in updates:
+            for k in range(n):
+                if k % 10 == mod:
+                    rows[k] = val
+        return rows
+
+    def test_compaction_loses_cas_to_concurrent_mutation(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Direction A: while the tripping mutation's auto-compaction
+        fold is staged-but-uncommitted, another writer commits a keyed
+        mutation. The fold's CAS must lose; the mutation that already
+        committed AND the interleaved one must both survive; the
+        caller of the tripping mutation sees success (compaction is
+        best-effort maintenance), and the policy re-trips next
+        commit."""
+        from etl_notifier_pipeline_spark.storage import ConcurrentWriteError  # noqa: F401
+
+        root = str(tmp_path / "wrc_a")
+        n = 200
+        store = self._mk_store(spark, root, auto=2)
+        other = self._mk_store(spark, root, auto=None)
+        self._seed_with_pending_deltas(spark, store, n)
+
+        calls = {"n": 0}
+        real_bstage = store._bstage
+
+        def racing_bstage(table, df):
+            staging = real_bstage(table, df)
+            calls["n"] += 1
+            if calls["n"] == 2:
+                # call #1 = the tripping mutation's own stage; call #2
+                # = the compaction fold's stage. The fold now holds a
+                # staged rewrite of version v; interleave another
+                # writer's commit before the fold reaches its CAS.
+                other.apply_keyed_mutation(
+                    "t",
+                    spark.range(n).filter(F.col("id") % 10 == 3).select(
+                        F.col("id").alias("k"), F.lit(999.0).alias("v"),
+                    ),
+                    ["k"], ["v"], "update", strategy="merge_on_read",
+                )
+            return staging
+
+        monkeypatch.setattr(store, "_bstage", racing_bstage)
+        # the 3rd delta trips the fold; its loss must NOT propagate
+        v = store.apply_keyed_mutation(
+            "t",
+            spark.range(n).filter(F.col("id") % 10 == 2).select(
+                F.col("id").alias("k"), F.lit(300.0).alias("v"),
+            ),
+            ["k"], ["v"], "update", strategy="merge_on_read",
+        )
+        assert calls["n"] == 2, "compaction fold never staged"
+        assert store.last_auto_compact_version is None, (
+            "fold claimed a version despite losing the CAS"
+        )
+        assert store.current_version("t") == v + 1  # other's commit won
+        # no lost update: seed + all four mutations all visible
+        got = {r["k"]: r["v"] for r in store.read("t").collect()}
+        assert got == self._expected(
+            n, [(0, 100.0), (1, 200.0), (2, 300.0), (3, 999.0)]
+        )
+        # loser's stage discarded — no orphaned staging dirs
+        stale = [
+            p for p in os.listdir(os.path.join(root, "t"))
+            if p.startswith(".staging-")
+        ]
+        assert stale == [], f"orphaned staging dirs: {stale}"
+        # the delta stack is still over policy: the NEXT commit
+        # re-trips the fold, and with no racer it must win
+        monkeypatch.undo()
+        store.apply_keyed_mutation(
+            "t",
+            spark.range(n).filter(F.col("id") % 10 == 4).select(
+                F.col("id").alias("k"), F.lit(555.0).alias("v"),
+            ),
+            ["k"], ["v"], "update", strategy="merge_on_read",
+        )
+        assert store.last_auto_compact_version is not None
+        got = {r["k"]: r["v"] for r in store.read("t").collect()}
+        assert got == self._expected(
+            n, [(0, 100.0), (1, 200.0), (2, 300.0), (3, 999.0), (4, 555.0)]
+        )
+
+    def test_mutation_loses_cas_to_concurrent_compaction(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Direction B: a keyed mutation stages while a compaction
+        fold commits first. The mutation's CAS must lose with a clean
+        ConcurrentWriteError, its stage discarded; a plain retry
+        succeeds against the compacted table and no committed data is
+        lost."""
+        from etl_notifier_pipeline_spark.storage import ConcurrentWriteError
+
+        root = str(tmp_path / "wrc_b")
+        n = 200
+        store = self._mk_store(spark, root, auto=None)
+        other = self._mk_store(spark, root, auto=None)
+        self._seed_with_pending_deltas(spark, store, n)
+
+        calls = {"n": 0}
+        real_bstage = other._bstage
+
+        def racing_bstage(table, df):
+            staging = real_bstage(table, df)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                # the mutation is staged; the maintenance fold commits
+                # first (pending deltas from the seed guarantee it has
+                # work), advancing the pointer past the mutation's CAS
+                # expectation
+                assert store.compact("t") is not None
+            return staging
+
+        monkeypatch.setattr(other, "_bstage", racing_bstage)
+        mutate = lambda: other.apply_keyed_mutation(  # noqa: E731
+            "t",
+            spark.range(n).filter(F.col("id") % 10 == 5).select(
+                F.col("id").alias("k"), F.lit(777.0).alias("v"),
+            ),
+            ["k"], ["v"], "update", strategy="merge_on_read",
+        )
+        with pytest.raises(ConcurrentWriteError, match="version advanced"):
+            mutate()
+        # loser's stage discarded, table readable at the fold's version
+        stale = [
+            p for p in os.listdir(os.path.join(root, "t"))
+            if p.startswith(".staging-")
+        ]
+        assert stale == [], f"orphaned staging dirs: {stale}"
+        got = {r["k"]: r["v"] for r in store.read("t").collect()}
+        assert got == self._expected(n, [(0, 100.0), (1, 200.0)])
+        # plain retry wins cleanly against the compacted current
+        monkeypatch.undo()
+        mutate()
+        got = {r["k"]: r["v"] for r in other.read("t").collect()}
+        assert got == self._expected(
+            n, [(0, 100.0), (1, 200.0), (5, 777.0)]
+        )
