@@ -129,3 +129,37 @@ def test_artifact_vs_prev_flags_differing_query_sets():
     same = artifact_vs_prev(prev, _mk_doc(
         "/x/sf10", "deployment", 50.0, {"q1": 2.0}, {"q1": 1.0}, ratio=2.0))
     assert "caveat" not in same["ratio_vs_duckdb"]
+
+
+def test_io_canary_fixed_budget_and_graceful_degradation():
+    """r12 verdict ask #1: the IO/page-cache canary must (a) read a
+    FIXED byte budget so its ms compares across rounds, (b) return
+    None — never raise — when the fixture dir is absent (canaries must
+    not fail a bench run), and (c) ride along in stamped_runs brackets
+    when available."""
+    import bench
+
+    ms = bench.io_canary_ms(reps=1, budget_bytes=1 << 22,
+                            sf_dir="/root/testdata/sf0.001")
+    assert ms is not None and ms > 0
+    assert bench.io_canary_ms(sf_dir="/nonexistent/dir") is None
+    stamp = stamped_runs(lambda: 0.1, n_runs=1)
+    assert "io_canary_ms" in stamp
+    assert len(stamp["io_canary_ms"]) == 1
+    assert all(len(pair) == 2 for pair in stamp["io_canary_ms"])
+
+
+def test_entry_sec_malformed_entries_degrade_to_none():
+    """A malformed prev artifact entry (non-numeric, zero, wrong
+    shape) must degrade to None, not crash an artifact write after an
+    expensive run (r12 advice)."""
+    from tools.benchproto import _entry_sec
+
+    assert _entry_sec(None) is None
+    assert _entry_sec(2.5) == 2.5
+    assert _entry_sec({"sec": 3.0}) == 3.0
+    assert _entry_sec({"sec": "garbage"}) is None
+    assert _entry_sec("not-a-number") is None
+    assert _entry_sec(0.0) is None  # zero prev_sec -> no ratio
+    assert _entry_sec({"wrong": "shape"}) is None
+    assert _entry_sec([1, 2]) is None

@@ -32,7 +32,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-PROTOCOL_VERSION = "canary-per-measurement-v1"
+PROTOCOL_VERSION = "canary-per-measurement-v2-io"
 
 
 def stamped_runs(run_once, n_runs: int = 3) -> dict:
@@ -45,6 +45,12 @@ def stamped_runs(run_once, n_runs: int = 3) -> dict:
     - ``canary_ms``      [pre, post] canary per run (consecutive runs
                          share the boundary canary — n_runs+1 kernels
                          total, so the bracket cost stays ~50 ms/run)
+    - ``io_canary_ms``   [pre, post] IO/page-cache canary per run
+                         (bench.io_canary_ms, 1-rep brackets): the
+                         axis the CPU kernel cannot see — r12's
+                         unattributable +14.8% CPU-normalized sf0.1
+                         residual. Omitted when the probe has no
+                         fixture files to read.
     - ``dispersion_pct`` (max-min)/median * 100 across runs — did
                          best-of-N converge, or is the host unstable?
                          ``None`` when n_runs == 1: a one-shot stamp
@@ -56,16 +62,21 @@ def stamped_runs(run_once, n_runs: int = 3) -> dict:
 
     runs: list[float] = []
     canaries: list[list[float]] = []
+    io_canaries: list[list[float | None]] = []
     extras: list[dict | None] = []
     c_prev = bench.host_canary_ms()
+    io_prev = bench.io_canary_ms(reps=1)
     for _ in range(n_runs):
         r = run_once()
         sec, extra = r if isinstance(r, tuple) else (r, None)
         c_next = bench.host_canary_ms()
+        io_next = bench.io_canary_ms(reps=1)
         runs.append(round(float(sec), 3))
         canaries.append([c_prev, c_next])
+        io_canaries.append([io_prev, io_next])
         extras.append(extra)
         c_prev = c_next
+        io_prev = io_next
     best_i = min(range(n_runs), key=lambda i: runs[i])
     med = statistics.median(runs)
     stamp = {
@@ -78,6 +89,8 @@ def stamped_runs(run_once, n_runs: int = 3) -> dict:
             else None
         ),
     }
+    if any(v is not None for pair in io_canaries for v in pair):
+        stamp["io_canary_ms"] = io_canaries
     if extras[best_i]:
         # protocol keys are reserved: an extra named e.g. "sec" would
         # silently overwrite the stamped wall time — colliding extras
