@@ -886,11 +886,74 @@ def x27_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint lineage truncation). Iterative and
     argmax-per-round -> not SQL-expressible; rows-only driver check,
     value gate = exact merge-sequence match against a pure-Python
-    reference BPE in tests/test_bpe.py."""
+    reference BPE in tests/test_bpe.py + the oracle-paired machinery
+    twin x37_bpe_micro_contract (driver-visible literal oracle)."""
     from etl_notifier_pipeline_spark.extensions.bpe import learn_bpe_merges
 
     d = load_table(spark, sf_dir, "documents")
     return learn_bpe_merges(d, n_merges=24)
+
+
+# x27's oracle-paired machinery twin (r12 verdict ask #6, the st06
+# pattern): the SAME learn_bpe_merges code path — word histogram,
+# weighted pair counting, (count desc, left, right) argmax, one-fold
+# left-to-right rewrite, lineage truncation, early stop — runs on a
+# scripted micro-corpus whose merge table is derivable BY HAND, so the
+# oracle is an analytically-known VALUES literal and the whole trainer
+# sits under the driver's hash gate. Derivation (word histogram after
+# lowercase + whitespace split: aaab x5, aab x3, ab x2, cd x7, ce x7):
+#
+#   round 0: pairs (a,a)=2*5+1*3=13, (a,b)=5+3+2=10, (c,d)=7, (c,e)=7
+#            -> merge (a,a)->aa @13; aaab=[aa,a,b], aab=[aa,b]
+#   round 1: (a,b)=5+2=7, (c,d)=7, (c,e)=7, (aa,a)=5, (aa,b)=3
+#            -> count-7 three-way TIE, lexicographic (left,right)
+#            picks (a,b)->ab @7 (pins the deterministic tiebreak)
+#   round 2: (c,d)=7, (c,e)=7, (aa,ab)=5, (aa,b)=3 -> (c,d)->cd @7
+#   round 3: (c,e)=7 -> ce @7
+#   round 4: (aa,ab)=5 -> aaab @5   (multi-char symbol merge)
+#   round 5: (aa,b)=3 -> aab @3
+#   round 6: no adjacent pairs left -> EARLY STOP at 6 of 8 rows
+#
+# SF-independent by construction (scripted input ignores sf_dir), so
+# the tri-scale parity sweep can't drift it.
+_X37_CORPUS = [
+    "AAAB aaab  AAAB",   # aaab x3 (case fold + multi-space split)
+    "aaab aaab",         # aaab x2
+    "aab AAB aab",       # aab x3
+    "ab Ab",             # ab x2
+    "cd CD cd cd",       # cd x4
+    "cd cd cd",          # cd x3
+    "ce CE ce ce ce ce ce",  # ce x7
+]
+
+
+@register(
+    "x37_bpe_micro_contract",
+    category="text_analysis",
+    oracle="""
+SELECT * FROM (VALUES
+  (0, 'a',  'a',  'aa',   CAST(13 AS BIGINT)),
+  (1, 'a',  'b',  'ab',   CAST(7 AS BIGINT)),
+  (2, 'c',  'd',  'cd',   CAST(7 AS BIGINT)),
+  (3, 'c',  'e',  'ce',   CAST(7 AS BIGINT)),
+  (4, 'aa', 'ab', 'aaab', CAST(5 AS BIGINT)),
+  (5, 'aa', 'b',  'aab',  CAST(3 AS BIGINT))
+) AS t("rank", "left", "right", merged, pair_count)
+""",
+)
+def x37_bpe_micro_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE trainer machinery under the hash gate: learn_bpe_merges on
+    the scripted micro-corpus above (hand-derived merge table in the
+    module comment). A wrong pair weight, a broken lexicographic
+    tiebreak, an overlapping-merge rewrite bug, or a missed early stop
+    each flips a literal. n_merges=8 > the 6 derivable merges, so the
+    early-stop path itself is under the gate."""
+    from etl_notifier_pipeline_spark.extensions.bpe import learn_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_X37_CORPUS)], "doc_id long, text string"
+    )
+    return learn_bpe_merges(docs, n_merges=8)
 
 
 @register(

@@ -29,3 +29,11 @@ def tmp_store(spark, tmp_path):
     from etl_notifier_pipeline_spark.storage import TableStore
 
     return TableStore(spark, str(tmp_path / "store"))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "sf_independence: tri-scale oracle parity for scale-sensitive "
+        "queries (deselect with -m 'not sf_independence' for speed)",
+    )

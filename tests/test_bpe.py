@@ -98,3 +98,27 @@ def test_bpe_segment_roundtrip_and_merge_application(spark):
             )
         ).count()
         assert leftover == 0
+
+
+def test_x37_micro_contract_literal_matches_reference(spark):
+    """Triple lock on the x37 oracle literal: the hand-derived VALUES
+    table in plans/ext_text.py must equal the pure-Python reference
+    BPE run on the same scripted corpus — so the literal can't drift
+    from the derivation, independently of the Spark side (which the
+    driver's hash gate compares against the literal)."""
+    from etl_notifier_pipeline_spark.plans.ext_text import _X37_CORPUS
+
+    wc: Counter = Counter()
+    for t in _X37_CORPUS:
+        for w in t.lower().split():
+            wc[w] += 1
+    assert dict(wc) == {"aaab": 5, "aab": 3, "ab": 2, "cd": 7, "ce": 7}
+    want = _reference_bpe(dict(wc), n_merges=8, min_count=2)
+    assert want == [
+        (0, "a", "a", "aa", 13),
+        (1, "a", "b", "ab", 7),
+        (2, "c", "d", "cd", 7),
+        (3, "c", "e", "ce", 7),
+        (4, "aa", "ab", "aaab", 5),
+        (5, "aa", "b", "aab", 3),
+    ]

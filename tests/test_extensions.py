@@ -1776,3 +1776,28 @@ def test_ivfpq_lut_shuffle_branch_matches_broadcast(spark, monkeypatch):
     narrow = S.ivfpq_query(idx, params, queries, k=4).collect()
     assert sorted(map(tuple, wide)) == sorted(map(tuple, narrow))
     assert len(wide) > 0
+
+
+def test_substring_dup_stats_plans_are_equivalent(spark):
+    """r12 ask #4: the single_agg plan (one groupBy(h) with the
+    min==max solely-owned identity) must produce BIT-identical output
+    to the original two_agg plan ((h, doc_id) pair counts then per-h
+    rollup) — the A/B at sf100 is only valid if the plans agree on
+    values, and the registered x29 keeps its oracle regardless of
+    which plan is default."""
+    from etl_notifier_pipeline_spark.catalog import load_table
+    from etl_notifier_pipeline_spark.extensions import text as X
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = X.substring_dup_stats(d, width=40, stride=20, plan="two_agg")
+    b = X.substring_dup_stats(d, width=40, stride=20, plan="single_agg")
+    rows_a = sorted(tuple(r) for r in a.collect())
+    rows_b = sorted(tuple(r) for r in b.collect())
+    assert rows_a == rows_b and len(rows_a) > 0
+    # duplicated shingles must actually occur in the fixture, or the
+    # solely-owned branch was never exercised
+    assert any(r[2] > 0 for r in rows_a)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown plan"):
+        X.substring_dup_stats(d, plan="bogus")

@@ -385,6 +385,122 @@ def _measure_frontier(
     shutil.rmtree(root, ignore_errors=True)
 
 
+def _measure_code_budget(
+    sf_dir: str, prev: dict, json_out: str, n_batch: int
+) -> None:
+    """Test the binding-constraint claim at docs/SCALE.md (r11 ask #5 /
+    r12 ask #3): the IVFADC frontier showed its cand_mult rerank dial
+    nearly free (recall ceiling ~0.77 at m=8 subquantizers x 256
+    codes) and the doc CLAIMS 'the compressed index's recall ceiling,
+    not its shortlist, is the binding constraint' — i.e. more code
+    budget, not a wider shortlist, is what could buy IVF-0.88
+    territory. This rung MEASURES it: build a second IVFADC index at
+    DOUBLE the code budget (m=16 subquantizers, 4-dim subspaces, same
+    256 codes -> 16 bytes/vector instead of 8) and serve the same
+    1000-query batch at the frontier's dominating shortlist point
+    (cand_mult=800) plus the main stamp's 200. Merged into the
+    artifact as a ``code_budget`` section next to ``frontier``."""
+    spark = get_spark(
+        "ann-code-budget",
+        extra_conf={"spark.sql.broadcastTimeout": "3600"},
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    step = max(1, n // n_batch)
+    q_batch = caching.tracked_persist(
+        emb.filter(F.col("vec_id") % step == 0).limit(n_batch)
+    )
+    nq = q_batch.count()
+    if prev.get("exact_batch", {}).get("n_queries") != nq:
+        raise SystemExit(
+            "--code-budget rung mismatch: exact_batch was measured at "
+            f"{prev.get('exact_batch', {}).get('n_queries')} queries, "
+            f"this run uses {nq} — match --batch"
+        )
+    truth: dict[int, set[int]] = {}
+    t0 = time.perf_counter()
+    truth.update(_pairs(S.topk_cosine(emb, q_batch, k=K)))
+    print(
+        f"ground truth ({nq} q, unstamped): "
+        f"{time.perf_counter() - t0:.1f}s",
+        flush=True,
+    )
+    exact_per_q = prev["exact_batch"]["sec"] / nq
+
+    root = tempfile.mkdtemp(prefix="ann_codebudget_")
+    path = os.path.join(root, "ivfadc_m16")
+    t0 = time.perf_counter()
+    idx, params = S.ivfpq_build(emb, m=16)
+    idx.write.mode("overwrite").parquet(path)
+    build_sec = round(time.perf_counter() - t0, 3)
+    print(f"ivfadc m=16 build: {build_sec}s", flush=True)
+    stored = spark.read.parquet(path)
+
+    points = []
+    doc_section = {
+        "m": 16,
+        "n_codes": 256,
+        "bytes_per_vector": 16,
+        "build_sec": build_sec,
+        "baseline_family": "pq_ivfadc (m=8, 8 bytes/vector)",
+        "points": points,
+        "n_queries_batch": nq,
+        "exact_sec_per_query": round(exact_per_q, 4),
+        "protocol": protocol_header(
+            1, canary=PROTOCOL_VERSION, cold_single_run_points=True
+        ),
+    }
+
+    def flush():
+        prev["code_budget"] = doc_section
+        with open(json_out, "w") as f:
+            json.dump(prev, f, indent=1, sort_keys=True)
+
+    for c in (200, 800):
+        got: dict[int, set[int]] = {}
+
+        def once(c=c):
+            t0 = time.perf_counter()
+            res = _pairs(
+                S.ivfpq_query(stored, params, q_batch, k=K, cand_mult=c)
+            )
+            wall = time.perf_counter() - t0
+            got.clear()
+            got.update(res)
+            return wall
+
+        try:
+            stamp = stamped_runs(once, n_runs=1)
+        except Exception as e:  # noqa: BLE001 — keep earlier points
+            points.append(
+                {"point": f"cand_mult={c}",
+                 "error": f"{type(e).__name__}: {e}"[:300]}
+            )
+            flush()
+            print(f"m16 cand_mult={c}: FAILED {e}", flush=True)
+            continue
+        rec = _recall(truth, got)
+        per_q = stamp["sec"] / nq
+        points.append(
+            {
+                "point": f"cand_mult={c}",
+                "recall_at_k": rec,
+                "query_batch": stamp,
+                "sec_per_query": round(per_q, 4),
+                "speedup_vs_exact": round(exact_per_q / per_q, 2),
+            }
+        )
+        flush()
+        print(
+            f"m16 cand_mult={c}: recall={rec} {stamp['sec']}s "
+            f"({per_q * 1000:.0f} ms/q)",
+            flush=True,
+        )
+    flush()
+    print(f"wrote {json_out} (code_budget section)", flush=True)
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def _carry_sections(prev: dict | None, json_out: str | None) -> dict:
     """The --frontier / --maintenance rungs MERGE their sections into
     an existing artifact; a plain (or --family) run used to rewrite the
@@ -399,7 +515,7 @@ def _carry_sections(prev: dict | None, json_out: str | None) -> dict:
         except (OSError, json.JSONDecodeError):
             pass
     out: dict = {}
-    for section in ("frontier", "maintenance"):
+    for section in ("frontier", "maintenance", "code_budget"):
         # --merge's source wins; the artifact at --json backstops a
         # section the merge source never carried
         for source in sources:
@@ -453,6 +569,9 @@ def main() -> None:
     frontier = "--frontier" in args
     if frontier:
         args.remove("--frontier")
+    code_budget = "--code-budget" in args
+    if code_budget:
+        args.remove("--code-budget")
     sf_dir = args[0] if args else "/root/repo/.scale/sf100"
     prev = json.load(open(merge_from)) if merge_from else None
     carry_sections = _carry_sections(prev, json_out)
@@ -464,6 +583,10 @@ def main() -> None:
         if prev is None or not json_out:
             raise SystemExit("--frontier requires --merge and --json")
         return _measure_frontier(sf_dir, prev, json_out, n_batch)
+    if code_budget:
+        if prev is None or not json_out:
+            raise SystemExit("--code-budget requires --merge and --json")
+        return _measure_code_budget(sf_dir, prev, json_out, n_batch)
 
     spark = get_spark(
         "ann-recall",
