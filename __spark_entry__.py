@@ -57,6 +57,10 @@ def _ensure_session_conf(spark: SparkSession) -> None:
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        # AQE must be allowed to coalesce inside cached plans, or every
+        # persisted frame that caps a shuffle materializes at the full
+        # initial partition count (see session.py).
+        ("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"),
         # The fixture scales are small; a 200-partition default shuffle
         # is pure scheduling overhead. Sized to cores like session.py.
         ("spark.sql.shuffle.partitions", cpus),

@@ -682,6 +682,7 @@ def two_phase_components(
         .localCheckpoint()
     )
     edges = _canon_edges(e).localCheckpoint()
+    n_edges = edges.count()
     converged = False
     rounds = 0
     for _ in range(max_iter):
@@ -707,11 +708,17 @@ def two_phase_components(
             .union(mins2.select(F.col("u"), F.col("m").alias("v")))
         )
         new_edges = _canon_edges(small).localCheckpoint()
+        # Set equality via count + ONE anti-join (r13 plan-audit fix:
+        # the old check ran two anti-join shuffles per round): both are
+        # dedup'd sets, so |new| == |old| and new \ old == {} imply
+        # equality — the second anti-join can never disagree.
+        n_new = new_edges.count()
         changed = (
-            new_edges.join(edges, ["u", "v"], "left_anti").count()
-            + edges.join(new_edges, ["u", "v"], "left_anti").count()
+            1
+            if n_new != n_edges
+            else new_edges.join(edges, ["u", "v"], "left_anti").count()
         )
-        edges = new_edges
+        edges, n_edges = new_edges, n_new
         if changed == 0:
             converged = True
             break
@@ -793,23 +800,25 @@ def dedup_clusters(
             .groupBy("u")
             .agg(F.min("nl").alias("nbr_label"))
         )
-        new_labels = (
+        # One checkpointed frame carries (old_label, label): the
+        # convergence count is then a scan of the in-memory checkpoint
+        # (filter + count), not a second labels-x-labels shuffle join
+        # per round — r13 plan-audit fix, one exchange fewer per round
+        # with bit-identical labels (old_label is dropped before the
+        # next round's join).
+        stepped = (
             labels.join(nbr_min, "u", "left")
             .select(
                 "u",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("old_label") != F.col("label")).count()
+        labels = stepped.select("u", "label")
         if changed == 0:
             converged = True
             break

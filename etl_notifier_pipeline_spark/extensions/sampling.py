@@ -366,7 +366,16 @@ def temperature_mixture(
     unaffected rows never flip (monotone, like x21)."""
     if not alpha_sqrt:
         raise ValueError("only alpha=0.5 (sqrt) is wired; extend as needed")
-    src = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    from etl_notifier_pipeline_spark.caching import tracked_persist
+
+    # |sources|-sized; persisted because BOTH the normalizer fold and
+    # the weight join consume it — unpersisted, each re-ran the corpus
+    # scan + per-source count (r13 plan-audit fix: x33 measured at 3
+    # documents scans, now 2 — weight derivation + the keep pass, the
+    # irreducible two passes of any data-derived resample).
+    src = tracked_persist(
+        df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    )
     z_df = src.agg(
         F.aggregate(
             F.array_sort(

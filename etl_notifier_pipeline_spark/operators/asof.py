@@ -42,7 +42,18 @@ def asof_join(
     if strategy == "pandas":
         return _asof_join_pandas(left, right, on, left_time, right_time, right_values)
     lid = "__asof_lid"
-    lmark = left.withColumn(lid, F.monotonically_increasing_id())
+    # Persisted (r13): the id-marked left frame feeds BOTH the range
+    # join and the no-match anti-join restore. Unpersisted, each
+    # consumer re-ran the left scan — and, worse, re-evaluated
+    # monotonically_increasing_id, whose values are only stable for
+    # one materialization: a lost-executor recompute of one consumer
+    # could disagree with the other about row ids. The persist makes
+    # the ids one materialization's, shared.
+    from etl_notifier_pipeline_spark.caching import tracked_persist
+
+    lmark = tracked_persist(
+        left.withColumn(lid, F.monotonically_increasing_id())
+    )
     # NULL right timestamps can never satisfy "greatest rt <= lt";
     # drop them up front so the isNull arm below only ever matches
     # left rows with no key match at all (left-join padding).

@@ -457,12 +457,18 @@ def d09_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: rides on d04 (pairs) + d02 (signatures, one narrow
     pass); the audit joins |pairs| rows against the signature frame on
     doc id — at 100 TB the pair set is the small side and broadcasts.
-    The estimate is integer-agreement / 16: bit-exact."""
+    The estimate is integer-agreement / 16: bit-exact. The signature
+    frame persists (r13 plan fix: unpersisted, the doc_a and doc_b
+    join legs each re-ran the whole signature pass — a corpus scan +
+    shingle explode + 16-way min aggregation per leg): one signature
+    pass, both legs read the |docs| x 16-int cache."""
     from pyspark.sql import functions as F
+
+    from etl_notifier_pipeline_spark.caching import tracked_persist
 
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_dedup(d, threshold=0.5)
-    sig = D.minhash_signature(d)
+    sig = tracked_persist(D.minhash_signature(d))
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(D.N_HASHES)],

@@ -989,10 +989,22 @@ def x28_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus); N derives from the vocab table, no second corpus count;
     pass 2 re-joins tokens to tf on the token key (AQE picks broadcast
     when the vocab fits) and reduces per doc to two integers. The
-    1-row N rides along as a broadcast crossJoin."""
+    1-row N rides along as a broadcast crossJoin. The vocab frame
+    persists (r13 plan fix — unpersisted, the N aggregate re-ran the
+    corpus explode + vocab shuffle; the audit measured 3 documents
+    scans): 2 corpus scans (model build + scoring pass — inherently
+    two-pass, the model must exist before scoring), N a cheap agg over
+    the vocab cache. The exploded token frame deliberately does NOT
+    persist: it is corpus-sized (one row per token occurrence), and
+    caching it to save one scan would hold the whole corpus in memory
+    — the d04 measured-negative rule."""
+    from etl_notifier_pipeline_spark.caching import tracked_persist
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tracked_persist(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    )
     n = tf.agg(F.sum("tf").alias("total"))
     return (
         tok.join(tf, "token")
@@ -1321,13 +1333,18 @@ def x34_bigram_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
     builder (one tokenize per row), aggregates (prev, next) in one
     shuffle; the prev-marginal is a second narrow agg over the
     ALREADY-aggregated bigram frame (never the corpus); top-5 prev is
-    a 5-row broadcast."""
+    a 5-row broadcast. The bigram frame persists (r13 plan fix — the
+    audit measured 3 documents scans / 6 exchanges: unpersisted, the
+    marginal and the final join each re-ran the corpus explode +
+    (prev, next) shuffle): ONE corpus scan, every downstream consumer
+    reads the bigram-vocab-sized cache."""
     from pyspark.sql import Window as PW
 
+    from etl_notifier_pipeline_spark.caching import tracked_persist
     from etl_notifier_pipeline_spark.extensions.dedup import shingles
 
     d = load_table(spark, sf_dir, "documents")
-    big = (
+    big = tracked_persist(
         d.select(F.explode(shingles("text", 2)).alias("g"))
         .select(
             F.split("g", " ").getItem(0).alias("prev"),

@@ -823,10 +823,20 @@ def q64_multiset_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: Spark plans both as a count-aggregate + generator
     replication (one shuffle on the value, no join) — the same
     narrow-key discipline as the distinct forms; the UNION ALL is a
-    plan-level concatenation, no extra exchange of the inputs."""
+    plan-level concatenation, no extra exchange of the inputs. The two
+    filtered projections persist (r13 plan fix — the audit measured 4
+    events scans: each side's scan re-ran for EXCEPT ALL and again for
+    INTERSECT ALL): two fact scans total, each narrow user_id cache
+    read twice."""
+    from etl_notifier_pipeline_spark.caching import tracked_persist
+
     ev = load_table(spark, sf_dir, "events")
-    purchase = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    signup = ev.filter(F.col("event_type") == "signup").select("user_id")
+    purchase = tracked_persist(
+        ev.filter(F.col("event_type") == "purchase").select("user_id")
+    )
+    signup = tracked_persist(
+        ev.filter(F.col("event_type") == "signup").select("user_id")
+    )
     surplus = purchase.exceptAll(signup).select(
         F.lit("surplus").alias("side"), "user_id"
     )
@@ -1336,31 +1346,45 @@ def q73_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a coarser date_trunc.
 
     Determinism: day arithmetic is integer (datediff), retention is
-    one int/int double division. Scale shape: first_seen is one
-    user-keyed aggregate; activity dedups (user, day) BEFORE the
-    cohort rollup so the big shuffle carries one row per user-day,
-    not per event; cohort_size (|days| rows) broadcasts into the
-    final join."""
+    one int/int double division. Scale shape (r13 plan fix — the audit
+    measured the old first_seen-join plan at 3 events scans /
+    5 exchanges, the unpersisted first_seen aggregate recomputed per
+    consumer): ONE events scan, ONE fact-sized exchange. The (user,
+    day) dedup repartitions by user_id (user_id partitioning satisfies
+    the dedup's clustering requirement), the per-user first day is a
+    window over the SAME partitioning (no second exchange — cohort_day
+    = min(day) over the user's deduped days, identical to the old
+    user-keyed aggregate), and cohort_size falls out of the same frame
+    as the days_since == 0 rows (every user has exactly one — their
+    first day). The user-day frame persists: two consumers (retention
+    rollup + cohort sizes), both tiny aggregates over the cache."""
+    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    from etl_notifier_pipeline_spark.caching import tracked_persist
+
     ev = load_table(spark, sf_dir, "events")
-    first_seen = (
-        ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
-        .groupBy("user_id")
-        .agg(F.min("d").alias("cohort_day"))
-    )
-    cohort_size = first_seen.groupBy("cohort_day").agg(
-        F.count(F.lit(1)).alias("n_users")
-    )
-    activity = (
-        ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
-        .join(first_seen, "user_id")
+    activity = tracked_persist(
+        ev.select(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+        )
+        .repartition("user_id")
+        .dropDuplicates(["user_id", "d"])
+        .select(
+            "user_id",
+            F.min("d").over(W.partitionBy("user_id")).alias("cohort_day"),
+            "d",
+        )
         .select(
             "user_id",
             "cohort_day",
             F.datediff("d", "cohort_day").cast("int").alias("days_since"),
         )
-        .distinct()
+    )
+    cohort_size = (
+        activity.filter(F.col("days_since") == 0)
+        .groupBy("cohort_day")
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
     return (
         activity.groupBy("cohort_day", "days_since")
@@ -1497,9 +1521,16 @@ def q75_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     |users| x |days| (bounded, NOT event-scaled); ONE shuffle on
     user_id positions the grid for all four IGNORE-NULLS windows and
     the left join rides the same key; the 1-row bounds and the day
-    spine are broadcast."""
+    spine are broadcast. The per-(user, day) observation frame
+    persists (r13 plan fix — the audit measured 3 events scans: the
+    unpersisted aggregate re-ran the fact scan + fact-sized groupBy
+    for BOTH its consumers, the user spine and the grid join); the
+    bounds scan stays separate by necessity (it spans ALL event types,
+    obs only purchases)."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
+
+    from etl_notifier_pipeline_spark.caching import tracked_persist
 
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
@@ -1509,7 +1540,7 @@ def q75_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = bounds.select(
         F.explode(F.sequence("lo", "hi")).alias("day")
     )
-    obs = (
+    obs = tracked_persist(
         ev.filter(F.col("event_type") == "purchase")
         .groupBy(
             "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
@@ -1596,14 +1627,27 @@ def q76_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage of A-Priori) on the user-item incidence.
 
     Determinism: lift = (n_ab * n_users) / (n_a * n_b) — integer
-    products, ONE double division. Scale shape: the incidence dedup is
-    the only fact-table shuffle (carrying (user, type)); the pair
-    self-join co-partitions on user_id; per-type counts and the 1-row
-    user count broadcast into the tiny pair frame."""
+    products, ONE double division. Scale shape (r13 plan fix — the
+    audit measured the old plan at 5 events scans / 8 exchanges, one
+    fact-sized dedup shuffle PER CONSUMER, because the unpersisted
+    incidence frame recomputed for each of its four consumers): the
+    incidence frame is repartitioned by user_id ONCE (the only
+    fact-sized shuffle — user_id partitioning satisfies the distinct's
+    (user, type) clustering requirement, so the dedup adds no second
+    exchange), persisted, and every consumer reads the cache; the pair
+    self-join is exchange-free on both legs (both sides share the
+    cached user_id partitioning); per-type counts and the 1-row user
+    count broadcast into the tiny pair frame."""
     from pyspark.sql import functions as F
 
+    from etl_notifier_pipeline_spark.caching import tracked_persist
+
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    ut = tracked_persist(
+        ev.select("user_id", "event_type")
+        .repartition("user_id")
+        .dropDuplicates(["user_id", "event_type"])
+    )
     n = ut.select(F.countDistinct("user_id").alias("n_users"))
     tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
     a = ut.select("user_id", F.col("event_type").alias("type_a"))
@@ -1840,9 +1884,17 @@ def q80_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     is NO single-partition window at ANY |parts| (the r4 verdict's q80
     escape hatch, now code instead of prose). Exactness is preserved:
     decimal partial sums + a decimal offset are bit-identical to the
-    global decimal running sum, so the A/B/C boundaries cannot move."""
+    global decimal running sum, so the A/B/C boundaries cannot move.
+
+    The per-part revenue frame persists (r13 plan fix — the audit
+    measured 3 lineitem scans / 7 exchanges: the unpersisted aggregate
+    re-ran the fact scan + fact-sized groupBy for the grand total, the
+    range-partition sampling pass AND the data pass): one fact scan +
+    one fact-sized exchange, every consumer reads the |parts|-sized
+    cache."""
     from pyspark.sql import functions as F
 
+    from etl_notifier_pipeline_spark.caching import tracked_persist
     from etl_notifier_pipeline_spark.extensions.sampling import (
         ordered_prefix_sum,
     )
@@ -1852,7 +1904,7 @@ def q80_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(12,2)")
         * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
     )
-    rev = li.groupBy("l_partkey").agg(F.sum(r).alias("r"))
+    rev = tracked_persist(li.groupBy("l_partkey").agg(F.sum(r).alias("r")))
     total = rev.agg(F.sum("r").alias("total"))
     c = ordered_prefix_sum(
         rev, "r", [F.col("r").desc(), F.col("l_partkey")],

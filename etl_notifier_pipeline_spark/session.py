@@ -118,6 +118,24 @@ def get_spark(
         # r10); 512 initial partitions cap per-partition shuffle input
         # at ~1/16th while AQE keeps small-query task counts flat.
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+        # AQE partition coalescing is DISABLED inside cached plans by
+        # default (canChangeCachedPlanOutputPartitioning=false), so any
+        # tracked_persist whose frame sits on a shuffle materialized —
+        # and served every downstream stage — at the FULL 512 initial
+        # partitions: the r13 plan audit caught persisted-index
+        # materializations running 512 single-row tasks at sf0.01, and
+        # a groupBy-then-persist cost ~7x its uncached form at sf0.1
+        # (q76 0.6 -> 4.2 s measured before this conf; 0.35 s after).
+        # Allowing AQE to re-optimize cached plans keeps cache
+        # partitioning advisory-sized at every scale; the documented
+        # trade (the cache's output partitioning may no longer match a
+        # downstream requirement, adding back an exchange) is the
+        # lesser cost — the frames we persist are consumed by
+        # aggregates/joins that AQE replans anyway.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Let AQE convert a join to broadcast from RUNTIME-measured
         # sizes well past the static 10m threshold: a filtered dim

@@ -1801,3 +1801,37 @@ def test_substring_dup_stats_plans_are_equivalent(spark):
 
     with _pytest.raises(ValueError, match="unknown plan"):
         X.substring_dup_stats(d, plan="bogus")
+
+
+def test_two_phase_fixpoint_star_converges_round_one(spark):
+    # r13 convergence-check change (count short-circuit + single
+    # anti-join): a star centered at the min node is ALREADY the
+    # two-phase fixpoint — round 1 must detect new == old through the
+    # equal-count + empty-anti-join path and stop immediately, with
+    # correct labels. Pins the set-equality logic (|new| == |old| and
+    # new \ old == {} together imply equality for deduped edge sets).
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], ["doc_a", "doc_b"]
+    )
+    D.LAST_CLUSTER_STATS.clear()
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.two_phase_components(pairs).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 0)}
+    assert D.LAST_CLUSTER_STATS["rounds"] == 1
+
+
+def test_label_prop_changed_count_no_second_join(spark):
+    # r13 label-prop change: the per-round convergence count now reads
+    # the (old_label, label) columns of the SAME checkpointed frame
+    # instead of re-joining two label frames. Pin that the returned
+    # schema is unchanged (no old_label leak) and labels still match
+    # the independent union-find on a multi-component graph.
+    pairs = spark.createDataFrame(
+        [(5, 6), (6, 7), (1, 9), (30, 31)], ["doc_a", "doc_b"]
+    )
+    out = D.dedup_clusters(pairs, algorithm="label_prop")
+    assert out.columns == ["doc_id", "cluster_id"]
+    got = {(r["doc_id"], r["cluster_id"]) for r in out.collect()}
+    assert got == {(5, 5), (6, 5), (7, 5), (1, 1), (9, 1), (30, 30), (31, 30)}
