@@ -405,9 +405,15 @@ def substring_dup_stats(
       shingle frame (doc-keyed, map-side combine collapses it to
       ~n_docs rows per partition). Identical output by construction:
       min==max over positions equals nd==1 over distinct docs, and
-      count-over-positions equals sum(k). Measured at sf100 in
-      SCALE_BENCH_sf100.json (the A/B that retired the residual
-      spill — see docs/SCALE.md).
+      count-over-positions equals sum(k). Measured A/B at sf100
+      (X29_AB_sf100.json, r13): **46.6 -> 31.1 s (-33%)**, shuffle
+      write 5.46 -> 3.33 GB. The residual spill does NOT retire — it
+      moves into the shingle-sized groupBy(h) itself (6.2 GB mem /
+      1.2 GB disk vs two_agg's 5.5/0.9): near-unique hash keys give
+      the partial aggregate nothing to combine under EITHER plan, so
+      the final hash agg's sort-fallback is inherent to a
+      shingle-sized aggregate, and graceful. The win is the removed
+      pair-keyed shuffle + hash map, not the spill.
     """
     from etl_notifier_pipeline_spark.caching import tracked_persist
 
