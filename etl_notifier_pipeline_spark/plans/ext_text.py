@@ -1191,11 +1191,15 @@ def x32_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: sketch build is ONE token pass + a 256-cell
     aggregation (mergeable across shards/days like q77's HLL); the
-    probe join broadcasts 10 rows against 256.
+    probe join broadcasts 10 rows against 256. The 256-row cells
+    frame persists (r13 plan-audit fix): each of the 4 probe legs
+    broadcasts one row-slice of it, and unpersisted each leg re-ran
+    the corpus-sized token aggregation from the token cache — 4
+    sketch builds for one sketch.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = tracked_persist(d.select(F.explode(X.tokens("text")).alias("tok")))
-    cells = (
+    cells = tracked_persist(
         tok.select(
             F.explode(
                 F.array(
