@@ -101,31 +101,43 @@ def io_canary_ms(
 
     if sf_dir is None:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    paths: list[str] = []
-    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
-        if os.path.isdir(p):
-            paths.extend(sorted(_glob.glob(os.path.join(p, "*.parquet"))))
-        else:
-            paths.append(p)
-    paths = [p for p in paths if os.path.getsize(p) > 0]
-    if not paths:
+    # The whole probe is best-effort: a file deleted between glob and
+    # open, a permission hole, or a stray directory named *.parquet
+    # must degrade to None, not abort a multi-hour artifact run at a
+    # stamp boundary (the "never fail a bench run" contract above —
+    # the empty-dir guard alone did not honor it, r13 review fix).
+    try:
+        paths: list[str] = []
+        for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+            if os.path.isdir(p):
+                paths.extend(sorted(_glob.glob(os.path.join(p, "*.parquet"))))
+            else:
+                paths.append(p)
+        paths = [
+            p
+            for p in paths
+            if os.path.isfile(p) and os.path.getsize(p) > 0
+        ]
+        if not paths:
+            return None
+        chunk = 1 << 20
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            remaining = budget_bytes
+            i = 0
+            while remaining > 0:
+                with open(paths[i % len(paths)], "rb", buffering=0) as f:
+                    while remaining > 0:
+                        b = f.read(min(chunk, remaining))
+                        if not b:
+                            break
+                        remaining -= len(b)
+                i += 1
+            best = min(best, time.perf_counter() - t0)
+        return round(best * 1000, 2)
+    except OSError:
         return None
-    chunk = 1 << 20
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        remaining = budget_bytes
-        i = 0
-        while remaining > 0:
-            with open(paths[i % len(paths)], "rb", buffering=0) as f:
-                while remaining > 0:
-                    b = f.read(min(chunk, remaining))
-                    if not b:
-                        break
-                    remaining -= len(b)
-            i += 1
-        best = min(best, time.perf_counter() - t0)
-    return round(best * 1000, 2)
 
 # DuckDB twins for headline queries whose registry entry is rows-only
 # (no ANSI oracle): the twin runs the SAME TASK the way an exact SQL
@@ -638,13 +650,22 @@ def main() -> None:
             "total_a_sec": round(tot_a, 4),
             "total_b_sec": round(tot_b, 4),
             "total_delta_pct": round(100 * (tot_b - tot_a) / tot_a, 1),
+            "query_stamps_a": dict(stamps),
             "query_stamps_b": stamps_b,
         }
         # headline numbers report the per-query BEST of both passes
-        # (the same best-of-N convention, N doubled)
+        # (the same best-of-N convention, N doubled). The winning
+        # pass's STAMP travels with its number (r13 review fix:
+        # "queries" and "query_stamps" must agree, or the
+        # BENCH_STAMPS-based vs_prev reconstruction next round would
+        # baseline against the losing pass's sec); `aa_pass` marks
+        # provenance, and both passes' full stamp sets stay readable
+        # under aa.query_stamps_a / aa.query_stamps_b.
         for name in timings:
+            stamps[name]["aa_pass"] = "A"
             if timings_b[name] < timings[name]:
                 timings[name] = timings_b[name]
+                stamps[name] = dict(stamps_b[name], aa_pass="B")
     duck = duckdb_twin_times(sf_dir, HEADLINE, profile=profile)
     spark_paired = sum(t for n, t in timings.items() if duck.get(n) is not None)
     duck_total = sum(t for t in duck.values() if t is not None)
@@ -679,9 +700,15 @@ def main() -> None:
                 # IO/page-cache canary (io_canary_ms): the weather
                 # axis the CPU kernel is blind to — elevated here
                 # with a flat CPU canary means buffered-read/VFS
-                # contention, not an engine change
+                # contention, not an engine change. Measured ONCE and
+                # shared with the stamps doc below, like the CPU
+                # canary's `post` (r13 review fix: two independent
+                # probes gave the two artifacts disagreeing post
+                # values — and 256 MB of redundant reads).
                 "io_canary_ms_pre": io_canary_pre,
-                "io_canary_ms_post": io_canary_ms(sf_dir=sf_dir),
+                "io_canary_ms_post": (
+                    io_post := io_canary_ms(sf_dir=sf_dir)
+                ),
                 "io_canary_budget_bytes": IO_CANARY_BUDGET,
                 # canary-normalized round-over-round table vs the
                 # latest committed BENCH_r{N}.json
@@ -707,7 +734,7 @@ def main() -> None:
         "host_canary_ms_pre": canary,
         "host_canary_ms_post": post,
         "io_canary_ms_pre": io_canary_pre,
-        "io_canary_ms_post": io_canary_ms(sf_dir=sf_dir),
+        "io_canary_ms_post": io_post,
         "io_canary_budget_bytes": IO_CANARY_BUDGET,
         "query_stamps": stamps,
         **({"aa": aa_section} if aa_section else {}),

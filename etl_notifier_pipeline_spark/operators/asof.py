@@ -42,18 +42,22 @@ def asof_join(
     if strategy == "pandas":
         return _asof_join_pandas(left, right, on, left_time, right_time, right_values)
     lid = "__asof_lid"
-    # Persisted (r13): the id-marked left frame feeds BOTH the range
-    # join and the no-match anti-join restore. Unpersisted, each
-    # consumer re-ran the left scan — and, worse, re-evaluated
-    # monotonically_increasing_id, whose values are only stable for
-    # one materialization: a lost-executor recompute of one consumer
-    # could disagree with the other about row ids. The persist makes
-    # the ids one materialization's, shared.
-    from etl_notifier_pipeline_spark.caching import tracked_persist
-
-    lmark = tracked_persist(
-        left.withColumn(lid, F.monotonically_increasing_id())
-    )
+    # localCheckpoint (r13, corrected from persist after review): the
+    # id-marked left frame feeds BOTH the range join and the no-match
+    # anti-join restore, and the two consumers must agree on every
+    # monotonically_increasing_id value. A persist() does NOT
+    # guarantee that — evicted or executor-lost cached partitions are
+    # RECOMPUTED, re-evaluating the id expression with possibly
+    # different values per consumer (duplicate/lost rows in the
+    # restore), and caching.release_all()'s "safe at any time"
+    # contract would silently reintroduce the same divergence.
+    # localCheckpoint materializes eagerly and TRUNCATES LINEAGE:
+    # there is no recompute path, so the ids are one materialization's
+    # by construction (fail-stop on block loss, like every iterative
+    # operator in dedup.py — wrong-answer is not a failure mode).
+    lmark = left.withColumn(
+        lid, F.monotonically_increasing_id()
+    ).localCheckpoint()
     # NULL right timestamps can never satisfy "greatest rt <= lt";
     # drop them up front so the isNull arm below only ever matches
     # left rows with no key match at all (left-join padding).

@@ -163,3 +163,36 @@ def test_entry_sec_malformed_entries_degrade_to_none():
     assert _entry_sec(0.0) is None  # zero prev_sec -> no ratio
     assert _entry_sec({"wrong": "shape"}) is None
     assert _entry_sec([1, 2]) is None
+
+
+def test_io_canary_per_file_errors_degrade_to_none(tmp_path):
+    """An unreadable *.parquet entry (dangling symlink standing in
+    for delete-during-probe / permission holes) must degrade the
+    canary to None, not raise out of a stamp boundary mid-artifact
+    (r13 review: the empty-dir guard alone did not honor the
+    'canaries never fail a bench run' contract)."""
+    import bench
+
+    (tmp_path / "ghost.parquet").symlink_to(tmp_path / "gone")
+    assert bench.io_canary_ms(sf_dir=str(tmp_path)) is None
+
+
+def test_configure_io_canary_dir_and_disable():
+    """Harnesses point the stamp IO canary at the directory they
+    measure, or disable it for stamp-dense ladders — both via
+    configure_io_canary (r13 review: stamps probed sf0.1 regardless
+    of the measured dir, and dense ladders paid 512 MB/stamp)."""
+    from tools import benchproto
+
+    try:
+        benchproto.configure_io_canary(None, enabled=False)
+        stamp = benchproto.stamped_runs(lambda: 0.1, n_runs=1)
+        assert "io_canary_ms" not in stamp
+        benchproto.configure_io_canary("/nonexistent/dir")
+        stamp = benchproto.stamped_runs(lambda: 0.1, n_runs=1)
+        assert "io_canary_ms" not in stamp  # probe degrades to None
+        benchproto.configure_io_canary("/root/testdata/sf0.001")
+        stamp = benchproto.stamped_runs(lambda: 0.1, n_runs=1)
+        assert "io_canary_ms" in stamp
+    finally:
+        benchproto.configure_io_canary(None, enabled=True)

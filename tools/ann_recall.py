@@ -54,6 +54,7 @@ from etl_notifier_pipeline_spark.catalog import load_table  # noqa: E402
 from etl_notifier_pipeline_spark.extensions import similarity as S  # noqa: E402
 from etl_notifier_pipeline_spark.session import get_spark  # noqa: E402
 from tools.benchproto import (  # noqa: E402
+    configure_io_canary,
     PROTOCOL_VERSION,
     protocol_header,
     stamped_runs,
@@ -573,6 +574,7 @@ def main() -> None:
     if code_budget:
         args.remove("--code-budget")
     sf_dir = args[0] if args else "/root/repo/.scale/sf100"
+    configure_io_canary(sf_dir)  # probe what this run measures
     prev = json.load(open(merge_from)) if merge_from else None
     carry_sections = _carry_sections(prev, json_out)
     if maintenance:

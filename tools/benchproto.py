@@ -34,6 +34,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PROTOCOL_VERSION = "canary-per-measurement-v2-io"
 
+# Where stamp IO-canary brackets read from, set ONCE per harness via
+# configure_io_canary(). The r13 review caught two defects in the v2
+# default: (1) stamps probed $SPARK_GRAFT_SF_DIR/sf0.1 regardless of
+# the directory the harness actually measured, so an IO stall on the
+# measured volume showed a FLAT canary and the artifact mis-attributed
+# the movement; (2) stamp-dense ladders (lakehouse/zonemap: dozens of
+# n_runs=1 sub-second stamps) paid 2 x 256 MB of probe reads per
+# stamp — tens of GB per artifact, perturbing the page cache the
+# canary exists to observe. Harness mains now point the probe at
+# their own sf_dir, or disable it where the stamps are denser than
+# the probe is informative.
+_IO_CANARY_DIR: str | None = None  # None = bench.io_canary_ms default
+_IO_CANARY_ENABLED = True
+
+
+def configure_io_canary(sf_dir: str | None, *, enabled: bool = True) -> None:
+    """Point stamp IO-canary brackets at ``sf_dir`` (the directory the
+    harness measures; None restores the env/sf0.1 default), or disable
+    them for stamp-dense ladders (``enabled=False``)."""
+    global _IO_CANARY_DIR, _IO_CANARY_ENABLED
+    _IO_CANARY_DIR = sf_dir
+    _IO_CANARY_ENABLED = enabled
+
+
+def _io_canary() -> float | None:
+    if not _IO_CANARY_ENABLED:
+        return None
+    import bench
+
+    return bench.io_canary_ms(reps=1, sf_dir=_IO_CANARY_DIR)
+
 
 def stamped_runs(run_once, n_runs: int = 3) -> dict:
     """Run ``run_once`` ``n_runs`` times, each run bracketed by its
@@ -65,12 +96,12 @@ def stamped_runs(run_once, n_runs: int = 3) -> dict:
     io_canaries: list[list[float | None]] = []
     extras: list[dict | None] = []
     c_prev = bench.host_canary_ms()
-    io_prev = bench.io_canary_ms(reps=1)
+    io_prev = _io_canary()
     for _ in range(n_runs):
         r = run_once()
         sec, extra = r if isinstance(r, tuple) else (r, None)
         c_next = bench.host_canary_ms()
-        io_next = bench.io_canary_ms(reps=1)
+        io_next = _io_canary()
         runs.append(round(float(sec), 3))
         canaries.append([c_prev, c_next])
         io_canaries.append([io_prev, io_next])

@@ -739,6 +739,11 @@ def _child(rung: str, root: str, n_rows: int, n_commits: int) -> dict:
 
 def main() -> None:
     args = sys.argv[1:]
+    # Stamp-dense ladder (dozens of n_runs=1 sub-second stamps): the
+    # per-stamp IO canary would add 2 x 256 MB of probe reads per
+    # stamp — tens of GB per artifact, perturbing the page cache it
+    # exists to observe. CPU canaries stay on. (r13 review fix.)
+    configure_io_canary(None, enabled=False)
 
     def opt(flag: str, default):
         if flag in args:

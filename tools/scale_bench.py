@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from etl_notifier_pipeline_spark import caching, plans  # noqa: E402
 from etl_notifier_pipeline_spark.session import get_spark  # noqa: E402
 from tools.benchproto import (  # noqa: E402
+    configure_io_canary,
     PROTOCOL_VERSION,
     artifact_vs_prev,
     stamped_runs,
@@ -134,6 +135,9 @@ def main() -> None:
         profile = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args and "/" in args[0] else "/root/repo/.scale/sf10"
+    # stamp IO-canary brackets must probe the directory this run
+    # actually measures (r13 review fix)
+    configure_io_canary(sf_dir)
     only = [a for a in args if "/" not in a]
 
     import bench  # noqa: E402  (HEADLINE + TWIN_SQL live there)

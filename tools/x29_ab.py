@@ -26,7 +26,11 @@ from etl_notifier_pipeline_spark import caching  # noqa: E402
 from etl_notifier_pipeline_spark.catalog import load_table  # noqa: E402
 from etl_notifier_pipeline_spark.extensions import text as X  # noqa: E402
 from etl_notifier_pipeline_spark.session import get_spark  # noqa: E402
-from tools.benchproto import protocol_header, stamped_runs  # noqa: E402
+from tools.benchproto import (  # noqa: E402
+    configure_io_canary,
+    protocol_header,
+    stamped_runs,
+)
 from tools.scale_bench import measured_run  # noqa: E402
 
 
@@ -43,6 +47,7 @@ def main() -> None:
         n_runs = int(args[i + 1])
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/repo/.scale/sf100"
+    configure_io_canary(sf_dir)  # probe what this run measures
 
     # The engine session disables the UI; measured_run reads stage
     # metrics from the UI's REST API (scale_bench does the same), so

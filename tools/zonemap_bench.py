@@ -28,7 +28,11 @@ from pyspark.sql import functions as F  # noqa: E402
 from etl_notifier_pipeline_spark.session import get_spark  # noqa: E402
 from etl_notifier_pipeline_spark.storage import TableStore  # noqa: E402
 from scale_bench import measured_run  # noqa: E402
-from tools.benchproto import PROTOCOL_VERSION, stamped_runs  # noqa: E402
+from tools.benchproto import (  # noqa: E402
+    PROTOCOL_VERSION,
+    configure_io_canary,
+    stamped_runs,
+)
 
 LO = datetime.datetime(2000, 1, 1)
 HI = datetime.datetime(2000, 12, 31, 23, 59, 59)
@@ -51,6 +55,9 @@ def main() -> None:
         json_out = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/repo/.scale/sf10"
+    # Stamp-dense ladder: per-stamp IO probes would dominate the
+    # measurement (see lakehouse_bench) — CPU canaries only.
+    configure_io_canary(None, enabled=False)
 
     spark = get_spark(
         "zonemap-bench", extra_conf={"spark.ui.enabled": "true"}
