@@ -47,6 +47,16 @@ HEADLINE = [
     "s04_ivf_topk",
     "st03_session_window",
     "st05_stateful_running_totals",
+    # ADDED r14 (additive only — the 14 entries above are frozen by
+    # the bench contract): a CPU-scaling probe, because every sf0.1
+    # headline query sits on a sub-1.5 s scheduling floor where 8 vs
+    # 32 cores is invisible (r13 PERF flagged suspect_cpus_ignored on
+    # exactly that). The probe is embarrassingly parallel compute over
+    # the lineitem fixture, so its wall scales ~linearly with
+    # $SPARK_GRAFT_CPUS and the driver's low-core rerun gets one rung
+    # where parallelism is measurable. No DuckDB twin (excluded from
+    # ratio_vs_duckdb like any twin-less entry).
+    "probe_cpu_scaling",
 ]
 
 N_RUNS = 3
@@ -347,10 +357,48 @@ GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
 }
 
 
+def _probe_cpu_scaling(spark, sf_dir: str):
+    """Bench-only CPU-scaling probe (NOT a registry query, like the
+    deployment twins): a deterministic xxhash64 chain over an exploded
+    lineitem projection. Shape: one tiny keyless repartition of the
+    600 k-row key column (so the compute stage has 4x`defaultParallelism`
+    partitions regardless of the fixture's file count — lineitem at
+    sf0.1 is a single ~10 MB parquet file = ONE scan partition, which
+    is exactly the observability hole this probe exists to close),
+    then ~2.5 G hash evaluations with no shuffle after the fan-out.
+    Value is a 2-row-free single aggregate; deterministic because
+    xxhash64 is seeded and the sum is order-free."""
+    from pyspark.sql import functions as F
+
+    from etl_notifier_pipeline_spark.catalog import load_table
+
+    cpus = spark.sparkContext.defaultParallelism
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    expr = F.xxhash64("l_orderkey", "i")
+    for _ in range(15):
+        expr = F.xxhash64(expr)
+    return (
+        li.repartition(4 * cpus)
+        .select(
+            "l_orderkey",
+            F.explode(F.sequence(F.lit(1), F.lit(64))).alias("i"),
+        )
+        .select(expr.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # bit_xor: order-free and cannot overflow (a plain long sum
+            # of ~40M hashes trips ANSI ARITHMETIC_OVERFLOW)
+            F.expr("bit_xor(h)").alias("h_xor"),
+        )
+    )
+
+
 def resolve(name: str, profile: str = "oracle"):
     """(spark_fn, duckdb_sql) for a headline query under the given
     numeric profile. "oracle" = the registry's bit-exact contract;
     "deployment" = double-sum twins for the scan-aggs that have one."""
+    if name == "probe_cpu_scaling":
+        return _probe_cpu_scaling, None
     if profile == "deployment" and name in DEPLOYMENT_SPARK:
         # a deployment twin without its own SQL (q56: counts only, no
         # decimal-vs-double divergence) runs against the registry
@@ -650,8 +698,12 @@ def main() -> None:
             "total_a_sec": round(tot_a, 4),
             "total_b_sec": round(tot_b, 4),
             "total_delta_pct": round(100 * (tot_b - tot_a) / tot_a, 1),
-            "query_stamps_a": dict(stamps),
-            "query_stamps_b": stamps_b,
+            # per-query dicts copied: the aa_pass annotation below
+            # mutates the top-level stamps in place, and a shallow
+            # dict(stamps) would alias those entries (r13 ADVICE —
+            # the archived A-set inherited aa_pass tags it never had)
+            "query_stamps_a": {k: dict(v) for k, v in stamps.items()},
+            "query_stamps_b": {k: dict(v) for k, v in stamps_b.items()},
         }
         # headline numbers report the per-query BEST of both passes
         # (the same best-of-N convention, N doubled). The winning
@@ -669,6 +721,18 @@ def main() -> None:
     duck = duckdb_twin_times(sf_dir, HEADLINE, profile=profile)
     spark_paired = sum(t for n, t in timings.items() if duck.get(n) is not None)
     duck_total = sum(t for t in duck.values() if t is not None)
+    post = host_canary_ms()
+    io_post = io_canary_ms(sf_dir=sf_dir)
+    # The printed line is the DRIVER CONTRACT and it is captured from a
+    # truncation-prone stdout tail: r12's line grew past the tail window
+    # (per-query stamp arrays), "parsed" came back null, and the driver
+    # computed ZERO round-over-round data for r13 (PERF_r13 n_common=0).
+    # r14 fix (VERDICT r13 ask #2): the line carries ONLY the driver
+    # schema — queries as plain floats, duckdb/ratio, sf, canaries, and
+    # the effective cpus/master (so the scaling block can see the env
+    # var is honored). Everything bulky (per-run stamps, A/A passes,
+    # the vs_prev table) lives exclusively in BENCH_STAMPS_r{N}.json,
+    # which the driver cannot truncate.
     print(
         json.dumps(
             {
@@ -676,12 +740,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
-                # per-query protocol stamps (runs, per-run canary
-                # brackets, dispersion) — "queries" stays plain floats
-                # for the driver's reader and vs_prev comparisons
-                "query_stamps": stamps,
                 "protocol": PROTOCOL_VERSION,
-                **({"aa": aa_section} if aa_section else {}),
                 "duckdb": duck,
                 "duckdb_total": round(duck_total, 4),
                 "ratio_vs_duckdb": (
@@ -689,32 +748,21 @@ def main() -> None:
                 ),
                 "numeric_profile": profile,
                 "sf": float(sf),
-                # host-speed canary, measured immediately before the
-                # sweep AND immediately after: cross-round deltas are
-                # only meaningful canary-normalized (shared-VM CPU
-                # varies 3.5x/day, docs/SCALE.md); disagreement
-                # between the two stamps means the host shifted
-                # MID-SWEEP and the artifact itself is noisy
+                # effective parallelism, echoed so a low-core rerun is
+                # self-describing ($SPARK_GRAFT_CPUS is honored via
+                # session.get_spark; see also probe_cpu_scaling above)
+                "cpus": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
+                # host-speed canary pre/post sweep: cross-round deltas
+                # are only meaningful canary-normalized (shared-VM CPU
+                # varies 3.5x/day, docs/SCALE.md)
                 "host_canary_ms_pre": canary,
-                "host_canary_ms_post": (post := host_canary_ms()),
-                # IO/page-cache canary (io_canary_ms): the weather
-                # axis the CPU kernel is blind to — elevated here
-                # with a flat CPU canary means buffered-read/VFS
-                # contention, not an engine change. Measured ONCE and
-                # shared with the stamps doc below, like the CPU
-                # canary's `post` (r13 review fix: two independent
-                # probes gave the two artifacts disagreeing post
-                # values — and 256 MB of redundant reads).
+                "host_canary_ms_post": post,
+                # IO/page-cache canary: the weather axis the CPU
+                # kernel is blind to
                 "io_canary_ms_pre": io_canary_pre,
-                "io_canary_ms_post": (
-                    io_post := io_canary_ms(sf_dir=sf_dir)
-                ),
+                "io_canary_ms_post": io_post,
                 "io_canary_budget_bytes": IO_CANARY_BUDGET,
-                # canary-normalized round-over-round table vs the
-                # latest committed BENCH_r{N}.json
-                "vs_prev": vs_prev_section(
-                    timings, canary, post, profile=profile
-                ),
             }
         )
     )
@@ -731,6 +779,8 @@ def main() -> None:
         "protocol": PROTOCOL_VERSION,
         "numeric_profile": profile,
         "sf": float(sf),
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
         "host_canary_ms_pre": canary,
         "host_canary_ms_post": post,
         "io_canary_ms_pre": io_canary_pre,
@@ -739,6 +789,12 @@ def main() -> None:
         "query_stamps": stamps,
         **({"aa": aa_section} if aa_section else {}),
         "duckdb": duck,
+        # canary-normalized round-over-round table vs the latest
+        # committed BENCH_r{N}.json — moved OUT of the printed line
+        # (r14, VERDICT r13 ask #2: the line must survive tail capture;
+        # this table is redundancy for the driver's own delta pass and
+        # belongs with the rest of the bulky protocol evidence)
+        "vs_prev": vs_prev_section(timings, canary, post, profile=profile),
     }
     # non-default profiles get their own file: an oracle run and a
     # deployment run in the same round must not clobber each other's

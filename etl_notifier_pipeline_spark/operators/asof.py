@@ -2,18 +2,29 @@
 
 Spark has no native ASOF JOIN; the engine composes one:
 
-- ``asof_join`` (default): equi-join on the partition key with the
-  range predicate, then keep the latest right row per left row via a
-  ranking window. Correct for any data; the join inflates to
-  |left ⨝_key right| before the window prunes it, so it fits when the
-  per-key fan-out is bounded (the usual case: events × dimension
-  versions).
-- For unbounded fan-out, the scale path is the union-sort trick or
-  per-key ``applyInPandas`` + ``pd.merge_asof`` (documented here,
-  selectable via ``strategy="pandas"``) — sorts each key group once
-  instead of materializing the pair blow-up.
+- ``asof_join`` (default ``strategy="union_sort"``, r14): union the
+  tagged left and right rows, ONE hash shuffle on the key, and a
+  running ``last(right_struct, ignorenulls)`` window picks each left
+  row's latest at-or-before right row. No join fan-out, no row-id
+  mark, no eager materialization — the left (fact) side crosses the
+  network exactly once, which is the 100 TB shape (guide §2.4: remove
+  shuffles; §3.3: the id-mark + anti-join restore of the window
+  strategy was an extra fact-sized exchange AND an O(|fact|) eager
+  localCheckpoint write before the join could start).
+- ``strategy="window"`` (the pre-r14 default): equi-join on the
+  partition key with the range predicate, then keep the latest right
+  row per left row via a ranking window over a row-id mark. Correct
+  for any data; the join inflates to |left ⨝_key right| before the
+  window prunes it, and the id mark forces an eager localCheckpoint
+  of the whole left side (id stability across its two consumers).
+  Kept selectable as the reference implementation.
+- ``strategy="pandas"``: per-key ``applyInPandas`` +
+  ``pd.merge_asof`` — sorts each key group in Python once; the Arrow
+  boundary makes it the slowest arm, kept as the cross-check.
 
-DuckDB's native ``ASOF JOIN`` is the oracle for both.
+All three produce IDENTICAL rows (same deterministic tie-break:
+among equal right timestamps the smallest right-value tuple wins).
+DuckDB's native ``ASOF JOIN`` is the oracle for all of them.
 """
 
 from __future__ import annotations
@@ -33,7 +44,7 @@ def asof_join(
     right_time: str,
     *,
     right_values: Sequence[str],
-    strategy: str = "window",
+    strategy: str = "union_sort",
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_time`` <= ``left_time`` within the same ``on`` key
@@ -41,6 +52,10 @@ def asof_join(
     """
     if strategy == "pandas":
         return _asof_join_pandas(left, right, on, left_time, right_time, right_values)
+    if strategy == "union_sort":
+        return _asof_join_union_sort(
+            left, right, on, left_time, right_time, right_values
+        )
     lid = "__asof_lid"
     # localCheckpoint (r13, corrected from persist after review): the
     # id-marked left frame feeds BOTH the range join and the no-match
@@ -83,6 +98,97 @@ def asof_join(
         missing.select(*lmark.columns, *nulls)
     )
     return out.drop(lid, "__rt")
+
+
+def _asof_join_union_sort(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_values: Sequence[str],
+) -> DataFrame:
+    """Scale path, and the default since r14 (measured at sf10 —
+    OPTIMIZATION_r14.md): tag and union both sides, shuffle ONCE by
+    the key, and let a running ``last(..., ignorenulls=True)`` window
+    carry the newest at-or-before right row onto every left row.
+
+    Sort order within a key: (time ASC NULLS FIRST, is_left ASC,
+    right-value tuple DESC NULLS FIRST). The pieces:
+
+    - right before left at equal time (is_left 0 < 1) makes the
+      range predicate INCLUSIVE (rt <= lt);
+    - among right rows tied on rt, every direction flipped relative
+      to the window strategy's ``asc_nulls_last`` ranking reverses the
+      lexicographic order exactly, so the LAST tied row in window
+      order is the SMALLEST right-value tuple — the identical
+      deterministic pick all three strategies share;
+    - a NULL left_time sorts before every (non-null) right time, so
+      such rows see no candidate and keep NULL values — the same
+      padding the window strategy produces via its restore leg;
+    - right rows with NULL right_time are dropped up front (they can
+      never satisfy rt <= lt), exactly as in the window strategy.
+
+    The right row travels as ONE struct column so the window picks an
+    entire row atomically, and each left row flows through the window
+    unduplicated — multiplicity is preserved with no row-id mark, no
+    localCheckpoint, no anti-join restore.
+    """
+    t_col, tag, rv = "__asof_t", "__asof_is_left", "__asof_rv"
+    # Join semantics: a NULL key matches NOTHING. partitionBy would
+    # happily group null-key rows from both sides together, so
+    # null-key right rows must be dropped (a null-key LEFT row then
+    # sees an empty partition and keeps NULL values — same padding
+    # the equi-join strategies produce).
+    r = right.filter(F.col(right_time).isNotNull())
+    for k in on:
+        r = r.filter(F.col(k).isNotNull())
+    rtypes = dict(r.dtypes)
+    left_u = left.select(
+        *left.columns,
+        F.col(left_time).alias(t_col),
+        F.lit(1).alias(tag),
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"`{c}`:{rtypes[c]}" for c in [right_time, *right_values]
+            )
+            + ">"
+        )
+        .alias(rv),
+    )
+    left_types = dict(left.dtypes)
+    right_u = r.select(
+        *[
+            F.col(c) if c in on else F.lit(None).cast(left_types[c]).alias(c)
+            for c in left.columns
+        ],
+        F.col(right_time).alias(t_col),
+        F.lit(0).alias(tag),
+        F.struct(
+            F.col(right_time), *[F.col(c) for c in right_values]
+        ).alias(rv),
+    )
+    w = (
+        W.partitionBy(*on)
+        .orderBy(
+            F.col(t_col).asc_nulls_first(),
+            F.col(tag).asc(),
+            *[
+                F.col(f"{rv}.{c}").desc_nulls_first()
+                for c in right_values
+            ],
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    picked = left_u.unionByName(right_u).withColumn(
+        "__asof_pick", F.last(rv, ignorenulls=True).over(w)
+    )
+    return picked.filter(F.col(tag) == 1).select(
+        *left.columns,
+        *[F.col(f"__asof_pick.{c}").alias(c) for c in right_values],
+    )
 
 
 def _asof_join_pandas(

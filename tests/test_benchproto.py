@@ -177,13 +177,16 @@ def test_io_canary_per_file_errors_degrade_to_none(tmp_path):
     assert bench.io_canary_ms(sf_dir=str(tmp_path)) is None
 
 
-def test_configure_io_canary_dir_and_disable():
+def test_configure_io_canary_dir_and_disable(tmp_path):
     """Harnesses point the stamp IO canary at the directory they
     measure, or disable it for stamp-dense ladders — both via
     configure_io_canary (r13 review: stamps probed sf0.1 regardless
-    of the measured dir, and dense ladders paid 512 MB/stamp)."""
+    of the measured dir, and dense ladders paid 512 MB/stamp).
+    The enabled branch probes a tmp fixture, not machine-specific
+    test data (r13 ADVICE: the suite must not require /root/testdata)."""
     from tools import benchproto
 
+    (tmp_path / "tiny.parquet").write_bytes(b"x" * 4096)
     try:
         benchproto.configure_io_canary(None, enabled=False)
         stamp = benchproto.stamped_runs(lambda: 0.1, n_runs=1)
@@ -191,8 +194,55 @@ def test_configure_io_canary_dir_and_disable():
         benchproto.configure_io_canary("/nonexistent/dir")
         stamp = benchproto.stamped_runs(lambda: 0.1, n_runs=1)
         assert "io_canary_ms" not in stamp  # probe degrades to None
-        benchproto.configure_io_canary("/root/testdata/sf0.001")
+        benchproto.configure_io_canary(str(tmp_path))
         stamp = benchproto.stamped_runs(lambda: 0.1, n_runs=1)
         assert "io_canary_ms" in stamp
     finally:
         benchproto.configure_io_canary(None, enabled=True)
+
+
+def test_tools_reference_only_names_they_import():
+    """Every GLOBAL name a tools/ harness references from inside a
+    function must resolve on the imported module — the r13 ADVICE high:
+    lakehouse_bench.main() called configure_io_canary without importing
+    it, so the harness crashed with NameError on EVERY invocation and
+    no test executed that path. symtable gives real scoping (closures,
+    comprehensions, nested defs), so: collect every identifier any
+    function scope resolves as GLOBAL, import the module (cheap — no
+    tool builds a session at import), and require each to be a module
+    attribute, a builtin, or a module dunder."""
+    import builtins
+    import glob
+    import importlib
+    import os
+    import symtable
+
+    tools_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
+    builtin_names = set(dir(builtins)) | {"__file__", "__name__", "__doc__"}
+    problems = []
+    for path in sorted(glob.glob(os.path.join(tools_dir, "*.py"))):
+        modname = "tools." + os.path.splitext(os.path.basename(path))[0]
+        with open(path) as f:
+            src = f.read()
+        mod = importlib.import_module(modname)
+
+        def walk(table, out):
+            if table.get_type() in ("function",):
+                for s in table.get_symbols():
+                    if s.is_global() and s.is_referenced():
+                        out.add(s.get_name())
+            for child in table.get_children():
+                walk(child, out)
+
+        referenced: set[str] = set()
+        walk(symtable.symtable(src, path, "exec"), referenced)
+        for name in sorted(referenced):
+            if name in builtin_names or hasattr(mod, name):
+                continue
+            problems.append(
+                f"{os.path.basename(path)}: function-scope global "
+                f"{name!r} does not resolve on the imported module"
+            )
+    assert not problems, "\n".join(problems)

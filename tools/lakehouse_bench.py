@@ -60,6 +60,7 @@ from etl_notifier_pipeline_spark.session import get_spark  # noqa: E402
 from etl_notifier_pipeline_spark.storage import BucketedTableStore  # noqa: E402
 from tools.benchproto import (  # noqa: E402
     PROTOCOL_VERSION,
+    configure_io_canary,
     protocol_header,
     stamped_runs,
 )
